@@ -1,0 +1,185 @@
+"""Base class for variational encoder-decoder models.
+
+TPU-native rebuild of the reference's ``baseVAE``
+(``pyroved/models/base.py:21-192``): same invariance bookkeeping (1-D allows
+only ``['t']``; in 2-D ``'t'`` consumes two latent slots), same coordinate
+grid and prior conventions, same latent split ordering (rotation, then
+dx/dy, then scale, then content — ``base.py:97-119``). Differences are
+deliberate and TPU-first:
+
+* Parameters live in an explicit pytree (``self.params``); all compute is
+  functional and jit-compiled. There is no device attribute — JAX places
+  arrays on the default backend, and trainers may shard over a mesh.
+* Randomness is a threaded PRNG key (``self.rng``), not global torch seeds.
+* ``encode``/``decode`` run as chunked jitted applies instead of
+  ``DataLoader`` loops with per-batch H2D/D2H copies (``base.py:121-171``).
+"""
+import pickle
+from typing import List, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.coord import generate_grid, transform_coordinates
+from ..utils.nn import as_numpy, set_deterministic_mode
+
+Array = jax.Array
+
+
+class baseVAE:
+    """Common machinery for (invariant) variational encoder-decoder models."""
+
+    def __init__(self, data_dim: Sequence[int], invariances: Optional[List[str]],
+                 **kwargs):
+        self.data_dim = tuple(int(d) for d in data_dim)
+        self.ndim = len(self.data_dim)
+        if invariances is None:
+            coord = 0
+        else:
+            coord = len(invariances)
+            if self.ndim == 1:
+                if coord > 1 or invariances[0] != "t":
+                    raise ValueError(
+                        "For 1D data, the only invariance to enforce "
+                        "is translation ('t')")
+            if "t" in invariances and self.ndim == 2:
+                coord = coord + 1
+        self.coord = coord
+        self.invariances = invariances
+
+        self.grid = generate_grid(self.data_dim) if self.coord > 0 else None
+
+        if self.coord > 0 and "t" in invariances:
+            dx_pri = float(kwargs.get("dx_prior", 0.1))
+            dy_pri = float(kwargs.get("dy_prior", dx_pri))
+            self.t_prior = (jnp.asarray([dx_pri, dy_pri], jnp.float32)
+                            if self.ndim == 2 else jnp.asarray(dx_pri, jnp.float32))
+        else:
+            self.t_prior = None
+        if self.coord > 0 and "s" in (invariances or []):
+            self.sc_prior = jnp.asarray(float(kwargs.get("sc_prior", 0.1)), jnp.float32)
+        else:
+            self.sc_prior = None
+
+        # Populated by subclasses
+        self.encoder_net = None
+        self.decoder_net = None
+        self.params = None
+        self.rng = None
+        self.z_dim = None
+
+    # ------------------------------------------------------------------
+    # RNG
+    # ------------------------------------------------------------------
+    def _seed(self, seed: int) -> None:
+        self.rng = set_deterministic_mode(seed)
+
+    def next_rng(self) -> Array:
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Latent bookkeeping
+    # ------------------------------------------------------------------
+    def split_latent(self, z: Array) -> Tuple[Optional[Array], Array, Optional[Array], Array]:
+        """Split ``z[..., z_dim]`` into (phi, dx, sc, content), in the
+        reference's ordering: rotation first, then translation, then scale
+        (``models/base.py:97-119``). Missing parts come back as identity
+        values (phi=0, dx=0, sc=1) broadcastable over the batch."""
+        batch_shape = z.shape[:-1]
+        if self.ndim == 1:
+            dx = z[..., 0:1]
+            return None, dx, None, z[..., 1:]
+        phi = jnp.zeros(batch_shape, z.dtype)
+        dx = jnp.zeros(batch_shape + (2,), z.dtype)
+        sc = jnp.ones(batch_shape, z.dtype)
+        inv = self.invariances or []
+        if "r" in inv:
+            phi = z[..., 0]
+            z = z[..., 1:]
+        if "t" in inv:
+            dx = z[..., :2]
+            z = z[..., 2:]
+        if "s" in inv:
+            sc = sc + self.sc_prior * z[..., 0]
+            z = z[..., 1:]
+        return phi, dx, sc, z
+
+    def transformed_grid(self, z: Array) -> Tuple[Optional[Array], Array]:
+        """Apply the latent-derived affine transform to the coordinate grid.
+
+        Returns ``(coords, z_content)`` where coords is
+        ``[..., N, grid_dim]`` (None when the model has no invariances).
+        Mirrors the model-side hot path at ``models/ivae.py:184-192``.
+        """
+        if self.coord == 0:
+            return None, z
+        phi, dx, sc, z = self.split_latent(z)
+        if "t" in (self.invariances or []) or self.ndim == 1:
+            if self.ndim == 1:
+                dx = dx[..., None, :]  # [..., 1, 1] broadcasts over grid points
+            else:
+                dx = (dx * self.t_prior)[..., None, :]
+        grid = jnp.broadcast_to(self.grid, z.shape[:-1] + self.grid.shape)
+        coords = transform_coordinates(grid, phi, dx, sc)
+        return coords, z
+
+    def fixed_transform_grid(self, **kwargs) -> Optional[Array]:
+        """Grid under a user-fixed angle/shift/scale (generation path,
+        reference ``base.py:157-165``)."""
+        if self.coord == 0:
+            return None
+        a = jnp.asarray(kwargs.get("angle", 0.0), jnp.float32)
+        t = jnp.asarray(kwargs.get("shift", 0.0), jnp.float32)
+        s = jnp.asarray(kwargs.get("scale", 1.0), jnp.float32)
+        coords = transform_coordinates(self.grid[None], a[None], t, s[None])
+        return coords[0]
+
+    # ------------------------------------------------------------------
+    # Batched inference / generation
+    # ------------------------------------------------------------------
+    def _chunked(self, fn, *arrays, batch_size: int = 100):
+        """Apply a jitted function over fixed-size chunks (last chunk padded)
+        and concatenate host-side results."""
+        n = arrays[0].shape[0]
+        outs = []
+        for start in range(0, n, batch_size):
+            chunk = [a[start:start + batch_size] for a in arrays]
+            pad = batch_size - chunk[0].shape[0]
+            if pad and n > batch_size:
+                chunk = [jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
+                         for c in chunk]
+            res = fn(self.params, *chunk)
+            res = jax.tree_util.tree_map(
+                lambda r: r[: batch_size - pad] if pad and n > batch_size else r, res)
+            outs.append(res)
+        return jax.tree_util.tree_map(lambda *rs: jnp.concatenate(rs), *outs)
+
+    # ------------------------------------------------------------------
+    # Weight persistence (params + rng), reference base.py:183-192
+    # ------------------------------------------------------------------
+    def save_weights(self, filepath: str) -> None:
+        """Serializes the model parameter pytree to ``filepath + '.pvt'``."""
+        payload = {
+            "params": flax.serialization.to_bytes(jax.device_get(self.params)),
+            "rng": np.asarray(jax.device_get(self.rng)) if self.rng is not None else None,
+        }
+        with open(filepath + ".pvt", "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_weights(self, filepath: str) -> None:
+        """Loads parameters saved by :meth:`save_weights`."""
+        if not filepath.endswith(".pvt"):
+            filepath = filepath + ".pvt"
+        with open(filepath, "rb") as f:
+            payload = pickle.load(f)
+        self.params = flax.serialization.from_bytes(self.params, payload["params"])
+        if payload.get("rng") is not None:
+            self.rng = jnp.asarray(payload["rng"])
+
+    # Convenience used by several public APIs
+    @staticmethod
+    def _as_f32(x) -> Array:
+        return jnp.asarray(as_numpy(x), jnp.float32)

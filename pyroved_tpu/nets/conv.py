@@ -1,0 +1,169 @@
+"""Convolutional encoder/decoder modules (flax.linen, channels-last).
+
+TPU-native rebuild of the reference's conv nets (``pyroved/nets/conv.py``):
+same block structure (conv stacks with maxpool-between-blocks feature
+extractor; conv + x2-upsample mirror) and defaults
+([(32,), (64, 64), (128, 128)] filters, lrelu, optional batchnorm), but in
+NHWC layout — the native TPU convolution layout — instead of torch's NCHW.
+Inputs/outputs carry the channel dim LAST; models accept channel-less
+arrays and add a singleton channel.
+"""
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.nn import get_activation
+from .fc import Dense
+
+Array = jax.Array
+
+_torch_conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")  # == torch kaiming_uniform(a=sqrt(5))
+
+
+def _conv(ndim: int, features: int, kernel_size=3, strides=1, name=None):
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size,) * ndim,
+        strides=(strides,) * ndim,
+        padding="SAME",
+        kernel_init=_torch_conv_kernel_init,
+        name=name,
+    )
+
+
+def _max_pool(x: Array, ndim: int) -> Array:
+    return nn.max_pool(x, window_shape=(2,) * ndim, strides=(2,) * ndim)
+
+
+def _default_enc_filters(f):
+    return tuple(tuple(b) for b in f) if f is not None else ((32,), (64, 64), (128, 128))
+
+
+def _default_dec_filters(f):
+    return tuple(tuple(b) for b in f) if f is not None else ((128, 128), (64, 64), (32,))
+
+
+class UpsampleBlock(nn.Module):
+    """x2 interpolation (bilinear for 2-D, nearest for 1-D/3-D, mirroring the
+    reference's auto-downgrade at ``nets/conv.py:121-130``) followed by a
+    1x1 conv (reference: ``nets/conv.py:105-143``)."""
+    ndim: int
+    output_channels: int
+    scale_factor: int = 2
+    mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.mode not in ("bilinear", "nearest"):
+            raise NotImplementedError("Use 'bilinear' or 'nearest' for upsampling mode")
+        mode = self.mode if self.ndim == 2 else "nearest"
+        method = "linear" if mode == "bilinear" else "nearest"
+        spatial = tuple(s * self.scale_factor for s in x.shape[1:-1])
+        x = jax.image.resize(x, (x.shape[0],) + spatial + (x.shape[-1],), method=method)
+        return _conv(self.ndim, self.output_channels, kernel_size=1)(x)
+
+
+class FeatureExtractor(nn.Module):
+    """Conv tower: blocks of convs with optional batchnorm, maxpool(2)
+    between blocks, optional pool after the last block
+    (reference: ``nets/conv.py:146-196``)."""
+    ndim: int
+    conv_filters: Optional[Sequence[Sequence[int]]] = None
+    batchnorm: bool = False
+    activation: str = "lrelu"
+    pool_last: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        act = get_activation(self.activation)
+        filters = _default_enc_filters(self.conv_filters)
+        n_blocks = len(filters)
+        for i, block in enumerate(filters):
+            for ch in block:
+                x = _conv(self.ndim, ch)(x)
+                if act is not None:
+                    x = act(x)
+                if self.batchnorm:
+                    x = nn.BatchNorm(use_running_average=not train)(x)
+            if i + 1 < n_blocks or self.pool_last:
+                x = _max_pool(x, self.ndim)
+        return x
+
+
+class Upsampler(nn.Module):
+    """Mirror of FeatureExtractor: conv blocks each followed by an
+    UpsampleBlock, then a final 1x1 conv to ``output_channels``
+    (reference: ``nets/conv.py:199-249``)."""
+    ndim: int
+    conv_filters: Optional[Sequence[Sequence[int]]] = None
+    output_channels: int = 1
+    batchnorm: bool = False
+    activation: str = "lrelu"
+    upsampling_mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        act = get_activation(self.activation)
+        filters = _default_dec_filters(self.conv_filters)
+        ch = None
+        for block in filters:
+            for ch in block:
+                x = _conv(self.ndim, ch)(x)
+                if act is not None:
+                    x = act(x)
+                if self.batchnorm:
+                    x = nn.BatchNorm(use_running_average=not train)(x)
+            x = UpsampleBlock(self.ndim, ch, mode=self.upsampling_mode)(x)
+        return _conv(self.ndim, self.output_channels, kernel_size=1)(x)
+
+
+class convEncoderNet(nn.Module):
+    """Conv encoder producing (mu, sigma) (reference: ``nets/conv.py:24-64``).
+    Input: ``[B, *input_dim, C]`` channels-last."""
+    input_dim: Tuple[int, ...]
+    latent_dim: int = 2
+    hidden_dim: Optional[Sequence[Sequence[int]]] = None
+    batchnorm: bool = False
+    activation: str = "lrelu"
+    softplus_out: bool = True
+    pool_last: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
+        filters = _default_enc_filters(self.hidden_dim)
+        x = FeatureExtractor(len(self.input_dim), filters, self.batchnorm,
+                             self.activation, self.pool_last)(x, train)
+        x = x.reshape(x.shape[0], -1)
+        enc = Dense(2 * self.latent_dim, name="features2latent")(x)
+        mu, sigma = jnp.split(enc, 2, axis=-1)
+        if self.softplus_out:
+            sigma = jax.nn.softplus(sigma)
+        return mu, sigma
+
+
+class convDecoderNet(nn.Module):
+    """Conv decoder: latent -> features -> upsampler -> sigmoid
+    (reference: ``nets/conv.py:67-102``). Output: ``[B, *output_dim, C]``."""
+    output_dim: Tuple[int, ...]
+    latent_dim: int = 2
+    output_channels: int = 1
+    hidden_dim: Optional[Sequence[Sequence[int]]] = None
+    batchnorm: bool = False
+    activation: str = "lrelu"
+    sigmoid_out: bool = True
+    upsampling_mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, z: Array, train: bool = False) -> Array:
+        filters = _default_dec_filters(self.hidden_dim)
+        in_spatial = tuple(int(d) // 2 ** len(filters) for d in self.output_dim)
+        ch0 = filters[0][0]
+        x = Dense(int(np.prod(in_spatial)) * ch0, name="latent2features")(z)
+        x = x.reshape((z.shape[0],) + in_spatial + (ch0,))
+        x = Upsampler(len(self.output_dim), filters, self.output_channels,
+                      self.batchnorm, self.activation, self.upsampling_mode)(x, train)
+        return jax.nn.sigmoid(x) if self.sigmoid_out else x

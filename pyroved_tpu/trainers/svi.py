@@ -1,0 +1,176 @@
+"""Stochastic variational inference trainer.
+
+TPU-native rebuild of the reference ``SVItrainer``
+(``pyroved/trainers/svi.py:11-175``) with the same public surface
+(``train`` / ``evaluate`` / ``step`` / ``print_statistics`` /
+``loss_history``; losses normalized by dataset size, ``svi.py:115``) and a
+very different execution model:
+
+* The reference dispatches one ``svi.step`` per mini-batch from Python with
+  a H2D copy each time (``svi.py:104-111``). Here the WHOLE EPOCH is a single
+  jit-compiled ``lax.scan`` over batch indices against the device-resident
+  dataset: one host->device dispatch per epoch, zero per-batch copies, and
+  XLA pipelines the gather + forward + backward + Adam update.
+* Optimization is ``optax.adam(lr=1e-3)`` (reference default, ``svi.py:80``)
+  acting on the model's parameter pytree.
+* Discrete-latent models carry their own exact enumeration inside
+  ``loss_fn`` (replacing ``TraceEnum_ELBO``), so ``enumerate_parallel`` is
+  accepted for API parity but changes nothing.
+* ``evaluate`` computes the loss WITHOUT touching parameters — fixing the
+  reference quirk where eval re-used ``svi.step`` under ``no_grad``
+  (``svi.py:117-137``).
+
+Pass ``mesh=jax.sharding.Mesh(...)`` to shard each batch over the mesh's
+``'data'`` axis: XLA then partitions the step and inserts the gradient
+all-reduce over ICI automatically.
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..utils.data import DataLoader
+
+Array = jax.Array
+
+
+def _prep_beta(model, scale_factor) -> Array:
+    prep = getattr(model, "prep_beta", None)
+    if prep is not None:
+        return prep(scale_factor)
+    return jnp.asarray(scale_factor, jnp.float32)
+
+
+class SVItrainer:
+    """Epoch-level SVI trainer for one-encoder/one-decoder models.
+
+    Args:
+        model: initialized pyroved_tpu model exposing ``params`` and
+            ``loss_fn(params, rng, batch, beta) -> [B]`` per-example -ELBO.
+        optimizer: optax gradient transformation (default ``adam(lr)``).
+        enumerate_parallel: accepted for reference API parity; enumeration
+            is built into the discrete models' loss functions here.
+        seed: PRNG seed for latent sampling during training.
+        lr: learning rate for the default optimizer (default 1e-3).
+        mesh: optional ``jax.sharding.Mesh`` with a ``'data'`` axis for
+            data-parallel training.
+    """
+
+    def __init__(self, model, optimizer: Optional[optax.GradientTransformation] = None,
+                 loss=None, enumerate_parallel: bool = False, seed: int = 1,
+                 **kwargs):
+        del loss, enumerate_parallel  # parity-only arguments
+        self.model = model
+        lr = kwargs.get("lr", 1e-3)
+        self.optimizer = optimizer if optimizer is not None else optax.adam(lr)
+        self.opt_state = self.optimizer.init(model.params)
+        self.rng = jax.random.PRNGKey(seed)
+        self.mesh = kwargs.get("mesh")
+        self.loss_history = {"training_loss": [], "test_loss": []}
+        self.current_epoch = 0
+        self._train_epoch_jit = None
+        self._eval_epoch_jit = None
+
+    # ------------------------------------------------------------------
+    def _constrain(self, tree):
+        if self.mesh is None:
+            return tree
+        sharding = NamedSharding(self.mesh, P("data"))
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
+
+    def _build_epoch_fns(self):
+        loss_fn = self.model.loss_fn
+        optimizer = self.optimizer
+
+        def batch_loss(params, rng, batch, weights, beta):
+            return jnp.sum(loss_fn(params, rng, batch, beta) * weights)
+
+        def train_epoch(params, opt_state, rng, arrays, idx, w, beta):
+            def body(carry, inp):
+                params, opt_state = carry
+                bidx, bw, step = inp
+                batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                batch = self._constrain(batch)
+                bw = self._constrain(bw)
+                step_rng = jax.random.fold_in(rng, step)
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    params, step_rng, batch, bw, beta)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            steps = jnp.arange(idx.shape[0])
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx, w, steps))
+            return params, opt_state, jnp.sum(losses)
+
+        def eval_epoch(params, rng, arrays, idx, w, beta):
+            def body(_, inp):
+                bidx, bw, step = inp
+                batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                batch = self._constrain(batch)
+                step_rng = jax.random.fold_in(rng, step)
+                return None, batch_loss(params, step_rng, batch, self._constrain(bw), beta)
+
+            steps = jnp.arange(idx.shape[0])
+            _, losses = jax.lax.scan(body, None, (idx, w, steps))
+            return jnp.sum(losses)
+
+        self._train_epoch_jit = jax.jit(train_epoch, donate_argnums=(0, 1))
+        self._eval_epoch_jit = jax.jit(eval_epoch)
+
+    # ------------------------------------------------------------------
+    def train(self, train_loader: DataLoader, **kwargs) -> float:
+        """One training epoch; returns loss / dataset_size
+        (reference: ``svi.py:95-115``)."""
+        beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
+        if self._train_epoch_jit is None:
+            self._build_epoch_fns()
+        idx, w = train_loader.epoch_indices()
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        params, self.opt_state, total = self._train_epoch_jit(
+            self.model.params, self.opt_state, epoch_rng,
+            train_loader.device_arrays, jnp.asarray(idx), jnp.asarray(w), beta)
+        self.model.params = params
+        return float(total) / train_loader.dataset_size
+
+    def evaluate(self, test_loader: DataLoader, **kwargs) -> float:
+        """Loss over a held-out set with NO parameter updates
+        (reference semantics: ``svi.py:117-137``)."""
+        beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
+        if self._eval_epoch_jit is None:
+            self._build_epoch_fns()
+        idx, w = test_loader.epoch_indices()
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        total = self._eval_epoch_jit(
+            self.model.params, epoch_rng, test_loader.device_arrays,
+            jnp.asarray(idx), jnp.asarray(w), beta)
+        return float(total) / test_loader.dataset_size
+
+    def step(self, train_loader: DataLoader,
+             test_loader: Optional[DataLoader] = None, **kwargs) -> None:
+        """One epoch of training (+ optional eval), appended to
+        ``loss_history`` (reference: ``svi.py:139-162``).
+
+        Keyword Args:
+            scale_factor: KL scale beta (scalar, or [cont, disc] for jiVAE).
+        """
+        self.loss_history["training_loss"].append(self.train(train_loader, **kwargs))
+        if test_loader is not None:
+            self.loss_history["test_loss"].append(self.evaluate(test_loader, **kwargs))
+        self.current_epoch += 1
+
+    def print_statistics(self) -> None:
+        """Prints current-epoch losses (reference: ``svi.py:164-175``)."""
+        e = self.current_epoch
+        if len(self.loss_history["test_loss"]) > 0:
+            print("Epoch: {} Training loss: {:.4f}, Test loss: {:.4f}".format(
+                e, self.loss_history["training_loss"][-1],
+                self.loss_history["test_loss"][-1]))
+        else:
+            print("Epoch: {} Training loss: {:.4f}".format(
+                e, self.loss_history["training_loss"][-1]))
