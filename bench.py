@@ -1,0 +1,161 @@
+"""Headline benchmark: rVAE-MNIST SVI training throughput.
+
+Trains the flagship model (iVAE with rotational invariance, 28x28 inputs,
+latent_dim=2, batch 200 — the reference's MNIST example config,
+``examples/VAE_gp.ipynb``) and reports steady-state SVI steps/sec.
+
+``vs_baseline`` compares against the reference's per-step compute measured
+on CPU. pyro-ppl is not installed in this image, so the baseline is a
+faithful torch reimplementation of the reference's hot path (encoder MLP ->
+reparameterized sample -> coordinate rotation -> spatial decoder -> Bernoulli
+ELBO -> Adam), which is *faster* than Pyro's traced SVI step — i.e. the
+reported speedup is conservative. Set PVT_BASELINE_STEPS_PER_SEC to override
+(e.g. with a measured Pyro number), or PVT_SKIP_BASELINE=1 to reuse the last
+cached measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 200
+N_DATA = 10000
+DATA_DIM = (28, 28)
+LATENT = 2
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_baseline_cache.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_data():
+    rng = np.random.default_rng(0)
+    # MNIST-like blobs: random oriented Gaussian bumps on a 28x28 canvas
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 28), np.linspace(-1, 1, 28),
+                         indexing="ij")
+    cx = rng.uniform(-0.4, 0.4, N_DATA)[:, None, None]
+    cy = rng.uniform(-0.4, 0.4, N_DATA)[:, None, None]
+    s = rng.uniform(0.05, 0.2, N_DATA)[:, None, None]
+    img = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / s)
+    return img.astype(np.float32)
+
+
+def bench_ours(data) -> float:
+    import pyroved_tpu as pv
+    model = pv.models.iVAE(DATA_DIM, latent_dim=LATENT, invariances=["r"])
+    loader = pv.utils.init_dataloader(data, batch_size=BATCH)
+    trainer = pv.trainers.SVItrainer(model)
+    steps_per_epoch = loader.num_batches
+    trainer.step(loader)  # compile + first epoch
+    t0 = time.perf_counter()
+    n_epochs = 5
+    for _ in range(n_epochs):
+        trainer.step(loader)
+    dt = time.perf_counter() - t0
+    sps = n_epochs * steps_per_epoch / dt
+    log(f"ours: {sps:.1f} steps/s ({n_epochs * steps_per_epoch} steps in {dt:.2f}s), "
+        f"final loss {trainer.loss_history['training_loss'][-1]:.4f}")
+    return sps
+
+
+def bench_torch_baseline(data) -> float:
+    """Reference-equivalent rVAE SVI step on CPU (torch)."""
+    import torch
+    import torch.nn as nn
+    torch.manual_seed(1)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    z_dim = LATENT + 1  # + rotation slot
+    enc = nn.Sequential(nn.Linear(784, 128), nn.Tanh(), nn.Linear(128, 128), nn.Tanh())
+    fc_mu, fc_sig = nn.Linear(128, z_dim), nn.Linear(128, z_dim)
+    fc_coord = nn.Linear(2, 128)
+    fc_latent = nn.Linear(LATENT, 128, bias=False)
+    dec_mlp = nn.Sequential(nn.Linear(128, 128), nn.Tanh(), nn.Linear(128, 128), nn.Tanh())
+    out_l = nn.Linear(128, 1)
+    params = (list(enc.parameters()) + list(fc_mu.parameters())
+              + list(fc_sig.parameters()) + list(fc_coord.parameters())
+              + list(fc_latent.parameters()) + list(dec_mlp.parameters())
+              + list(out_l.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    xx = torch.linspace(-1, 1, 28)
+    yy = torch.linspace(1, -1, 28)
+    g0, g1 = torch.meshgrid(xx, yy, indexing="ij")
+    grid = torch.stack([g0.reshape(-1), g1.reshape(-1)], -1)  # [784, 2]
+
+    X = torch.from_numpy(data)
+
+    def step(xb):
+        opt.zero_grad()
+        xf = xb.reshape(-1, 784)
+        h = enc(xf)
+        mu, sig = fc_mu(h), torch.nn.functional.softplus(fc_sig(h))
+        eps = torch.randn_like(mu)
+        z = mu + sig * eps
+        # MC KL (Trace_ELBO estimator)
+        lq = (-0.5 * eps ** 2 - torch.log(sig) - 0.5 * np.log(2 * np.pi)).sum(-1)
+        lp = (-0.5 * z ** 2 - 0.5 * np.log(2 * np.pi)).sum(-1)
+        phi, zc = z[:, 0], z[:, 1:]
+        c, s = torch.cos(phi), torch.sin(phi)
+        rot = torch.stack([torch.stack([c, s], -1), torch.stack([-s, c], -1)], -2)
+        coords = torch.bmm(grid.expand(xb.shape[0], -1, -1), rot)
+        hx = fc_coord(coords.reshape(-1, 2)).reshape(xb.shape[0], -1, 128)
+        hz = fc_latent(zc)
+        hd = torch.tanh(hx + hz[:, None, :])
+        hd = dec_mlp(hd)
+        loc = torch.sigmoid(out_l(hd))[..., 0]
+        loc = loc.clamp(1e-6, 1 - 1e-6)
+        recon = (xf * torch.log(loc) + (1 - xf) * torch.log(1 - loc)).sum(-1)
+        loss = -(recon + lp - lq).sum()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    # warmup
+    step(X[:BATCH])
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        lo = (i * BATCH) % (N_DATA - BATCH)
+        step(X[lo:lo + BATCH])
+    dt = time.perf_counter() - t0
+    sps = n_steps / dt
+    log(f"torch-CPU baseline: {sps:.1f} steps/s ({n_steps} steps in {dt:.2f}s)")
+    return sps
+
+
+def main():
+    data = make_data()
+    ours = bench_ours(data)
+
+    baseline = None
+    if os.environ.get("PVT_BASELINE_STEPS_PER_SEC"):
+        baseline = float(os.environ["PVT_BASELINE_STEPS_PER_SEC"])
+    elif os.environ.get("PVT_SKIP_BASELINE") and os.path.exists(CACHE):
+        baseline = json.load(open(CACHE))["baseline_steps_per_sec"]
+    else:
+        try:
+            baseline = bench_torch_baseline(data)
+            json.dump({"baseline_steps_per_sec": baseline}, open(CACHE, "w"))
+        except Exception as e:  # noqa: BLE001
+            log("baseline failed:", e)
+            if os.path.exists(CACHE):
+                baseline = json.load(open(CACHE))["baseline_steps_per_sec"]
+
+    vs = ours / baseline if baseline else None
+    print(json.dumps({
+        "metric": "rVAE-MNIST SVI steps/sec (bs=200, 28x28, latent=2, ['r'])",
+        "value": round(ours, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,11 +117,11 @@ class baseVAE:
         if self.coord == 0:
             return None, z
         phi, dx, sc, z = self.split_latent(z)
-        if "t" in (self.invariances or []) or self.ndim == 1:
-            if self.ndim == 1:
-                dx = dx[..., None, :]  # [..., 1, 1] broadcasts over grid points
-            else:
-                dx = (dx * self.t_prior)[..., None, :]
+        if self.ndim == 2 and "t" in (self.invariances or []):
+            dx = dx * self.t_prior
+        if self.ndim == 1:
+            dx = dx * self.t_prior
+        dx = dx[..., None, :]  # add the grid-point axis: [..., 1, D]
         grid = jnp.broadcast_to(self.grid, z.shape[:-1] + self.grid.shape)
         coords = transform_coordinates(grid, phi, dx, sc)
         return coords, z

@@ -1,0 +1,191 @@
+"""Joint discrete-continuous invariant VAE (jiVAE).
+
+TPU-native rebuild of the reference jiVAE (``pyroved/models/jivae.py:27-329``).
+The reference relies on Pyro's ``TraceEnum_ELBO`` parallel enumeration of the
+``OneHotCategorical`` latent (``trainers/svi.py:84-90``); here the exact
+K-way marginalization is written out explicitly:
+
+  ELBO = sum_k alpha_k * log p(x | z, k)                  (reconstruction)
+       + beta_c * (log p(z) - log q(z|x))                 (continuous term)
+       + beta_d * sum_k alpha_k * (log(1/K) - log alpha_k)  (discrete term)
+
+with a single reparameterized z shared across the K enumerated branches —
+exactly what ``z.repeat(discrete_dim, 1)`` does at ``jivae.py:182``. The
+K-way decode is one batched tensor op (leading class axis), so the MXU sees
+a single [K*B, ...] matmul stream instead of K separate calls.
+"""
+import math
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..infer.dists import get_sampler
+from ..infer.elbo import normal_latent_site, obs_site
+from ..nets.fc import fcDecoderNet, jfcEncoderNet, sDecoderNet
+from ..utils.coord import generate_latent_grid, generate_latent_grid_traversal
+from ..utils.nn import to_onehot
+from .base import baseVAE
+
+Array = jax.Array
+
+
+class jiVAE(baseVAE):
+    """VAE with joint continuous and discrete latents plus optional
+    rotational/translational/scale invariances (reference:
+    ``models/jivae.py:109-150``). ``scale_factor`` may be a scalar or a
+    ``[beta_continuous, beta_discrete]`` pair, as in the reference
+    (``jivae.py:161-165``)."""
+
+    def __init__(
+        self,
+        data_dim: Sequence[int],
+        latent_dim: int,
+        discrete_dim: int,
+        invariances: Optional[List[str]] = None,
+        hidden_dim_e: Optional[Sequence[int]] = None,
+        hidden_dim_d: Optional[Sequence[int]] = None,
+        activation: str = "tanh",
+        sampler_d: str = "bernoulli",
+        sigmoid_d: bool = True,
+        seed: int = 1,
+        **kwargs,
+    ) -> None:
+        super().__init__(data_dim, invariances, **kwargs)
+        self._seed(seed)
+
+        self.latent_dim = int(latent_dim)
+        self.z_dim = self.latent_dim + self.coord
+        self.discrete_dim = int(discrete_dim)
+        self.kl_mode = kwargs.get("kl", "mc")
+
+        self.encoder_net = jfcEncoderNet(
+            self.data_dim, self.z_dim, self.discrete_dim, hidden_dim_e,
+            activation, softplus_out=True)
+        if 0 < self.coord < 5:
+            self.decoder_net = sDecoderNet(
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+        else:
+            self.decoder_net = fcDecoderNet(
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+        self.sampler_d = get_sampler(sampler_d, **kwargs)
+
+        self._init_params()
+        self._encode_jit = None
+        self._decode_jit = None
+
+    def _init_params(self) -> None:
+        flat = int(np.prod(self.data_dim))
+        x0 = jnp.zeros((1, flat), jnp.float32)
+        enc_vars = self.encoder_net.init(self.next_rng(), x0)
+        zc0 = jnp.zeros((1, self.latent_dim + self.discrete_dim), jnp.float32)
+        if self.coord > 0:
+            dec_vars = self.decoder_net.init(self.next_rng(), self.grid[None], zc0)
+        else:
+            dec_vars = self.decoder_net.init(self.next_rng(), zc0)
+        self.params = {"encoder_z": enc_vars["params"], "decoder": dec_vars["params"]}
+
+    def prep_beta(self, scale_factor) -> Array:
+        """Normalize scale_factor to a [beta_cont, beta_disc] pair
+        (reference: ``jivae.py:161-165``)."""
+        beta = jnp.asarray(scale_factor, jnp.float32)
+        if beta.ndim == 0:
+            beta = jnp.stack([beta, beta])
+        return beta
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
+                beta: Array) -> Array:
+        """Per-example negative ELBO with exact K-way discrete enumeration
+        (replaces TraceEnum_ELBO on the reference program,
+        ``jivae.py:152-220``). ``beta`` is ``[beta_cont, beta_disc]``."""
+        x = batch[0]
+        B = x.shape[0]
+        K = self.discrete_dim
+        xf = x.reshape(B, -1)
+        mu, sig, alpha = self.encoder_net.apply({"params": params["encoder_z"]}, xf)
+        z, latent_term = normal_latent_site(rng, mu, sig, beta[0], self.kl_mode)
+
+        # Discrete term: exact expectation over the enumerated classes.
+        log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
+        disc_term = beta[1] * jnp.sum(alpha * (-math.log(K) - log_alpha), axis=-1)
+
+        coords, zc = self.transformed_grid(z)  # [B,N,2], [B,latent]
+        eye = jnp.eye(K, dtype=zc.dtype)
+        zc_k = jnp.concatenate([
+            jnp.broadcast_to(zc, (K,) + zc.shape),
+            jnp.broadcast_to(eye[:, None, :], (K, B, K)),
+        ], axis=-1)  # [K,B,latent+K]
+        if coords is not None:
+            coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
+            loc = self.decoder_net.apply({"params": params["decoder"]}, coords_k, zc_k)
+        else:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
+        recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
+        recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
+        return -(recon + latent_term + disc_term)
+
+    # ------------------------------------------------------------------
+    def encode(self, x_new, logits: bool = False, **kwargs):
+        """Returns (z_loc, z_scale, classes); classes are argmax indices or
+        raw probabilities when ``logits=True`` (reference:
+        ``jivae.py:229-254``)."""
+        x = self._as_f32(x_new).reshape(len(x_new), -1)
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(
+                lambda p, xx: self.encoder_net.apply({"params": p["encoder_z"]}, xx))
+        z_loc, z_scale, alpha = self._encode_jit(self.params, x)
+        classes = alpha if logits else jnp.argmax(alpha, axis=1)
+        return z_loc, z_scale, classes
+
+    def decode(self, z, y, **kwargs) -> Array:
+        """Decode (content latents, one-hot classes)
+        (reference: ``jivae.py:256-266``)."""
+        z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
+        if self._decode_jit is None:
+            if self.coord > 0:
+                self._decode_jit = jax.jit(
+                    lambda p, coords, zz: self.decoder_net.apply(
+                        {"params": p["decoder"]},
+                        jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
+            else:
+                self._decode_jit = jax.jit(
+                    lambda p, coords, zz: self.decoder_net.apply(
+                        {"params": p["decoder"]}, zz))
+        coords = self.fixed_transform_grid(**kwargs)
+        loc = self._decode_jit(self.params, coords, z)
+        return loc.reshape((-1,) + self.data_dim)
+
+    def manifold2d(self, d: int, disc_idx: int = 0, plot: bool = True, **kwargs) -> Array:
+        """Continuous-latent manifold for one discrete class
+        (reference: ``jivae.py:268-294``)."""
+        z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        z_disc = to_onehot(jnp.asarray([disc_idx]), self.discrete_dim)
+        z_disc = jnp.broadcast_to(z_disc, (z.shape[0], self.discrete_dim))
+        loc = self.decode(z, z_disc, **kwargs)
+        if plot:
+            from ..utils import viz
+            if self.ndim == 2:
+                viz.plot_img_grid(
+                    loc, d,
+                    extent=[float(grid_x.min()), float(grid_x.max()),
+                            float(grid_y.min()), float(grid_y.max())], **kwargs)
+            elif self.ndim == 1:
+                viz.plot_spect_grid(loc, d, **kwargs)
+        return loc
+
+    def manifold_traversal(self, d: int, cont_idx: int, cont_idx_fixed: int = 0,
+                           plot: bool = True, **kwargs) -> Array:
+        """Joint continuous/discrete latent traversal
+        (reference: ``jivae.py:296-329``)."""
+        num_samples = d ** 2
+        cont_dim = self.z_dim - self.coord
+        samples_cont, samples_disc = generate_latent_grid_traversal(
+            d, cont_dim, self.discrete_dim, cont_idx, cont_idx_fixed, num_samples)
+        decoded = self.decode(samples_cont, samples_disc, **kwargs)
+        if plot:
+            from ..utils import viz
+            viz.plot_grid_traversal(decoded, d, self.data_dim, self.discrete_dim,
+                                    **kwargs)
+        return decoded

@@ -1,0 +1,238 @@
+"""Semi-supervised classification VAE (ssiVAE, Kingma M2-style).
+
+TPU-native rebuild of the reference ssiVAE
+(``pyroved/models/ssivae.py:355-713``). Three networks: q(z|x,y) encoder,
+q(y|x) classifier, p(x|z,y) decoder. For unlabeled data the reference
+enumerates y with ``TraceEnum_ELBO`` (``trainers/auxsvi.py:69-72``); here the
+exact class marginalization is explicit: each of the K enumerated branches
+gets its own reparameterized z ~ q(z|x, y_k) (matching Pyro's expanded
+sample of shape [K, B, z_dim]) and the branch ELBOs are averaged under
+q(y|x). The auxiliary supervised objective (``ssivae.py:229-248``) is
+``aux_loss_multiplier * log q(y|x)`` on labeled batches.
+"""
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..infer.dists import get_sampler, normal_log_prob, normal_sample, std_normal_log_prob
+from ..infer.elbo import obs_site
+from ..nets.fc import fcClassifierNet, fcDecoderNet, fcEncoderNet, sDecoderNet
+from ..utils.coord import generate_latent_grid, generate_latent_grid_traversal
+from ..utils.nn import to_onehot
+from .base import baseVAE
+
+Array = jax.Array
+
+
+class ssiVAE(baseVAE):
+    """Semi-supervised invariant VAE for classification
+    (reference: ``models/ssivae.py:435-480``)."""
+
+    def __init__(
+        self,
+        data_dim: Sequence[int],
+        latent_dim: int,
+        num_classes: int,
+        invariances: Optional[List[str]] = None,
+        hidden_dim_e: Optional[Sequence[int]] = None,
+        hidden_dim_d: Optional[Sequence[int]] = None,
+        hidden_dim_cls: Optional[Sequence[int]] = None,
+        activation: str = "tanh",
+        sampler_d: str = "bernoulli",
+        sigmoid_d: bool = True,
+        seed: int = 1,
+        **kwargs,
+    ) -> None:
+        super().__init__(data_dim, invariances, **kwargs)
+        self._seed(seed)
+
+        self.latent_dim = int(latent_dim)
+        self.z_dim = self.latent_dim + self.coord
+        self.num_classes = int(num_classes)
+        self.kl_mode = kwargs.get("kl", "mc")
+        self.task = "classification"
+
+        self.encoder_net = fcEncoderNet(
+            self.data_dim, self.z_dim, num_classes, hidden_dim_e, activation,
+            softplus_out=True)
+        self.encoder_y_net = fcClassifierNet(
+            self.data_dim, num_classes, hidden_dim_cls, activation)
+        if 0 < self.coord < 5:
+            self.decoder_net = sDecoderNet(
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+        else:
+            self.decoder_net = fcDecoderNet(
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+        self.sampler_d = get_sampler(sampler_d, **kwargs)
+
+        self._init_params()
+        self._cls_jit = None
+        self._encode_jit = None
+        self._decode_jit = None
+
+    def _init_params(self) -> None:
+        flat = int(np.prod(self.data_dim))
+        x0 = jnp.zeros((1, flat), jnp.float32)
+        y0 = jnp.zeros((1, self.num_classes), jnp.float32)
+        enc_vars = self.encoder_net.init(self.next_rng(), x0, y0)
+        cls_vars = self.encoder_y_net.init(self.next_rng(), x0)
+        zc0 = jnp.zeros((1, self.latent_dim + self.num_classes), jnp.float32)
+        if self.coord > 0:
+            dec_vars = self.decoder_net.init(self.next_rng(), self.grid[None], zc0)
+        else:
+            dec_vars = self.decoder_net.init(self.next_rng(), zc0)
+        self.params = {
+            "encoder_z": enc_vars["params"],
+            "encoder_y": cls_vars["params"],
+            "decoder": dec_vars["params"],
+        }
+
+    # ------------------------------------------------------------------
+    def _branch_elbo(self, params, rng, xf, ys, beta):
+        """ELBO pieces shared by both the supervised and enumerated paths:
+        z ~ q(z|x,y); recon + beta * (log p(z) - log q(z|x,y)).
+        Shapes: xf [..., D], ys [..., K] -> per-example [...]."""
+        mu, sig = self.encoder_net.apply({"params": params["encoder_z"]}, xf, ys)
+        z = normal_sample(rng, mu, sig)
+        if self.kl_mode == "analytic":
+            from ..infer.dists import normal_kl
+            lat = -jnp.sum(normal_kl(mu, sig), axis=-1)
+        else:
+            lat = jnp.sum(std_normal_log_prob(z) - normal_log_prob(z, mu, sig), -1)
+        coords, zc = self.transformed_grid(z)
+        zy = jnp.concatenate([zc, ys], axis=-1)
+        if coords is not None:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zy)
+        else:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, zy)
+        recon = obs_site(self.sampler_d, xf, loc.reshape(xf.shape))
+        return recon + beta * lat
+
+    def loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
+                beta: Array) -> Array:
+        """Per-example negative ELBO. Labeled batches (x, y): y observed in
+        the model (``ssivae.py:519``). Unlabeled batches (x,): exact
+        enumeration over classes (reference guide ``ssivae.py:527-544`` under
+        ``config_enumerate``)."""
+        x = batch[0]
+        B = x.shape[0]
+        K = self.num_classes
+        xf = x.reshape(B, -1)
+        ys = batch[1] if len(batch) > 1 else None
+        log_prior_y = -math.log(K)
+        if ys is not None:
+            elbo = self._branch_elbo(params, rng, xf, ys, beta) + log_prior_y
+            return -elbo
+        alpha = self.encoder_y_net.apply({"params": params["encoder_y"]}, xf)  # [B,K]
+        eye = jnp.eye(K, dtype=xf.dtype)
+        ys_k = jnp.broadcast_to(eye[:, None, :], (K, B, K))
+        xf_k = jnp.broadcast_to(xf, (K, B, xf.shape[-1]))
+        elbo_k = self._branch_elbo(params, rng, xf_k, ys_k, beta)  # [K,B]
+        log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
+        branch = elbo_k + log_prior_y - log_alpha.T  # + log p(y) - log q(y|x)
+        elbo = jnp.sum(alpha.T * branch, axis=0)
+        return -elbo
+
+    def aux_loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
+                    aux_loss_multiplier: Array) -> Array:
+        """Auxiliary supervised objective: -mult * log q(y|x) on labeled
+        data; zero otherwise (reference: ``ssivae.py:558-577``)."""
+        if len(batch) < 2:
+            return jnp.zeros(batch[0].shape[0])
+        x, ys = batch[0], batch[1]
+        xf = x.reshape(x.shape[0], -1)
+        alpha = self.encoder_y_net.apply({"params": params["encoder_y"]}, xf)
+        log_q = jnp.sum(ys * jnp.log(jnp.clip(alpha, 1e-12)), axis=-1)
+        return -aux_loss_multiplier * log_q
+
+    # ------------------------------------------------------------------
+    def set_classifier(self, cls_net) -> None:
+        """Injects a user-defined classifier module; parameters re-initialized
+        (reference: ``ssivae.py:579-583``)."""
+        self.encoder_y_net = cls_net
+        flat = int(np.prod(self.data_dim))
+        cls_vars = cls_net.init(self.next_rng(), jnp.zeros((1, flat), jnp.float32))
+        self.params["encoder_y"] = cls_vars["params"]
+        self._cls_jit = None
+
+    def classifier(self, x_new, **kwargs) -> Array:
+        """Predicted class indices (reference: ``ssivae.py:585-609``)."""
+        x = self._as_f32(x_new).reshape(len(x_new), -1)
+        if self._cls_jit is None:
+            self._cls_jit = jax.jit(
+                lambda p, xx: jnp.argmax(
+                    self.encoder_y_net.apply({"params": p["encoder_y"]}, xx), -1))
+        return self._cls_jit(self.params, x)
+
+    def encode(self, x_new, y=None, **kwargs):
+        """(z_loc, z_scale, predicted classes); classes from the classifier
+        when labels are missing (reference: ``ssivae.py:611-636``)."""
+        x = self._as_f32(x_new).reshape(len(x_new), -1)
+        if y is None:
+            y_idx = self.classifier(x_new, **kwargs)
+            y1h = jax.nn.one_hot(y_idx, self.num_classes, dtype=jnp.float32)
+        else:
+            y = self._as_f32(y)
+            y1h = to_onehot(y, self.num_classes) if y.ndim < 2 else y
+            y_idx = jnp.argmax(y1h, axis=1)
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(
+                lambda p, xx, yy: self.encoder_net.apply({"params": p["encoder_z"]}, xx, yy))
+        z_loc, z_scale = self._encode_jit(self.params, x, y1h)
+        return z_loc, z_scale, y_idx
+
+    def decode(self, z, y, **kwargs) -> Array:
+        """Decode (content latents, one-hot classes)
+        (reference: ``ssivae.py:638-649``)."""
+        z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
+        if self._decode_jit is None:
+            if self.coord > 0:
+                self._decode_jit = jax.jit(
+                    lambda p, coords, zz: self.decoder_net.apply(
+                        {"params": p["decoder"]},
+                        jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
+            else:
+                self._decode_jit = jax.jit(
+                    lambda p, coords, zz: self.decoder_net.apply(
+                        {"params": p["decoder"]}, zz))
+        coords = self.fixed_transform_grid(**kwargs)
+        loc = self._decode_jit(self.params, coords, z)
+        return loc.reshape((-1,) + self.data_dim)
+
+    def manifold2d(self, d: int, plot: bool = True, **kwargs) -> Array:
+        """Latent manifold for a class picked via ``label`` kwarg
+        (reference: ``ssivae.py:651-679``)."""
+        z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        cls = jnp.asarray(kwargs.get("label", 0))
+        if cls.ndim < 2:
+            cls = to_onehot(cls.reshape(1), self.num_classes)
+        cls = jnp.broadcast_to(cls, (z.shape[0], self.num_classes))
+        loc = self.decode(z, cls, **kwargs)
+        if plot:
+            from ..utils import viz
+            if self.ndim == 2:
+                viz.plot_img_grid(
+                    loc, d,
+                    extent=[float(grid_x.min()), float(grid_x.max()),
+                            float(grid_y.min()), float(grid_y.max())], **kwargs)
+            elif self.ndim == 1:
+                viz.plot_spect_grid(loc, d, **kwargs)
+        return loc
+
+    def manifold_traversal(self, d: int, cont_idx: int, cont_idx_fixed: int = 0,
+                           plot: bool = True, **kwargs) -> Array:
+        """Joint traversal over classes and one continuous latent
+        (reference: ``ssivae.py:681-713``)."""
+        num_samples = d ** 2
+        cont_dim = self.z_dim - self.coord
+        samples_cont, samples_disc = generate_latent_grid_traversal(
+            d, cont_dim, self.num_classes, cont_idx, cont_idx_fixed, num_samples)
+        decoded = self.decode(samples_cont, samples_disc, **kwargs)
+        if plot:
+            from ..utils import viz
+            viz.plot_grid_traversal(decoded, d, self.data_dim, self.num_classes,
+                                    **kwargs)
+        return decoded

@@ -1,0 +1,348 @@
+"""Fused coordinate-transform + spatial-decoder Pallas kernel.
+
+This fuses the reference's hot loops #2 and #3 (SURVEY.md section 3.2): the
+per-sample affine grid transform (``pyroved/utils/coord.py:47-88``) and the
+per-pixel coordinate MLP (``pyroved/nets/fc.py:155-237``) into ONE TPU
+kernel. The XLA path materializes the warped grid [B, N, 2] and every
+hidden activation [B, N, H] in HBM between matmuls; here each (batch-tile,
+pixel-tile) block stays resident in VMEM through the whole chain:
+
+  coords' = (grid @ R(phi)) * sc + dx        (folded into per-batch vectors)
+  h0 = tanh(gx * u_b + gy * v_b + w_b)        u,v,w in R^H per batch item
+  h_{l+1} = tanh(h_l @ W_l + b_l)             MXU matmuls, VMEM-resident
+  out = sigmoid(h_L @ w_out + b_out)
+
+The rotation/scale/translation never touch HBM at all: they are folded into
+per-batch H-vectors (u = sc*(cos*Wc0 + sin*Wc1), v = sc*(-sin*Wc0 + cos*Wc1),
+w = dx@Wc + bc + z@Wz), turning the 2x2 bmm of the reference into two
+VPU outer products.
+
+A custom VJP routes the backward pass through a second fused kernel that
+recomputes activations tile-by-tile (flash-attention-style rematerialization)
+and accumulates weight gradients across grid steps in VMEM.
+"""
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Tile sizes: (B_T * N_T, H) matmuls with H=128 keep the MXU saturated while
+# three [B_T, N_T, H] f32 activation buffers stay well under VMEM.
+B_T = 8
+N_T = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Reference (pure-XLA) implementation — used for correctness tests and as
+# the fallback for configurations the kernel does not support.
+# ---------------------------------------------------------------------------
+
+def spatial_decoder_reference(grid, phi, dx, sc, z, Wc, bc, Wz, hidden, wout, bout):
+    """Pure-jnp spatial decode: grid [N,D], phi/sc [B] (or None), dx [B,D],
+    z [B,L]; hidden = sequence of (W [H,H], b [H]). Returns [B, N]."""
+    D = grid.shape[-1]
+    if D == 2:
+        c = jnp.cos(phi)[:, None]
+        s = jnp.sin(phi)[:, None]
+        gx, gy = grid[:, 0], grid[:, 1]
+        cx = (gx[None] * c - gy[None] * s) * sc[:, None] + dx[:, 0:1]
+        cy = (gx[None] * s + gy[None] * c) * sc[:, None] + dx[:, 1:2]
+        coords = jnp.stack([cx, cy], -1)  # [B, N, 2]
+    else:
+        coords = grid[None] + dx[:, None, :]
+    h = jnp.tanh(coords @ Wc + bc + (z @ Wz)[:, None, :])
+    for W, b in hidden:
+        h = jnp.tanh(h @ W + b)
+    return jax.nn.sigmoid(h @ wout + bout)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(n_layers, coord_dim,
+                grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
+                wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
+                out_ref):
+    gx = grid_ref[:, 0]  # [N_T]
+    z = z_ref[:]         # [B_T, L]
+    wc = wc_ref[:]       # [D, H]
+    bc = bc_ref[:]       # [1, H]
+    w_vec = dx_ref[:] @ wc + bc + z @ wz_ref[:]  # [B_T, H]
+    if coord_dim == 2:
+        gy = grid_ref[:, 1]
+        c = jnp.cos(phi_ref[:])  # [B_T, 1]
+        s = jnp.sin(phi_ref[:])
+        sc = sc_ref[:]
+        u = sc * (c * wc[0:1, :] + s * wc[1:2, :])    # [B_T, H]
+        v = sc * (-s * wc[0:1, :] + c * wc[1:2, :])   # [B_T, H]
+        h = jnp.tanh(gx[None, :, None] * u[:, None, :]
+                     + gy[None, :, None] * v[:, None, :]
+                     + w_vec[:, None, :])
+    else:
+        u = jnp.broadcast_to(wc[0:1, :], w_vec.shape)
+        h = jnp.tanh(gx[None, :, None] * u[:, None, :] + w_vec[:, None, :])
+    bt, nt, H = h.shape
+    h = h.reshape(bt * nt, H)
+    for l in range(n_layers):
+        h = jnp.tanh(
+            jnp.dot(h, hw_ref[l], preferred_element_type=jnp.float32)
+            + hb_ref[l])
+    logit = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32)
+    logit = logit + bout_ref[0, 0]
+    out_ref[:] = jax.nn.sigmoid(logit).reshape(bt, nt)
+
+
+def _pad_rows(x: Array, rows: int) -> Array:
+    pad = rows - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
+def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
+    """Padded pallas_call wrapper. grid [N,D], phi/sc [B], dx [B,D], z [B,L];
+    hw [L_layers,H,H], hb [L_layers,H], wout [H,1], bout scalar."""
+    B, N = z.shape[0], grid.shape[0]
+    D = grid.shape[1]
+    H = Wc.shape[1]
+    n_layers = hw.shape[0]
+    Bp, Np = _round_up(B, B_T), _round_up(N, N_T)
+
+    grid_p = _pad_rows(grid, Np)
+    z_p = _pad_rows(z, Bp)
+    dx_p = _pad_rows(dx, Bp)
+    phi_p = _pad_rows(phi[:, None], Bp)
+    sc_p = _pad_rows(sc[:, None], Bp)
+    bc2 = bc[None, :]
+    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_fwd_kernel, int(n_layers), int(D))
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // B_T, Np // N_T),
+        in_specs=[
+            pl.BlockSpec((N_T, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_T, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_T, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_T, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_T, z.shape[1]), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hidden Ws
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hidden bs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
+        ],
+        out_specs=pl.BlockSpec((B_T, N_T), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout, bout2)
+    return out[:B, :N]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: recompute activations per tile, accumulate grads.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(n_layers, coord_dim,
+                grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
+                wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
+                g_ref,
+                dphi_ref, ddx_ref, dsc_ref, dz_ref,
+                dwc_ref, dbc_ref, dwz_ref, dhw_ref, dhb_ref, dwout_ref,
+                dbout_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # zero batch-grad accumulators on the first pixel tile, weight-grad
+    # accumulators on the very first grid step
+    @pl.when(j == 0)
+    def _():
+        dphi_ref[:] = jnp.zeros_like(dphi_ref)
+        ddx_ref[:] = jnp.zeros_like(ddx_ref)
+        dsc_ref[:] = jnp.zeros_like(dsc_ref)
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
+        dbc_ref[:] = jnp.zeros_like(dbc_ref)
+        dwz_ref[:] = jnp.zeros_like(dwz_ref)
+        dhw_ref[:] = jnp.zeros_like(dhw_ref)
+        dhb_ref[:] = jnp.zeros_like(dhb_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[0, 0] = 0.0
+
+    # ---- recompute forward ----
+    gx = grid_ref[:, 0]
+    z = z_ref[:]
+    wc = wc_ref[:]
+    bc = bc_ref[:]
+    w_vec = dx_ref[:] @ wc + bc + z @ wz_ref[:]
+    if coord_dim == 2:
+        gy = grid_ref[:, 1]
+        c = jnp.cos(phi_ref[:])
+        s = jnp.sin(phi_ref[:])
+        sc = sc_ref[:]
+        a0 = c * wc[0:1, :] + s * wc[1:2, :]     # [B_T,H]
+        a1 = -s * wc[0:1, :] + c * wc[1:2, :]
+        u = sc * a0
+        v = sc * a1
+        h0 = jnp.tanh(gx[None, :, None] * u[:, None, :]
+                      + gy[None, :, None] * v[:, None, :]
+                      + w_vec[:, None, :])
+    else:
+        h0 = jnp.tanh(gx[None, :, None] * wc[0][None, None, :]
+                      + w_vec[:, None, :])
+    bt, nt, H = h0.shape
+    hs = [h0.reshape(bt * nt, H)]
+    for l in range(n_layers):
+        hs.append(jnp.tanh(
+            jnp.dot(hs[-1], hw_ref[l], preferred_element_type=jnp.float32)
+            + hb_ref[l]))
+    logit = jnp.dot(hs[-1], wout_ref[:], preferred_element_type=jnp.float32)
+    out = jax.nn.sigmoid(logit + bout_ref[0, 0])
+
+    # ---- backprop ----
+    g = g_ref[:].reshape(bt * nt, 1)
+    d_logit = g * out * (1.0 - out)                        # [BN,1]
+    dwout_ref[:] += jnp.dot(hs[-1].T, d_logit, preferred_element_type=jnp.float32)
+    dbout_ref[0, 0] += jnp.sum(d_logit)
+    dh = jnp.dot(d_logit, wout_ref[:].T, preferred_element_type=jnp.float32)
+    for l in range(n_layers - 1, -1, -1):
+        d_pre = dh * (1.0 - hs[l + 1] * hs[l + 1])
+        dhw_ref[l] += jnp.dot(hs[l].T, d_pre, preferred_element_type=jnp.float32)
+        dhb_ref[l] += jnp.sum(d_pre, axis=0)
+        dh = jnp.dot(d_pre, hw_ref[l].T, preferred_element_type=jnp.float32)
+    d0 = (dh * (1.0 - hs[0] * hs[0])).reshape(bt, nt, H)   # d h0_pre
+
+    dw_vec = jnp.sum(d0, axis=1)                           # [B_T,H]
+    dz_ref[:] += jnp.dot(dw_vec, wz_ref[:].T, preferred_element_type=jnp.float32)
+    dwz_ref[:] += jnp.dot(z.T, dw_vec, preferred_element_type=jnp.float32)
+    dbc_ref[:] += jnp.sum(dw_vec, axis=0, keepdims=True)
+    ddx_ref[:] += dw_vec @ wc.T
+
+    if coord_dim == 2:
+        du = jnp.einsum("n,bnh->bh", gx, d0)
+        dv = jnp.einsum("n,bnh->bh", gy, d0)
+        dsc_ref[:] += (jnp.sum(du * a0, -1) + jnp.sum(dv * a1, -1))[:, None]
+        dphi_ref[:] += (jnp.sum(du * v, -1) - jnp.sum(dv * u, -1))[:, None]
+        # dWc rows; include the dx-translation contribution via dw_vec
+        dwc0 = (jnp.dot((sc * c).T, du, preferred_element_type=jnp.float32)
+                - jnp.dot((sc * s).T, dv, preferred_element_type=jnp.float32)
+                + jnp.dot(dx_ref[:][:, 0:1].T, dw_vec, preferred_element_type=jnp.float32))
+        dwc1 = (jnp.dot((sc * s).T, du, preferred_element_type=jnp.float32)
+                + jnp.dot((sc * c).T, dv, preferred_element_type=jnp.float32)
+                + jnp.dot(dx_ref[:][:, 1:2].T, dw_vec, preferred_element_type=jnp.float32))
+        dwc_ref[:] += jnp.concatenate([dwc0, dwc1], axis=0)
+    else:
+        du = jnp.einsum("n,bnh->bh", gx, d0)
+        dwc_ref[:] += (jnp.sum(du, axis=0, keepdims=True)
+                       + jnp.dot(dx_ref[:].T, dw_vec, preferred_element_type=jnp.float32))
+
+
+def _bwd(res, g):
+    (grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout) = res
+    B, N = z.shape[0], grid.shape[0]
+    D = grid.shape[1]
+    H = Wc.shape[1]
+    L = z.shape[1]
+    n_layers = hw.shape[0]
+    Bp, Np = _round_up(B, B_T), _round_up(N, N_T)
+
+    grid_p = _pad_rows(grid, Np)
+    z_p = _pad_rows(z, Bp)
+    dx_p = _pad_rows(dx, Bp)
+    phi_p = _pad_rows(phi[:, None], Bp)
+    sc_p = _pad_rows(sc[:, None], Bp)
+    g_p = jnp.zeros((Bp, Np), jnp.float32).at[:B, :N].set(g)
+    bc2 = bc[None, :]
+    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_bwd_kernel, int(n_layers), int(D))
+    full = lambda i, j: (0, 0)
+    full3 = lambda i, j: (0, 0, 0)
+    batch_blk = lambda w: pl.BlockSpec((B_T, w), lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // B_T, Np // N_T),
+        in_specs=[
+            pl.BlockSpec((N_T, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            batch_blk(1), batch_blk(D), batch_blk(1), batch_blk(L),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
+            pl.BlockSpec((B_T, N_T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            batch_blk(1),                       # dphi
+            batch_blk(D),                       # ddx
+            batch_blk(1),                       # dsc
+            batch_blk(L),                       # dz
+            pl.BlockSpec((D, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((int(n_layers), H, H), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((int(n_layers), H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.float32),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, H), jnp.float32),
+            jax.ShapeDtypeStruct((int(n_layers), H, H), jnp.float32),
+            jax.ShapeDtypeStruct((int(n_layers), H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout, bout2, g_p)
+    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwout, dbout) = outs
+    return (None,                      # grid
+            dphi[:B, 0], ddx[:B], dsc[:B, 0], dz[:B],
+            dwc, dbc[0], dwz, dhw, dhb, dwout, dbout.reshape(()))
+
+
+@jax.custom_vjp
+def fused_spatial_decoder(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
+    """Fused transform+decode: returns [B, N] decoded values.
+
+    Args:
+        grid: [N, D] coordinate grid (D = 1 or 2).
+        phi, sc: [B] rotation angles / scales (pass zeros/ones when unused).
+        dx: [B, D] translations (already scaled by the translation prior).
+        z: [B, L] content latents (with any conditional vector concatenated).
+        Wc [D,H], bc [H]: coord head; Wz [L,H]: latent head (no bias).
+        hw [n_layers,H,H], hb [n_layers,H]: hidden tanh layers.
+        wout [H,1], bout []: sigmoid output head.
+    """
+    return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
+
+
+def _fwd_rule(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
+    out = _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
+    return out, (grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
+
+
+fused_spatial_decoder.defvjp(_fwd_rule, _bwd)

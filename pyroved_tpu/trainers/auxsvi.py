@@ -1,0 +1,199 @@
+"""SVI trainer with auxiliary supervised objectives (semi-supervised models).
+
+TPU-native rebuild of the reference ``auxSVItrainer``
+(``pyroved/trainers/auxsvi.py:15-225``): interleaves unlabeled and labeled
+batches (one labeled step every ``p = (n_sup + n_unsup) // n_sup`` unlabeled
+iterations, ``auxsvi.py:110-128``), adds the auxiliary classification /
+regression loss on labeled data, evaluates accuracy or MSE
+(``auxsvi.py:139-159``), and supports stochastic weight averaging of a chosen
+sub-network (``auxsvi.py:191-209``).
+
+Execution model: the basic and auxiliary objectives are fused into ONE
+jit-compiled update per batch (the reference takes two separate
+``svi.step`` passes; here the two losses share a forward-adjacent gradient
+computation and a single Adam update each, compiled together). Both labeled
+and unlabeled step functions are compiled once and reused every epoch.
+"""
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.data import DataLoader
+from ..utils.nn import average_weights
+
+Array = jax.Array
+
+
+class auxSVItrainer:
+    """Trainer for ssiVAE / ss_reg_iVAE (task inferred from the model,
+    overridable via ``task=``)."""
+
+    def __init__(self, model, task: Optional[str] = None, optimizer=None,
+                 seed: int = 1, **kwargs):
+        task = task or getattr(model, "task", "classification")
+        if task not in ("classification", "regression"):
+            raise ValueError("Choose between 'classification' and 'regression' tasks")
+        self.task = task
+        self.model = model
+        lr = kwargs.get("lr", 5e-4)
+        self.optimizer = optimizer if optimizer is not None else optax.adam(lr)
+        self.opt_state = self.optimizer.init(model.params)
+        # Separate Adam state for the aux objective's (encoder_y-only) step,
+        # mirroring Pyro's per-parameter optimizers that are only advanced by
+        # traces containing those parameters (auxsvi.py:79-81).
+        self.aux_optimizer = optax.adam(lr) if optimizer is None else optimizer
+        self.aux_opt_state = self.aux_optimizer.init(model.params["encoder_y"])
+        self.rng = jax.random.PRNGKey(seed)
+        self.history = {"training_loss": [], "test": []}
+        self.current_epoch = 0
+        self.running_weights: Dict[int, dict] = {}
+        self._step_unsup = None
+        self._step_sup = None
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        loss_fn = self.model.loss_fn
+        aux_loss_fn = self.model.aux_loss_fn
+        optimizer, aux_optimizer = self.optimizer, self.aux_optimizer
+
+        def basic_update(params, opt_state, rng, batch, weights, beta):
+            def f(p):
+                return jnp.sum(loss_fn(p, rng, batch, beta) * weights)
+            loss, grads = jax.value_and_grad(f)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def unsup_step(params, opt_state, rng, x, weights, beta):
+            return basic_update(params, opt_state, rng, (x,), weights, beta)
+
+        def sup_step(params, opt_state, aux_opt_state, rng, x, y, weights,
+                     beta, aux_mult):
+            params, opt_state, loss = basic_update(
+                params, opt_state, rng, (x, y), weights, beta)
+
+            def f_aux(p_y):
+                p = dict(params)
+                p["encoder_y"] = p_y
+                return jnp.sum(aux_loss_fn(p, rng, (x, y), aux_mult) * weights)
+            aux_loss, aux_grads = jax.value_and_grad(f_aux)(params["encoder_y"])
+            aux_updates, aux_opt_state = aux_optimizer.update(
+                aux_grads, aux_opt_state, params["encoder_y"])
+            params = dict(params)
+            params["encoder_y"] = optax.apply_updates(
+                params["encoder_y"], aux_updates)
+            return params, opt_state, aux_opt_state, loss + aux_loss
+
+        self._step_unsup = jax.jit(unsup_step, donate_argnums=(0, 1))
+        self._step_sup = jax.jit(sup_step, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------------
+    def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,
+              **kwargs) -> float:
+        """One epoch over the unlabeled loader, interleaving labeled batches
+        (reference: ``auxsvi.py:102-130``; supervised losses are not added to
+        the reported epoch loss, ``auxsvi.py:126``)."""
+        if self._step_unsup is None:
+            self._build_steps()
+        beta = jnp.asarray(kwargs.get("scale_factor", 1.0), jnp.float32)
+        aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20), jnp.float32)
+
+        idx_u, w_u = loader_unsup.epoch_indices()
+        idx_s, w_s = loader_sup.epoch_indices()
+        (xu,) = loader_unsup.device_arrays
+        sup_arrays = loader_sup.device_arrays
+
+        p = (len(loader_sup) + len(loader_unsup)) // max(len(loader_sup), 1)
+        p = max(p, 1)
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        epoch_loss, unsup_count = 0.0, 0
+        sup_i = 0
+        params, opt_state = self.model.params, self.opt_state
+        for i in range(idx_u.shape[0]):
+            bidx = jnp.asarray(idx_u[i])
+            bw = jnp.asarray(w_u[i])
+            step_rng = jax.random.fold_in(epoch_rng, 2 * i)
+            params, opt_state, loss = self._step_unsup(
+                params, opt_state, step_rng, jnp.take(xu, bidx, 0), bw, beta)
+            epoch_loss += float(loss)
+            unsup_count += int(w_u[i].sum())
+            if i % p == 1:
+                j = sup_i % idx_s.shape[0]
+                sup_i += 1
+                sb = jnp.asarray(idx_s[j])
+                sw = jnp.asarray(w_s[j])
+                batch = tuple(jnp.take(a, sb, 0) for a in sup_arrays)
+                step_rng = jax.random.fold_in(epoch_rng, 2 * i + 1)
+                params, opt_state, self.aux_opt_state, _ = self._step_sup(
+                    params, opt_state, self.aux_opt_state, step_rng,
+                    batch[0], batch[1], sw, beta, aux_mult)
+        self.model.params = params
+        self.opt_state = opt_state
+        return epoch_loss / max(unsup_count, 1)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, loader_val: DataLoader) -> float:
+        """Accuracy (classification) or MSE (regression) on labeled data
+        (reference: ``auxsvi.py:132-159``)."""
+        if self.task == "classification":
+            return self.evaluate_cls(loader_val)
+        return self.evaluate_reg(loader_val)
+
+    def evaluate_cls(self, loader_val: DataLoader) -> float:
+        correct, total = 0, 0
+        for data, labels in loader_val:
+            predicted = np.asarray(self.model.classifier(data))
+            lab_idx = np.asarray(labels).argmax(1)
+            correct += int((predicted == lab_idx).sum())
+            total += data.shape[0]
+        return correct / total
+
+    def evaluate_reg(self, loader_val: DataLoader) -> float:
+        total_mse, batches = 0.0, 0
+        for data, gt in loader_val:
+            predicted = np.asarray(self.model.regressor(data))
+            total_mse += float(np.mean((predicted - np.asarray(gt)) ** 2))
+            batches += 1
+        return total_mse / max(batches, 1)
+
+    # ------------------------------------------------------------------
+    def step(self, loader_unsup: DataLoader, loader_sup: DataLoader,
+             loader_val: Optional[DataLoader] = None, **kwargs) -> None:
+        """One train epoch (+ optional eval) (reference: ``auxsvi.py:161-189``).
+
+        Keyword Args:
+            scale_factor: KL scale beta (default 1).
+            aux_loss_multiplier: weight of the auxiliary supervised loss
+                (default 20; Eq. 9 of arXiv:1406.5298).
+        """
+        self.history["training_loss"].append(
+            self.train(loader_unsup, loader_sup, **kwargs))
+        if loader_val is not None:
+            self.history["test"].append(self.evaluate(loader_val))
+        self.current_epoch += 1
+
+    # ------------------------------------------------------------------
+    def save_running_weights(self, net: str = "encoder_y") -> None:
+        """Snapshot a sub-network's parameters for SWA
+        (reference: ``auxsvi.py:191-200``)."""
+        self.running_weights[self.current_epoch] = jax.device_get(
+            self.model.params[net])
+
+    def average_weights(self, net: str = "encoder_y") -> None:
+        """Replace a sub-network's parameters with the running average
+        (reference: ``auxsvi.py:202-209``)."""
+        self.model.params[net] = jax.tree_util.tree_map(
+            jnp.asarray, average_weights(self.running_weights))
+
+    def print_statistics(self) -> None:
+        """Prints current-epoch loss and metric (reference: ``auxsvi.py:211-225``)."""
+        e = self.current_epoch
+        if len(self.history["test"]) > 0:
+            metric = "accuracy" if self.task == "classification" else "MSE"
+            print("Epoch: {} Training loss: {:.4f}, Test {}: {:.4f}".format(
+                e, self.history["training_loss"][-1], metric, self.history["test"][-1]))
+        else:
+            print("Epoch: {} Training loss: {:.4f}".format(
+                e, self.history["training_loss"][-1]))

@@ -51,12 +51,12 @@ def rotate_coordinates(coord: Array, phi: Array) -> Array:
         phi: ``[...]`` rotation angles (radians), broadcastable to the batch.
     """
     phi = jnp.asarray(phi, coord.dtype)
-    c, s = jnp.cos(phi), jnp.sin(phi)
-    # rotmat[..., i, j]; rows stacked as in the reference
-    row1 = jnp.stack([c, s], axis=-1)
-    row2 = jnp.stack([-s, c], axis=-1)
-    rotmat = jnp.stack([row1, row2], axis=-2)  # [..., 2, 2]
-    return coord @ rotmat
+    # Elementwise on the VPU in full f32 (no 2x2 matmul):
+    # coord @ [[c, s], [-s, c]]  ==  (x*c - y*s, x*s + y*c)
+    c = jnp.cos(phi)[..., None]
+    s = jnp.sin(phi)[..., None]
+    x, y = coord[..., 0], coord[..., 1]
+    return jnp.stack([x * c - y * s, x * s + y * c], axis=-1)
 
 
 def scale_coordinates(coord: Array, scale: Array) -> Array:

@@ -1,0 +1,85 @@
+"""auxSVItrainer smoke tests (mirrors reference tests/test_trainers.py
+semi-supervised and SWA checks)."""
+import numpy as np
+import pytest
+
+import jax
+
+from pyroved_tpu.models import ss_reg_iVAE, ssiVAE
+from pyroved_tpu.trainers import auxSVItrainer
+from pyroved_tpu.utils import init_ssvae_dataloaders
+
+DATA = (8, 8)
+
+
+def _data(n, rng):
+    return rng.uniform(0, 1, (n,) + DATA).astype(np.float32)
+
+
+def _cls_setup():
+    rng = np.random.default_rng(0)
+    X_unsup = _data(48, rng)
+    X_sup = _data(16, rng)
+    y_sup = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+    X_val = _data(16, rng)
+    y_val = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+    return init_ssvae_dataloaders(X_unsup, (X_sup, y_sup), (X_val, y_val),
+                                  batch_size=8)
+
+
+def test_aux_trainer_classification():
+    loaders = _cls_setup()
+    model = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"])
+    p0 = jax.device_get(model.params)
+    trainer = auxSVItrainer(model)
+    assert trainer.task == "classification"
+    for _ in range(2):
+        trainer.step(*loaders)
+    assert len(trainer.history["training_loss"]) == 2
+    assert all(np.isfinite(v) for v in trainer.history["training_loss"])
+    assert 0.0 <= trainer.history["test"][-1] <= 1.0
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(model.params)))
+    assert changed
+
+
+def test_aux_trainer_regression():
+    rng = np.random.default_rng(0)
+    X_unsup = _data(32, rng)
+    X_sup = _data(16, rng)
+    y_sup = rng.normal(size=(16, 1)).astype(np.float32)
+    X_val = _data(8, rng)
+    y_val = rng.normal(size=(8, 1)).astype(np.float32)
+    loaders = init_ssvae_dataloaders(X_unsup, (X_sup, y_sup), (X_val, y_val),
+                                     batch_size=8)
+    model = ss_reg_iVAE(DATA, latent_dim=2, reg_dim=1, invariances=["r"])
+    trainer = auxSVItrainer(model)
+    assert trainer.task == "regression"
+    trainer.step(*loaders, aux_loss_multiplier=100)
+    assert np.isfinite(trainer.history["training_loss"][0])
+    assert np.isfinite(trainer.history["test"][0])
+
+
+def test_swa_running_weights():
+    loaders = _cls_setup()
+    model = ssiVAE(DATA, latent_dim=2, num_classes=3)
+    trainer = auxSVItrainer(model)
+    for _ in range(3):
+        trainer.step(loaders[0], loaders[1])
+        trainer.save_running_weights("encoder_y")
+    final = jax.device_get(model.params["encoder_y"])
+    trainer.average_weights("encoder_y")
+    averaged = jax.device_get(model.params["encoder_y"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(final),
+                        jax.tree_util.tree_leaves(averaged)))
+    assert changed
+
+
+def test_task_validation():
+    model = ssiVAE(DATA, latent_dim=2, num_classes=3)
+    with pytest.raises(ValueError):
+        auxSVItrainer(model, task="segmentation")

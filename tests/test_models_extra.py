@@ -1,0 +1,189 @@
+"""jiVAE / ssiVAE / ss_reg_iVAE / VED structure and shape tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyroved_tpu.models import VED, jiVAE, ss_reg_iVAE, ssiVAE
+
+DATA_2D = (8, 8)
+RNG = jax.random.PRNGKey(0)
+
+
+def _imgs(n=6):
+    return jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (n,) + DATA_2D), jnp.float32)
+
+
+# ---------------- jiVAE ----------------
+
+@pytest.mark.parametrize("invariances", [None, ["r"], ["r", "t"]])
+def test_jivae_loss_finite(invariances):
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=4, invariances=invariances)
+    loss = m.loss_fn(m.params, RNG, (_imgs(),), m.prep_beta(1.0))
+    assert loss.shape == (6,)
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_jivae_prep_beta():
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3)
+    assert m.prep_beta(2.0).shape == (2,)
+    np.testing.assert_allclose(np.asarray(m.prep_beta([3.0, 1.0])), [3.0, 1.0])
+
+
+def test_jivae_encode_classes():
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=4, invariances=["r"])
+    z_loc, z_scale, cls = m.encode(_imgs(5))
+    assert z_loc.shape == (5, 3) and z_scale.shape == (5, 3)
+    assert cls.shape == (5,)
+    _, _, probs = m.encode(_imgs(5), logits=True)
+    assert probs.shape == (5, 4)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_jivae_decode_and_manifolds():
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=["r"])
+    z = np.zeros((4, 2), np.float32)
+    y = np.eye(3, dtype=np.float32)[[0, 1, 2, 0]]
+    out = m.decode(z, y)
+    assert out.shape == (4,) + DATA_2D
+    loc = m.manifold2d(3, disc_idx=1, plot=False)
+    assert loc.shape == (9,) + DATA_2D
+    trav = m.manifold_traversal(3, cont_idx=0, plot=False)
+    assert trav.shape == (9,) + DATA_2D
+
+
+def test_jivae_enumeration_matches_manual_average():
+    """E_q(k)[log p(x|z,k)] must equal the alpha-weighted per-class decode."""
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=None,
+              kl="analytic")
+    x = _imgs(4)
+    # beta=0 kills latent and discrete terms except the recon expectation
+    loss0 = np.asarray(m.loss_fn(m.params, RNG, (x,), m.prep_beta(0.0)))
+    # manual: encode, sample z with same rng path, decode each class
+    from pyroved_tpu.infer.dists import normal_sample, bernoulli_log_prob
+    xf = x.reshape(4, -1)
+    mu, sig, alpha = m.encoder_net.apply({"params": m.params["encoder_z"]}, xf)
+    z = normal_sample(RNG, mu, sig)
+    recon = np.zeros(4)
+    for k in range(3):
+        onehot = jnp.broadcast_to(jnp.eye(3)[k], (4, 3))
+        zk = jnp.concatenate([z, onehot], -1)
+        loc = m.decoder_net.apply({"params": m.params["decoder"]}, zk)
+        lp = np.asarray(jnp.sum(bernoulli_log_prob(xf, loc), -1))
+        recon += np.asarray(alpha)[:, k] * lp
+    np.testing.assert_allclose(loss0, -recon, rtol=1e-4)
+
+
+# ---------------- ssiVAE ----------------
+
+@pytest.mark.parametrize("invariances", [None, ["r"]])
+def test_ssivae_loss_unsup_and_sup(invariances):
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3, invariances=invariances)
+    x = _imgs()
+    y = jax.nn.one_hot(jnp.asarray([0, 1, 2, 0, 1, 2]), 3)
+    l_unsup = m.loss_fn(m.params, RNG, (x,), jnp.asarray(1.0))
+    l_sup = m.loss_fn(m.params, RNG, (x, y), jnp.asarray(1.0))
+    assert l_unsup.shape == (6,) and l_sup.shape == (6,)
+    assert np.isfinite(np.asarray(l_unsup)).all()
+    assert np.isfinite(np.asarray(l_sup)).all()
+
+
+def test_ssivae_aux_loss():
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3)
+    x = _imgs()
+    y = jax.nn.one_hot(jnp.asarray([0, 1, 2, 0, 1, 2]), 3)
+    aux = np.asarray(m.aux_loss_fn(m.params, RNG, (x, y), jnp.asarray(20.0)))
+    assert aux.shape == (6,)
+    assert (aux > 0).all()  # -20*log q(y|x) > 0
+    zero = np.asarray(m.aux_loss_fn(m.params, RNG, (x,), jnp.asarray(20.0)))
+    np.testing.assert_allclose(zero, 0.0)
+
+
+def test_ssivae_classifier_and_encode():
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=4, invariances=["r"])
+    pred = m.classifier(_imgs(5))
+    assert pred.shape == (5,)
+    z_loc, z_scale, y_pred = m.encode(_imgs(5))
+    assert z_loc.shape == (5, 3)
+    np.testing.assert_array_equal(np.asarray(y_pred), np.asarray(pred))
+    # with provided integer labels
+    z_loc2, _, y2 = m.encode(_imgs(5), y=np.asarray([1, 2, 3, 0, 1]))
+    np.testing.assert_array_equal(np.asarray(y2), [1, 2, 3, 0, 1])
+
+
+def test_ssivae_manifolds():
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3, invariances=["r"])
+    loc = m.manifold2d(3, plot=False, label=2)
+    assert loc.shape == (9,) + DATA_2D
+    trav = m.manifold_traversal(3, cont_idx=1, plot=False)
+    assert trav.shape == (9,) + DATA_2D
+
+
+# ---------------- ss_reg_iVAE ----------------
+
+def test_ss_reg_loss_and_aux():
+    m = ss_reg_iVAE(DATA_2D, latent_dim=2, reg_dim=1, invariances=["r"])
+    x = _imgs()
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(6, 1)), jnp.float32)
+    l_unsup = m.loss_fn(m.params, RNG, (x,), jnp.asarray(1.0))
+    l_sup = m.loss_fn(m.params, RNG, (x, y), jnp.asarray(1.0))
+    assert np.isfinite(np.asarray(l_unsup)).all()
+    assert np.isfinite(np.asarray(l_sup)).all()
+    aux = np.asarray(m.aux_loss_fn(m.params, RNG, (x, y), jnp.asarray(50.0)))
+    assert aux.shape == (6,)
+
+
+def test_ss_reg_regressor_encode_decode():
+    m = ss_reg_iVAE(DATA_2D, latent_dim=2, reg_dim=2)
+    pred = m.regressor(_imgs(5))
+    assert pred.shape == (5, 2)
+    z_loc, z_scale, y = m.encode(_imgs(5))
+    assert z_loc.shape == (5, 2) and y.shape == (5, 2)
+    out = m.decode(np.zeros((3, 2), np.float32), np.zeros((3, 2), np.float32))
+    assert out.shape == (3,) + DATA_2D
+    loc = m.manifold2d(3, y=np.zeros(2, np.float32), plot=False)
+    assert loc.shape == (9,) + DATA_2D
+
+
+def test_ss_reg_default_sigma():
+    m = ss_reg_iVAE(DATA_2D, latent_dim=2, reg_dim=1)
+    assert m.reg_sig == 0.5
+    m2 = ss_reg_iVAE(DATA_2D, latent_dim=2, reg_dim=1, regressor_sig=0.1)
+    assert m2.reg_sig == 0.1
+
+
+# ---------------- VED ----------------
+
+@pytest.mark.parametrize("in_dim,out_dim", [
+    ((16, 16), (32,)),   # im2spec
+    ((32,), (16, 16)),   # spec2im
+    ((16, 16), (16, 16)),
+    ((32,), (32,)),
+])
+def test_ved_loss_and_predict(in_dim, out_dim):
+    m = VED(in_dim, out_dim, latent_dim=2,
+            hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (4,) + in_dim).astype(np.float32)
+    y = rng.uniform(0, 1, (4,) + out_dim).astype(np.float32)
+    loss = m.loss_fn(m.params, RNG, (jnp.asarray(x), jnp.asarray(y)), jnp.asarray(1.0))
+    assert loss.shape == (4,)
+    assert np.isfinite(np.asarray(loss)).all()
+    mean, std = m.predict(x, num_samples=5)
+    assert mean.shape == (4,) + out_dim
+    assert std.shape == (4,) + out_dim
+    assert (np.asarray(std) >= 0).all()
+
+
+def test_ved_encode_decode_manifold():
+    m = VED((16, 16), (32,), latent_dim=2,
+            hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+    x = np.random.default_rng(0).uniform(0, 1, (5, 16, 16)).astype(np.float32)
+    z_loc, z_scale = m.encode(x)
+    assert z_loc.shape == (5, 2)
+    dec = m.decode(np.zeros((2, 2), np.float32))
+    assert dec.shape == (2, 32)
+    loc = m.manifold2d(2, plot=False)
+    assert loc.shape == (4, 32)

@@ -1,0 +1,149 @@
+"""iVAE structure, invariance bookkeeping, and shape round-trip tests
+(mirrors reference tests/test_models.py patterns)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyroved_tpu.models import iVAE
+
+DATA_2D = (8, 8)
+DATA_1D = (16,)
+
+
+@pytest.mark.parametrize("invariances,expected_coord", [
+    (None, 0), (["r"], 1), (["t"], 2), (["s"], 1),
+    (["r", "t"], 3), (["r", "t", "s"], 4),
+])
+def test_coord_counts_2d(invariances, expected_coord):
+    m = iVAE(DATA_2D, latent_dim=2, invariances=invariances)
+    assert m.coord == expected_coord
+    assert m.z_dim == 2 + expected_coord
+
+
+def test_1d_rejects_non_translation():
+    with pytest.raises(ValueError):
+        iVAE(DATA_1D, latent_dim=2, invariances=["r"])
+    with pytest.raises(ValueError):
+        iVAE(DATA_1D, latent_dim=2, invariances=["t", "s"])
+
+
+@pytest.mark.parametrize("invariances", [["r"], ["t"], ["s"], ["r", "t", "s"]])
+def test_split_latent_parts(invariances):
+    m = iVAE(DATA_2D, latent_dim=2, invariances=invariances)
+    z = jnp.arange(4 * m.z_dim, dtype=jnp.float32).reshape(4, m.z_dim)
+    phi, dx, sc, zc = m.split_latent(z)
+    assert zc.shape == (4, 2)
+    assert phi.shape == (4,)
+    assert dx.shape == (4, 2)
+    assert sc.shape == (4,)
+    if "r" in invariances:
+        np.testing.assert_allclose(np.asarray(phi), np.asarray(z[:, 0]))
+    if "s" in invariances:
+        assert not np.allclose(np.asarray(sc), 1.0)
+
+
+def test_split_latent_1d():
+    m = iVAE(DATA_1D, latent_dim=2, invariances=["t"])
+    z = jnp.ones((4, 3))
+    phi, dx, sc, zc = m.split_latent(z)
+    assert phi is None and sc is None
+    assert dx.shape == (4, 1) and zc.shape == (4, 2)
+
+
+@pytest.mark.parametrize("invariances", [None, ["r"], ["r", "t"], ["r", "t", "s"]])
+def test_loss_finite_2d(invariances):
+    m = iVAE(DATA_2D, latent_dim=2, invariances=invariances)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (6,) + DATA_2D), jnp.float32)
+    loss = m.loss_fn(m.params, jax.random.PRNGKey(0), (x,), jnp.asarray(1.0))
+    assert loss.shape == (6,)
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_loss_conditional():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], c_dim=3)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (6,) + DATA_2D), jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray([0, 1, 2, 0, 1, 2]), 3)
+    loss = m.loss_fn(m.params, jax.random.PRNGKey(0), (x, y), jnp.asarray(1.0))
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+@pytest.mark.parametrize("sampler", ["bernoulli", "continuous_bernoulli", "gaussian"])
+def test_sampler_dispatch_loss(sampler):
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], sampler_d=sampler)
+    assert m.sampler_d.name == sampler
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.01, 0.99, (4,) + DATA_2D), jnp.float32)
+    loss = m.loss_fn(m.params, jax.random.PRNGKey(0), (x,), jnp.asarray(1.0))
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_beta_scaling_changes_loss():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], kl="analytic")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D), jnp.float32)
+    l1 = m.loss_fn(m.params, jax.random.PRNGKey(0), (x,), jnp.asarray(1.0))
+    l2 = m.loss_fn(m.params, jax.random.PRNGKey(0), (x,), jnp.asarray(4.0))
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.parametrize("invariances", [None, ["r"], ["r", "t", "s"]])
+def test_encode_decode_roundtrip_2d(invariances):
+    m = iVAE(DATA_2D, latent_dim=2, invariances=invariances)
+    x = np.random.default_rng(0).uniform(0, 1, (10,) + DATA_2D).astype(np.float32)
+    z_loc, z_scale = m.encode(x)
+    assert z_loc.shape == (10, m.z_dim)
+    assert (np.asarray(z_scale) > 0).all()
+    dec = m.decode(np.zeros((5, 2), np.float32))
+    assert dec.shape == (5,) + DATA_2D
+
+
+def test_encode_decode_roundtrip_1d():
+    m = iVAE(DATA_1D, latent_dim=3, invariances=["t"])
+    x = np.random.default_rng(0).uniform(0, 1, (7,) + DATA_1D).astype(np.float32)
+    z_loc, z_scale = m.encode(x)
+    assert z_loc.shape == (7, 4)
+    dec = m.decode(np.zeros((3, 3), np.float32))
+    assert dec.shape == (3,) + DATA_1D
+
+
+def test_decode_fixed_angle():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    z = np.zeros((2, 2), np.float32)
+    d0 = np.asarray(m.decode(z))
+    d1 = np.asarray(m.decode(z, angle=1.0))
+    assert d0.shape == d1.shape
+    assert not np.allclose(d0, d1)
+
+
+def test_manifold2d_shapes():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    loc = m.manifold2d(3, plot=False)
+    assert loc.shape == (9,) + DATA_2D
+
+
+def test_manifold2d_conditional_requires_y():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, c_dim=4)
+    with pytest.raises(ValueError):
+        m.manifold2d(3, plot=False)
+    loc = m.manifold2d(3, y=np.eye(4, dtype=np.float32)[0], plot=False)
+    assert loc.shape == (9,) + DATA_2D
+
+
+def test_save_load_weights(tmp_path):
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D).astype(np.float32)
+    z0 = np.asarray(m.encode(x)[0])
+    path = str(tmp_path / "weights")
+    m.save_weights(path)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=99)
+    assert not np.allclose(np.asarray(m2.encode(x)[0]), z0)
+    m2.load_weights(path)
+    np.testing.assert_allclose(np.asarray(m2.encode(x)[0]), z0, rtol=1e-6)
+
+
+def test_vanilla_vae_uses_fc_decoder():
+    from pyroved_tpu.nets import fcDecoderNet, sDecoderNet
+    m0 = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    assert isinstance(m0.decoder_net, fcDecoderNet)
+    assert isinstance(m1.decoder_net, sDecoderNet)

@@ -1,0 +1,157 @@
+"""Shape and structure tests for fc and conv modules (mirrors the
+reference's tests/test_conv.py and net-level checks)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyroved_tpu.nets import (FeatureExtractor, Upsampler, UpsampleBlock,
+                              convDecoderNet, convEncoderNet, fcClassifierNet,
+                              fcDecoderNet, fcEncoderNet, fcRegressorNet,
+                              jfcEncoderNet, sDecoderNet)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _init_apply(mod, *args):
+    variables = mod.init(KEY, *args)
+    return mod.apply(variables, *args)
+
+
+# ---------------- fc ----------------
+
+@pytest.mark.parametrize("in_dim", [(8,), (8, 8), (8, 8, 2)])
+def test_fc_encoder_shapes(in_dim):
+    x = jnp.zeros((4,) + in_dim)
+    mu, sig = _init_apply(fcEncoderNet(in_dim, latent_dim=3), x)
+    assert mu.shape == (4, 3) and sig.shape == (4, 3)
+    assert (np.asarray(sig) > 0).all()  # softplus head
+
+
+def test_fc_encoder_conditional():
+    x = jnp.zeros((4, 8, 8))
+    y = jnp.zeros((4, 10))
+    mu, sig = _init_apply(fcEncoderNet((8, 8), latent_dim=2, c_dim=10), x, y)
+    assert mu.shape == (4, 2)
+
+
+def test_fc_encoder_broadcast_leading_dims():
+    # enumeration-style [K, B, D] inputs pass straight through (flat=False analog)
+    x = jnp.zeros((3, 4, 64))
+    mu, sig = _init_apply(fcEncoderNet((8, 8), latent_dim=2), x)
+    assert mu.shape == (3, 4, 2)
+
+
+def test_jfc_encoder_three_heads():
+    x = jnp.zeros((4, 64))
+    mu, sig, alpha = _init_apply(jfcEncoderNet((8, 8), latent_dim=2, discrete_dim=5), x)
+    assert alpha.shape == (4, 5)
+    np.testing.assert_allclose(np.asarray(alpha).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_fc_decoder_sigmoid_range():
+    z = jnp.zeros((4, 2))
+    out = _init_apply(fcDecoderNet((8, 8)), z)
+    assert out.shape == (4, 64)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_sdecoder_shapes_2d():
+    coords = jnp.zeros((4, 64, 2))
+    z = jnp.zeros((4, 2))
+    out = _init_apply(sDecoderNet((8, 8)), coords, z)
+    assert out.shape == (4, 64)
+
+
+def test_sdecoder_shapes_1d():
+    coords = jnp.zeros((4, 16, 1))
+    z = jnp.zeros((4, 3))
+    out = _init_apply(sDecoderNet((16,)), coords, z)
+    assert out.shape == (4, 16)
+
+
+def test_sdecoder_enumeration_broadcast():
+    coords = jnp.zeros((5, 4, 64, 2))
+    z = jnp.zeros((5, 4, 2))
+    out = _init_apply(sDecoderNet((8, 8)), coords, z)
+    assert out.shape == (5, 4, 64)
+
+
+def test_classifier_softmax():
+    x = jnp.zeros((4, 8, 8))
+    out = _init_apply(fcClassifierNet((8, 8), num_classes=7), x)
+    assert out.shape == (4, 7)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_regressor_linear_out():
+    x = jnp.zeros((4, 8, 8))
+    out = _init_apply(fcRegressorNet((8, 8), c_dim=2), x)
+    assert out.shape == (4, 2)
+
+
+def test_dense_torch_init_bounds():
+    from pyroved_tpu.nets.fc import Dense
+    d = Dense(16)
+    v = d.init(KEY, jnp.zeros((1, 64)))
+    k = np.asarray(v["params"]["kernel"])
+    bound = 1.0 / np.sqrt(64)
+    assert (np.abs(k) <= bound).all()
+    assert k.std() > bound / 4  # actually spread out, not zeros
+
+
+# ---------------- conv ----------------
+
+@pytest.mark.parametrize("ndim", [1, 2, 3])
+def test_feature_extractor_pooling(ndim):
+    spatial = (16,) * ndim
+    x = jnp.zeros((2,) + spatial + (1,))
+    fe = FeatureExtractor(ndim, ((4,), (8,)), pool_last=False)
+    out = _init_apply(fe, x)
+    # one pool between the two blocks -> spatial halved once
+    assert out.shape == (2,) + tuple(s // 2 for s in spatial) + (8,)
+
+
+def test_feature_extractor_pool_last():
+    x = jnp.zeros((2, 16, 16, 1))
+    out = _init_apply(FeatureExtractor(2, ((4,), (8,)), pool_last=True), x)
+    assert out.shape == (2, 4, 4, 8)
+
+
+@pytest.mark.parametrize("ndim,mode", [(1, "bilinear"), (2, "bilinear"), (3, "nearest")])
+def test_upsample_block_doubles(ndim, mode):
+    spatial = (8,) * ndim
+    x = jnp.zeros((2,) + spatial + (4,))
+    out = _init_apply(UpsampleBlock(ndim, 2, mode=mode), x)
+    assert out.shape == (2,) + tuple(2 * s for s in spatial) + (2,)
+
+
+def test_upsampler_output_channels():
+    x = jnp.zeros((2, 4, 4, 8))
+    out = _init_apply(Upsampler(2, ((8,), (4,)), output_channels=3), x)
+    assert out.shape == (2, 16, 16, 3)
+
+
+@pytest.mark.parametrize("in_dim", [(16,), (16, 16)])
+def test_conv_encoder_shapes(in_dim):
+    x = jnp.zeros((2,) + in_dim + (1,))
+    mu, sig = _init_apply(convEncoderNet(in_dim, latent_dim=3), x)
+    assert mu.shape == (2, 3) and sig.shape == (2, 3)
+    assert (np.asarray(sig) > 0).all()
+
+
+@pytest.mark.parametrize("out_dim", [(16,), (16, 16)])
+def test_conv_decoder_shapes(out_dim):
+    z = jnp.zeros((2, 3))
+    dec = convDecoderNet(out_dim, latent_dim=3, hidden_dim=((8, 8), (4,)))
+    out = _init_apply(dec, z)
+    assert out.shape == (2,) + out_dim + (1,)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_conv_encoder_batchnorm_variables():
+    x = jnp.zeros((2, 16, 16, 1))
+    enc = convEncoderNet((16, 16), latent_dim=2, batchnorm=True)
+    variables = enc.init(KEY, x)
+    assert "batch_stats" in variables

@@ -1,0 +1,94 @@
+"""Trainer smoke tests (mirrors reference tests/test_trainers.py: short
+training on random data; loss finite and decreasing-ish; weights change)."""
+import numpy as np
+import pytest
+
+import jax
+
+from pyroved_tpu.models import iVAE
+from pyroved_tpu.trainers import SVItrainer
+from pyroved_tpu.utils import init_dataloader
+
+DATA_2D = (8, 8)
+
+
+def _rand_imgs(n=64):
+    return np.random.default_rng(0).uniform(0, 1, (n,) + DATA_2D).astype(np.float32)
+
+
+def _params_changed(p0, p1):
+    flat0 = jax.tree_util.tree_leaves(p0)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    return any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(flat0, flat1))
+
+
+@pytest.mark.parametrize("invariances", [None, ["r"]])
+def test_trainer_two_epochs(invariances):
+    model = iVAE(DATA_2D, latent_dim=2, invariances=invariances)
+    p0 = jax.device_get(model.params)
+    loader = init_dataloader(_rand_imgs(), batch_size=16)
+    trainer = SVItrainer(model)
+    for _ in range(2):
+        trainer.step(loader)
+    assert len(trainer.loss_history["training_loss"]) == 2
+    assert all(np.isfinite(v) for v in trainer.loss_history["training_loss"])
+    assert _params_changed(p0, model.params)
+
+
+def test_trainer_with_test_loader_and_eval_does_not_update():
+    model = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    loader = init_dataloader(_rand_imgs(48), batch_size=16)
+    test_loader = init_dataloader(_rand_imgs(32), batch_size=16)
+    trainer = SVItrainer(model)
+    trainer.step(loader, test_loader)
+    p_after = jax.device_get(model.params)
+    trainer.evaluate(test_loader)
+    assert not _params_changed(p_after, model.params)
+    assert len(trainer.loss_history["test_loss"]) == 1
+
+
+def test_trainer_conditional_batches():
+    model = iVAE(DATA_2D, latent_dim=2, invariances=["r"], c_dim=3)
+    y = np.eye(3, dtype=np.float32)[np.random.default_rng(0).integers(0, 3, 64)]
+    loader = init_dataloader(_rand_imgs(), y, batch_size=16)
+    trainer = SVItrainer(model)
+    trainer.step(loader)
+    assert np.isfinite(trainer.loss_history["training_loss"][0])
+
+
+def test_partial_batch_padding_matches_dataset_size():
+    # 50 examples, batch 16 -> padded 4th batch must not distort the loss scale
+    model = iVAE(DATA_2D, latent_dim=2, invariances=None, kl="analytic")
+    x = _rand_imgs(50)
+    loader = init_dataloader(x, batch_size=16)
+    trainer = SVItrainer(model)
+    loss = trainer.train(loader)
+    assert np.isfinite(loss)
+    # the same data with a divisor batch size gives a loss in the same range
+    model2 = iVAE(DATA_2D, latent_dim=2, invariances=None, kl="analytic")
+    loader2 = init_dataloader(x, batch_size=10)
+    trainer2 = SVItrainer(model2)
+    loss2 = trainer2.train(loader2)
+    assert abs(loss - loss2) / abs(loss) < 0.2
+
+
+def test_scale_factor_kwarg():
+    model = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    loader = init_dataloader(_rand_imgs(32), batch_size=16)
+    trainer = SVItrainer(model)
+    trainer.step(loader, scale_factor=3.0)
+    assert np.isfinite(trainer.loss_history["training_loss"][0])
+
+
+def test_loss_decreases_on_structured_data():
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 1, 16)
+    shifts = rng.uniform(-0.2, 0.2, 128)
+    X = np.exp(-((t[None] - 0.5 - shifts[:, None]) ** 2) / 0.01).astype(np.float32)
+    model = iVAE((16,), latent_dim=2, invariances=["t"], dx_prior=0.3)
+    loader = init_dataloader(X, batch_size=32)
+    trainer = SVItrainer(model)
+    for _ in range(15):
+        trainer.step(loader)
+    hist = trainer.loss_history["training_loss"]
+    assert hist[-1] < hist[0]
