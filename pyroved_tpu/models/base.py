@@ -107,6 +107,23 @@ class baseVAE:
             z = z[..., 1:]
         return phi, dx, sc, z
 
+    def split_latent_full(self, z: Array) -> Tuple[Array, Array, Array, Array]:
+        """Like :meth:`split_latent` but with concrete identity defaults
+        (phi=0, sc=1) and the translation prior already applied — the exact
+        per-sample transform parameters consumed by the decoder kernels.
+        Returns (phi [..], dx [.., D], sc [..], z_content)."""
+        phi, dx, sc, z = self.split_latent(z)
+        batch_shape = z.shape[:-1]
+        if self.ndim == 2 and "t" in (self.invariances or []):
+            dx = dx * self.t_prior
+        if self.ndim == 1:
+            dx = dx * self.t_prior
+        if phi is None:
+            phi = jnp.zeros(batch_shape, z.dtype)
+        if sc is None:
+            sc = jnp.ones(batch_shape, z.dtype)
+        return phi, dx, sc, z
+
     def transformed_grid(self, z: Array) -> Tuple[Optional[Array], Array]:
         """Apply the latent-derived affine transform to the coordinate grid.
 
@@ -116,11 +133,7 @@ class baseVAE:
         """
         if self.coord == 0:
             return None, z
-        phi, dx, sc, z = self.split_latent(z)
-        if self.ndim == 2 and "t" in (self.invariances or []):
-            dx = dx * self.t_prior
-        if self.ndim == 1:
-            dx = dx * self.t_prior
+        phi, dx, sc, z = self.split_latent_full(z)
         dx = dx[..., None, :]  # add the grid-point axis: [..., 1, D]
         grid = jnp.broadcast_to(self.grid, z.shape[:-1] + self.grid.shape)
         coords = transform_coordinates(grid, phi, dx, sc)

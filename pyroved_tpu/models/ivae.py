@@ -76,6 +76,13 @@ class iVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
+        # Fused Pallas transform+decode kernel on the training hot path
+        # (auto-enabled on TPU for supported configs; kwargs fused=False
+        # forces the pure-XLA path).
+        from ..ops.spatial_decoder import sdecoder_supports_fusion
+        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
+            hidden_dim_d, activation, sigmoid_d, self.coord)
+
         self._init_params()
         self._encode_jit = None
         self._decode_jit = None
@@ -110,13 +117,20 @@ class iVAE(baseVAE):
         xf = x.reshape(x.shape[0], -1)
         mu, sig = self.encoder_net.apply({"params": params["encoder_z"]}, xf, y)
         z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
-        coords, zc = self.transformed_grid(z)
-        if y is not None:
-            zc = jnp.concatenate([zc, y], axis=-1)
-        if coords is not None:
-            loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
+        if self.coord > 0 and self._fused:
+            from ..ops.spatial_decoder import apply_fused_sdecoder
+            phi, dx, sc, zc = self.split_latent_full(z)
+            if y is not None:
+                zc = jnp.concatenate([zc, y], axis=-1)
+            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx, sc, zc)
         else:
-            loc = self.decoder_net.apply({"params": params["decoder"]}, zc)
+            coords, zc = self.transformed_grid(z)
+            if y is not None:
+                zc = jnp.concatenate([zc, y], axis=-1)
+            if coords is not None:
+                loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
+            else:
+                loc = self.decoder_net.apply({"params": params["decoder"]}, zc)
         recon = obs_site(self.sampler_d, xf, loc.reshape(x.shape[0], -1))
         return -(recon + latent_term)
 

@@ -98,9 +98,11 @@ def _fwd_kernel(n_layers, coord_dim,
         h = jnp.tanh(
             jnp.dot(h, hw_ref[l], preferred_element_type=jnp.float32)
             + hb_ref[l])
-    logit = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32)
-    logit = logit + bout_ref[0, 0]
-    out_ref[:] = jax.nn.sigmoid(logit).reshape(bt, nt)
+    # output head as a VPU lane-reduce (wout passed transposed, [1, H]);
+    # a (BN, H) @ (H, 1) matmul would waste the MXU and trip Mosaic's
+    # lane<->sublane reshape restrictions
+    logit = jnp.sum(h.reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt, nt]
+    out_ref[:] = jax.nn.sigmoid(logit + bout_ref[0, 0])
 
 
 def _pad_rows(x: Array, rows: int) -> Array:
@@ -142,13 +144,13 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hidden Ws
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hidden bs
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [1, H])
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
         ],
         out_specs=pl.BlockSpec((B_T, N_T), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
-    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout, bout2)
+    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2)
     return out[:B, :N]
 
 
@@ -204,7 +206,7 @@ def _bwd_kernel(n_layers, coord_dim,
                       + gy[None, :, None] * v[:, None, :]
                       + w_vec[:, None, :])
     else:
-        h0 = jnp.tanh(gx[None, :, None] * wc[0][None, None, :]
+        h0 = jnp.tanh(gx[None, :, None] * wc[0:1, :][None]
                       + w_vec[:, None, :])
     bt, nt, H = h0.shape
     hs = [h0.reshape(bt * nt, H)]
@@ -212,15 +214,16 @@ def _bwd_kernel(n_layers, coord_dim,
         hs.append(jnp.tanh(
             jnp.dot(hs[-1], hw_ref[l], preferred_element_type=jnp.float32)
             + hb_ref[l]))
-    logit = jnp.dot(hs[-1], wout_ref[:], preferred_element_type=jnp.float32)
+    h_last3 = hs[-1].reshape(bt, nt, H)
+    logit = jnp.sum(h_last3 * wout_ref[:], axis=-1)        # [bt, nt]
     out = jax.nn.sigmoid(logit + bout_ref[0, 0])
 
-    # ---- backprop ----
-    g = g_ref[:].reshape(bt * nt, 1)
-    d_logit = g * out * (1.0 - out)                        # [BN,1]
-    dwout_ref[:] += jnp.dot(hs[-1].T, d_logit, preferred_element_type=jnp.float32)
-    dbout_ref[0, 0] += jnp.sum(d_logit)
-    dh = jnp.dot(d_logit, wout_ref[:].T, preferred_element_type=jnp.float32)
+    # ---- backprop (lane/sublane-safe: no trailing-1 matmuls or casts) ----
+    dl2 = g_ref[:] * out * (1.0 - out)                     # [bt, nt]
+    dbout_ref[0, 0] += jnp.sum(dl2)
+    dwout_ref[:] += jnp.sum(
+        jnp.sum(h_last3 * dl2[..., None], axis=1), axis=0, keepdims=True)
+    dh = (dl2[..., None] * wout_ref[:]).reshape(bt * nt, H)
     for l in range(n_layers - 1, -1, -1):
         d_pre = dh * (1.0 - hs[l + 1] * hs[l + 1])
         dhw_ref[l] += jnp.dot(hs[l].T, d_pre, preferred_element_type=jnp.float32)
@@ -235,10 +238,14 @@ def _bwd_kernel(n_layers, coord_dim,
     ddx_ref[:] += dw_vec @ wc.T
 
     if coord_dim == 2:
-        du = jnp.einsum("n,bnh->bh", gx, d0)
-        dv = jnp.einsum("n,bnh->bh", gy, d0)
-        dsc_ref[:] += (jnp.sum(du * a0, -1) + jnp.sum(dv * a1, -1))[:, None]
-        dphi_ref[:] += (jnp.sum(du * v, -1) - jnp.sum(dv * u, -1))[:, None]
+        # sum_n gx[n] * d0[b,n,:] — elementwise+reduce on the VPU (Mosaic
+        # cannot lower a 3-D-lhs dot_general)
+        du = jnp.sum(gx[None, :, None] * d0, axis=1)
+        dv = jnp.sum(gy[None, :, None] * d0, axis=1)
+        dsc_ref[:] += (jnp.sum(du * a0, -1, keepdims=True)
+                       + jnp.sum(dv * a1, -1, keepdims=True))
+        dphi_ref[:] += (jnp.sum(du * v, -1, keepdims=True)
+                        - jnp.sum(dv * u, -1, keepdims=True))
         # dWc rows; include the dx-translation contribution via dw_vec
         dwc0 = (jnp.dot((sc * c).T, du, preferred_element_type=jnp.float32)
                 - jnp.dot((sc * s).T, dv, preferred_element_type=jnp.float32)
@@ -248,7 +255,7 @@ def _bwd_kernel(n_layers, coord_dim,
                 + jnp.dot(dx_ref[:][:, 1:2].T, dw_vec, preferred_element_type=jnp.float32))
         dwc_ref[:] += jnp.concatenate([dwc0, dwc1], axis=0)
     else:
-        du = jnp.einsum("n,bnh->bh", gx, d0)
+        du = jnp.sum(gx[None, :, None] * d0, axis=1)
         dwc_ref[:] += (jnp.sum(du, axis=0, keepdims=True)
                        + jnp.dot(dx_ref[:].T, dw_vec, preferred_element_type=jnp.float32))
 
@@ -287,7 +294,7 @@ def _bwd(res, g):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hb
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [1, H])
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
             pl.BlockSpec((B_T, N_T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
@@ -301,7 +308,7 @@ def _bwd(res, g):
             pl.BlockSpec((L, H), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H, H), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),  # dwout^T
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -314,14 +321,14 @@ def _bwd(res, g):
             jax.ShapeDtypeStruct((L, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout, bout2, g_p)
-    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwout, dbout) = outs
+    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2, g_p)
+    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwoutT, dbout) = outs
     return (None,                      # grid
             dphi[:B, 0], ddx[:B], dsc[:B, 0], dz[:B],
-            dwc, dbc[0], dwz, dhw, dhb, dwout, dbout.reshape(()))
+            dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
 
 
 @jax.custom_vjp
@@ -346,3 +353,47 @@ def _fwd_rule(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
 
 
 fused_spatial_decoder.defvjp(_fwd_rule, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Model integration helpers
+# ---------------------------------------------------------------------------
+
+def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
+                             coord: int) -> bool:
+    """True when an sDecoderNet config maps onto the fused kernel:
+    tanh + sigmoid head, equal hidden widths that are lane-aligned (x128),
+    and an active coordinate transform."""
+    hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
+    return (0 < coord < 5
+            and activation == "tanh"
+            and sigmoid_out
+            and len(set(hidden)) == 1
+            and hidden[0] % 128 == 0
+            and jax.devices()[0].platform == "tpu")
+
+
+def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z):
+    """Run the fused kernel from an sDecoderNet parameter pytree
+    (names: fc_coord, fc_latent, MLP_0/Dense_i, out). Leading batch dims of
+    phi/dx/sc/z may be multi-dimensional (e.g. [K, B] under enumeration) —
+    they are flattened for the kernel and restored on the output."""
+    mlp = dec_params["MLP_0"]
+    n_layers = len(mlp)
+    hw = jnp.stack([mlp[f"Dense_{i}"]["kernel"] for i in range(n_layers)])
+    hb = jnp.stack([mlp[f"Dense_{i}"]["bias"] for i in range(n_layers)])
+    batch_shape = z.shape[:-1]
+    out = fused_spatial_decoder(
+        grid,
+        phi.reshape(-1),
+        dx.reshape(-1, dx.shape[-1]),
+        sc.reshape(-1),
+        z.reshape(-1, z.shape[-1]),
+        dec_params["fc_coord"]["kernel"],
+        dec_params["fc_coord"]["bias"],
+        dec_params["fc_latent"]["kernel"],
+        hw, hb,
+        dec_params["out"]["kernel"],
+        dec_params["out"]["bias"].reshape(()),
+    )
+    return out.reshape(batch_shape + (grid.shape[0],))

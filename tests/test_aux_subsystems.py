@@ -1,0 +1,104 @@
+"""Checkpointing, GP surrogate, weight averaging, data pipeline."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyroved_tpu.models import iVAE
+from pyroved_tpu.trainers import SVItrainer
+from pyroved_tpu.utils import DataLoader, init_dataloader
+from pyroved_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from pyroved_tpu.utils.gp import GPRegression, gp_model
+
+DATA = (8, 8)
+
+
+def _imgs(n=32):
+    return np.random.default_rng(0).uniform(0, 1, (n,) + DATA).astype(np.float32)
+
+
+def test_checkpoint_roundtrip_resumes_exactly(tmp_path):
+    x = _imgs(48)
+    loader = init_dataloader(x, batch_size=16, seed=3)
+
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model, seed=7)
+    trainer.step(loader)
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(path, model, trainer)
+    # continue training from the checkpoint in two universes
+    loader_a = init_dataloader(x, batch_size=16, seed=99)
+    trainer.step(loader_a)
+    loss_a = trainer.loss_history["training_loss"][-1]
+
+    model_b = iVAE(DATA, latent_dim=2, invariances=["r"], seed=123)
+    trainer_b = SVItrainer(model_b, seed=55)
+    load_checkpoint(path, model_b, trainer_b)
+    assert trainer_b.current_epoch == 1
+    loader_b = init_dataloader(x, batch_size=16, seed=99)
+    trainer_b.step(loader_b)
+    loss_b = trainer_b.loss_history["training_loss"][-1]
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+
+
+def test_gp_regression_fits_smooth_function():
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, (64, 2)).astype(np.float32)
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1]
+    gpr = GPRegression(X, y)
+    l0 = gpr.fit(iterations=1)
+    l1 = gpr.fit(iterations=50)
+    assert l1 < l0  # marginal likelihood actually improves with iterations
+    mean, var = gpr.predict(X[:10])
+    assert mean.shape == (10,) and var.shape == (10,)
+    assert (np.asarray(var) >= 0).all()
+    # interpolation should be close at training points
+    assert float(np.abs(np.asarray(mean) - y[:10]).mean()) < 0.3
+
+
+def test_gp_model_api():
+    X = np.random.default_rng(1).normal(size=(20, 2)).astype(np.float32)
+    y = X[:, 0].astype(np.float32)
+    gpr = gp_model(input_dim=2, encoded_X=X, y=y, gp_iterations=3)
+    mean, var = gpr.predict(np.zeros((4, 2), np.float32))
+    assert mean.shape == (4,)
+
+
+def test_predict_on_latent():
+    model = iVAE(DATA, latent_dim=2, invariances=None)
+    x = _imgs(16)
+    labels = np.random.default_rng(0).normal(size=16).astype(np.float32)
+    (z, z_dec), preds = model.predict_on_latent(x, labels, gp_iterations=2, d=4)
+    assert np.asarray(z).shape == (16, 2)
+    assert z_dec.shape == (16,) + DATA
+    assert np.asarray(preds).shape == (16,)
+
+
+def test_dataloader_epoch_indices_cover_dataset():
+    dl = DataLoader(np.arange(50, dtype=np.float32)[:, None], batch_size=16, seed=0)
+    idx, w = dl.epoch_indices(epoch=0)
+    assert idx.shape == (4, 16) and w.shape == (4, 16)
+    real = idx.ravel()[w.ravel() > 0]
+    assert sorted(real.tolist()) == list(range(50))
+    # different epochs shuffle differently, same epoch is reproducible
+    idx1, _ = dl.epoch_indices(epoch=1)
+    idx0b, _ = dl.epoch_indices(epoch=0)
+    assert not np.array_equal(idx, idx1)
+    np.testing.assert_array_equal(idx, idx0b)
+
+
+def test_dataloader_iteration_matches_len():
+    dl = DataLoader(np.zeros((50, 3), np.float32), batch_size=16)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 4
+    assert batches[-1][0].shape[0] == 2  # short final batch, not dropped
+
+
+def test_average_weights_pytree():
+    from pyroved_tpu.utils import average_weights
+    e = {0: {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}},
+         1: {"a": 3 * jnp.ones(3), "b": {"c": jnp.ones(2)}}}
+    avg = average_weights(e)
+    np.testing.assert_allclose(np.asarray(avg["a"]), 2.0)
+    np.testing.assert_allclose(np.asarray(avg["b"]["c"]), 0.5)
