@@ -1,0 +1,107 @@
+"""ctypes loader for the C++ host-pipeline library (native/pvt_native.cpp).
+
+Compiles the shared library on first use (cached next to the source) and
+falls back to numpy implementations when no C++ toolchain is available, so
+the framework never hard-depends on the native path.
+"""
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "native", "pvt_native.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libpvt_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB, _SRC, "-lpthread"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on demand; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) and os.path.exists(_SRC):
+            if not _build():
+                return None
+        if not os.path.exists(_LIB):
+            return None
+        lib = ctypes.CDLL(_LIB)
+        lib.pvt_shuffle_indices.argtypes = [
+            ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.pvt_gather_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
+        lib.pvt_u8_to_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def shuffle_indices(n: int, seed: int, epoch: int) -> np.ndarray:
+    """Deterministic permutation of [0, n) keyed by (seed, epoch);
+    C++ Fisher-Yates when available, numpy otherwise."""
+    lib = get_lib()
+    if lib is None:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        return rng.permutation(n).astype(np.int32)
+    out = np.empty(n, np.int32)
+    lib.pvt_shuffle_indices(
+        n, seed, epoch, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray,
+                num_threads: int = 0) -> np.ndarray:
+    """dst[i] = src[idx[i]] over leading rows. The C++ fast path handles
+    float32; other dtypes fall back to numpy fancy indexing."""
+    lib = get_lib()
+    idx = np.ascontiguousarray(idx, np.int32)
+    if lib is None or src.dtype != np.float32:
+        return src[idx]
+    src = np.ascontiguousarray(src)
+    row_elems = int(np.prod(src.shape[1:])) if src.ndim > 1 else 1
+    dst = np.empty((idx.shape[0],) + src.shape[1:], np.float32)
+    nt = num_threads or min(8, os.cpu_count() or 1)
+    lib.pvt_gather_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.shape[0], row_elems,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nt)
+    return dst
+
+
+def u8_to_f32(src: np.ndarray, scale: float = 1.0 / 255.0,
+              num_threads: int = 0) -> np.ndarray:
+    """uint8 -> float32 normalization."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src, np.uint8)
+    if lib is None:
+        return src.astype(np.float32) * scale
+    dst = np.empty(src.shape, np.float32)
+    nt = num_threads or min(8, os.cpu_count() or 1)
+    lib.pvt_u8_to_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.size, scale,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nt)
+    return dst

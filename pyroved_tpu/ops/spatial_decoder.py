@@ -214,34 +214,45 @@ def _bwd_kernel(n_layers, coord_dim,
         hs.append(jnp.tanh(
             jnp.dot(hs[-1], hw_ref[l], preferred_element_type=jnp.float32)
             + hb_ref[l]))
-    h_last3 = hs[-1].reshape(bt, nt, H)
-    logit = jnp.sum(h_last3 * wout_ref[:], axis=-1)        # [bt, nt]
+    logit = jnp.sum(hs[-1].reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt,nt]
     out = jax.nn.sigmoid(logit + bout_ref[0, 0])
 
-    # ---- backprop (lane/sublane-safe: no trailing-1 matmuls or casts) ----
+    # ---- backprop. Mosaic restriction notes: no lane<->sublane reshapes,
+    # no 3-D dots, and no axis-1 reductions of 3-D vectors — everything
+    # below stays in 2-D [BN, H] space with full-sublane (axis-0) reduces,
+    # using static per-batch row slices where a per-b reduction is needed.
     dl2 = g_ref[:] * out * (1.0 - out)                     # [bt, nt]
     dbout_ref[0, 0] += jnp.sum(dl2)
-    dwout_ref[:] += jnp.sum(
-        jnp.sum(h_last3 * dl2[..., None], axis=1), axis=0, keepdims=True)
-    dh = (dl2[..., None] * wout_ref[:]).reshape(bt * nt, H)
+    dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
+    dwout_ref[:] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
+    dh = dl_bn * wout_ref[:]
     for l in range(n_layers - 1, -1, -1):
         d_pre = dh * (1.0 - hs[l + 1] * hs[l + 1])
         dhw_ref[l] += jnp.dot(hs[l].T, d_pre, preferred_element_type=jnp.float32)
         dhb_ref[l] += jnp.sum(d_pre, axis=0)
         dh = jnp.dot(d_pre, hw_ref[l].T, preferred_element_type=jnp.float32)
-    d0 = (dh * (1.0 - hs[0] * hs[0])).reshape(bt, nt, H)   # d h0_pre
+    d0 = dh * (1.0 - hs[0] * hs[0])                        # [BN, H]
 
-    dw_vec = jnp.sum(d0, axis=1)                           # [B_T,H]
+    # per-batch reductions over the pixel axis via static row slices
+    gxc = grid_ref[:, 0:1]                                 # [nt, 1]
+    dw_rows, du_rows, dv_rows = [], [], []
+    for b in range(bt):
+        sl = d0[b * nt:(b + 1) * nt, :]                    # [nt, H]
+        dw_rows.append(jnp.sum(sl, axis=0, keepdims=True))
+        du_rows.append(jnp.sum(gxc * sl, axis=0, keepdims=True))
+        if coord_dim == 2:
+            gyc = grid_ref[:, 1:2]
+            dv_rows.append(jnp.sum(gyc * sl, axis=0, keepdims=True))
+    dw_vec = jnp.concatenate(dw_rows, axis=0)              # [bt, H]
+    du = jnp.concatenate(du_rows, axis=0)
+
     dz_ref[:] += jnp.dot(dw_vec, wz_ref[:].T, preferred_element_type=jnp.float32)
     dwz_ref[:] += jnp.dot(z.T, dw_vec, preferred_element_type=jnp.float32)
     dbc_ref[:] += jnp.sum(dw_vec, axis=0, keepdims=True)
     ddx_ref[:] += dw_vec @ wc.T
 
     if coord_dim == 2:
-        # sum_n gx[n] * d0[b,n,:] — elementwise+reduce on the VPU (Mosaic
-        # cannot lower a 3-D-lhs dot_general)
-        du = jnp.sum(gx[None, :, None] * d0, axis=1)
-        dv = jnp.sum(gy[None, :, None] * d0, axis=1)
+        dv = jnp.concatenate(dv_rows, axis=0)
         dsc_ref[:] += (jnp.sum(du * a0, -1, keepdims=True)
                        + jnp.sum(dv * a1, -1, keepdims=True))
         dphi_ref[:] += (jnp.sum(du * v, -1, keepdims=True)
@@ -255,7 +266,6 @@ def _bwd_kernel(n_layers, coord_dim,
                 + jnp.dot(dx_ref[:][:, 1:2].T, dw_vec, preferred_element_type=jnp.float32))
         dwc_ref[:] += jnp.concatenate([dwc0, dwc1], axis=0)
     else:
-        du = jnp.sum(gx[None, :, None] * d0, axis=1)
         dwc_ref[:] += (jnp.sum(du, axis=0, keepdims=True)
                        + jnp.dot(dx_ref[:].T, dw_vec, preferred_element_type=jnp.float32))
 

@@ -120,8 +120,48 @@ class SVItrainer:
             _, losses = jax.lax.scan(body, None, (idx, w, steps))
             return jnp.sum(losses)
 
+        def train_step(params, opt_state, rng, batch, weights, beta):
+            loss, grads = jax.value_and_grad(batch_loss)(
+                params, rng, self._constrain(batch), self._constrain(weights), beta)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
         self._train_epoch_jit = jax.jit(train_epoch, donate_argnums=(0, 1))
         self._eval_epoch_jit = jax.jit(eval_epoch)
+        self._train_step_jit = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step_jit = jax.jit(batch_loss)
+
+    @staticmethod
+    def _pad_batch(batch, batch_size):
+        """Pad a short final batch to the full batch size with zero weights."""
+        n = batch[0].shape[0]
+        weights = jnp.ones(batch_size, jnp.float32)
+        if n == batch_size:
+            return batch, weights
+        weights = weights.at[n:].set(0.0)
+        batch = tuple(
+            jnp.concatenate([b, jnp.zeros((batch_size - n,) + b.shape[1:], b.dtype)])
+            for b in batch)
+        return batch, weights
+
+    def _train_streaming(self, loader, beta) -> float:
+        """Per-batch jitted updates for host-resident loaders or generic
+        iterables (uploads one batch per step)."""
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        params, opt_state = self.model.params, self.opt_state
+        total, count, bs = 0.0, 0, None
+        for i, batch in enumerate(loader):
+            batch = tuple(jnp.asarray(b) for b in batch)
+            bs = bs or batch[0].shape[0]
+            count += batch[0].shape[0]
+            batch, weights = self._pad_batch(batch, bs)
+            step_rng = jax.random.fold_in(epoch_rng, i)
+            params, opt_state, loss = self._train_step_jit(
+                params, opt_state, step_rng, batch, weights, beta)
+            total += float(loss)
+        self.model.params = params
+        self.opt_state = opt_state
+        return total / max(count, 1)
 
     # ------------------------------------------------------------------
     def train(self, train_loader: DataLoader, **kwargs) -> float:
@@ -130,6 +170,8 @@ class SVItrainer:
         beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
         if self._train_epoch_jit is None:
             self._build_epoch_fns()
+        if not (isinstance(train_loader, DataLoader) and train_loader.device_resident):
+            return self._train_streaming(train_loader, beta)
         idx, w = train_loader.epoch_indices()
         self.rng, epoch_rng = jax.random.split(self.rng)
         params, self.opt_state, total = self._train_epoch_jit(
@@ -144,6 +186,18 @@ class SVItrainer:
         beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
         if self._eval_epoch_jit is None:
             self._build_epoch_fns()
+        if not (isinstance(test_loader, DataLoader) and test_loader.device_resident):
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            total, count, bs = 0.0, 0, None
+            for i, batch in enumerate(test_loader):
+                batch = tuple(jnp.asarray(b) for b in batch)
+                bs = bs or batch[0].shape[0]
+                count += batch[0].shape[0]
+                batch, weights = self._pad_batch(batch, bs)
+                total += float(self._eval_step_jit(
+                    self.model.params, jax.random.fold_in(epoch_rng, i),
+                    batch, weights, beta))
+            return total / max(count, 1)
         idx, w = test_loader.epoch_indices()
         self.rng, epoch_rng = jax.random.split(self.rng)
         total = self._eval_epoch_jit(

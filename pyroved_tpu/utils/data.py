@@ -23,15 +23,19 @@ from .nn import as_numpy
 
 
 class DataLoader:
-    """Device-resident mini-batch loader.
+    """Mini-batch loader, device-resident by default.
 
     Iterating yields tuples of jnp arrays (the final batch may be short,
-    matching torch's default drop_last=False). Trainers should prefer the
-    padded fast path: ``device_arrays`` + ``epoch_indices``.
+    matching torch's default drop_last=False). Trainers prefer the padded
+    fast path (``device_arrays`` + ``epoch_indices``) and scan the whole
+    epoch on device. For datasets too large for HBM, pass
+    ``device_resident=False``: batches are then gathered host-side (via the
+    C++ pipeline in ``pyroved_tpu.native`` when available) and uploaded per
+    step, and trainers fall back to per-batch jitted updates.
     """
 
     def __init__(self, *arrays, batch_size: int = 100, shuffle: bool = True,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, device_resident: bool = True, **kwargs):
         if not arrays:
             raise ValueError("At least one data array is required")
         host = [as_numpy(a) for a in arrays]
@@ -44,6 +48,7 @@ class DataLoader:
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
+        self.device_resident = bool(device_resident)
         self._epoch = 0
         self._device_arrays: Optional[Tuple[jax.Array, ...]] = None
 
@@ -71,8 +76,8 @@ class DataLoader:
             epoch = self._epoch
             self._epoch += 1
         if self.shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
-            perm = rng.permutation(self.dataset_size)
+            from ..native import shuffle_indices
+            perm = shuffle_indices(self.dataset_size, self.seed, epoch)
         else:
             perm = np.arange(self.dataset_size)
         pad = self.num_batches * self.batch_size - self.dataset_size
@@ -86,15 +91,21 @@ class DataLoader:
     # -- user-facing iteration (parity with torch DataLoader) ----------------
     def __iter__(self) -> Iterator[Tuple[jax.Array, ...]]:
         if self.shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch]))
-            order = rng.permutation(self.dataset_size)
+            from ..native import shuffle_indices
+            order = shuffle_indices(self.dataset_size, self.seed, self._epoch)
             self._epoch += 1
         else:
             order = np.arange(self.dataset_size)
-        dev = self.device_arrays
-        for start in range(0, self.dataset_size, self.batch_size):
-            sl = jnp.asarray(order[start:start + self.batch_size])
-            yield tuple(jnp.take(a, sl, axis=0) for a in dev)
+        if self.device_resident:
+            dev = self.device_arrays
+            for start in range(0, self.dataset_size, self.batch_size):
+                sl = jnp.asarray(order[start:start + self.batch_size])
+                yield tuple(jnp.take(a, sl, axis=0) for a in dev)
+        else:
+            from ..native import gather_rows
+            for start in range(0, self.dataset_size, self.batch_size):
+                sl = order[start:start + self.batch_size]
+                yield tuple(jnp.asarray(gather_rows(a, sl)) for a in self._host)
 
     def __len__(self) -> int:
         return self.num_batches
