@@ -71,6 +71,10 @@ class jiVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
+        from ..ops.spatial_decoder import sdecoder_supports_fusion
+        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
+            hidden_dim_d, activation, sigmoid_d, self.coord)
+
         self._init_params()
         self._encode_jit = None
         self._decode_jit = None
@@ -111,17 +115,30 @@ class jiVAE(baseVAE):
         log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
         disc_term = beta[1] * jnp.sum(alpha * (-math.log(K) - log_alpha), axis=-1)
 
-        coords, zc = self.transformed_grid(z)  # [B,N,2], [B,latent]
-        eye = jnp.eye(K, dtype=zc.dtype)
-        zc_k = jnp.concatenate([
-            jnp.broadcast_to(zc, (K,) + zc.shape),
-            jnp.broadcast_to(eye[:, None, :], (K, B, K)),
-        ], axis=-1)  # [K,B,latent+K]
-        if coords is not None:
-            coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
-            loc = self.decoder_net.apply({"params": params["decoder"]}, coords_k, zc_k)
+        eye = jnp.eye(K, dtype=z.dtype)
+        if self.coord > 0 and self._fused:
+            from ..ops.spatial_decoder import apply_fused_sdecoder
+            phi, dx, sc, zc = self.split_latent_full(z)
+            zc_k = jnp.concatenate([
+                jnp.broadcast_to(zc, (K,) + zc.shape),
+                jnp.broadcast_to(eye[:, None, :], (K, B, K)),
+            ], axis=-1)
+            loc = apply_fused_sdecoder(
+                params["decoder"], self.grid,
+                jnp.broadcast_to(phi, (K, B)),
+                jnp.broadcast_to(dx, (K,) + dx.shape),
+                jnp.broadcast_to(sc, (K, B)), zc_k)
         else:
-            loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
+            coords, zc = self.transformed_grid(z)  # [B,N,2], [B,latent]
+            zc_k = jnp.concatenate([
+                jnp.broadcast_to(zc, (K,) + zc.shape),
+                jnp.broadcast_to(eye[:, None, :], (K, B, K)),
+            ], axis=-1)  # [K,B,latent+K]
+            if coords is not None:
+                coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
+                loc = self.decoder_net.apply({"params": params["decoder"]}, coords_k, zc_k)
+            else:
+                loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
         recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
         recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
         return -(recon + latent_term + disc_term)

@@ -68,6 +68,10 @@ class ssiVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
+        from ..ops.spatial_decoder import sdecoder_supports_fusion
+        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
+            hidden_dim_d, activation, sigmoid_d, self.coord)
+
         self._init_params()
         self._cls_jit = None
         self._encode_jit = None
@@ -102,12 +106,18 @@ class ssiVAE(baseVAE):
             lat = -jnp.sum(normal_kl(mu, sig), axis=-1)
         else:
             lat = jnp.sum(std_normal_log_prob(z) - normal_log_prob(z, mu, sig), -1)
-        coords, zc = self.transformed_grid(z)
-        zy = jnp.concatenate([zc, ys], axis=-1)
-        if coords is not None:
-            loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zy)
+        if self.coord > 0 and self._fused:
+            from ..ops.spatial_decoder import apply_fused_sdecoder
+            phi, dx, sc, zc = self.split_latent_full(z)
+            zy = jnp.concatenate([zc, ys], axis=-1)
+            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx, sc, zy)
         else:
-            loc = self.decoder_net.apply({"params": params["decoder"]}, zy)
+            coords, zc = self.transformed_grid(z)
+            zy = jnp.concatenate([zc, ys], axis=-1)
+            if coords is not None:
+                loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zy)
+            else:
+                loc = self.decoder_net.apply({"params": params["decoder"]}, zy)
         recon = obs_site(self.sampler_d, xf, loc.reshape(xf.shape))
         return recon + beta * lat
 

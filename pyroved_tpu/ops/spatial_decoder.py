@@ -37,6 +37,19 @@ Array = jax.Array
 B_T = 8
 N_T = 512
 
+# Hidden-layer matmuls run bf16 x bf16 -> f32-accumulate on the MXU — the
+# same effective precision XLA uses for f32 dots at default precision, at
+# 1/3 the MXU passes of full-f32. Flip to False for bit-level f32 parity
+# with Precision.HIGHEST reference paths.
+BF16_MATMUL = True
+
+
+def _mxu_dot(a, b):
+    if BF16_MATMUL:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -95,9 +108,7 @@ def _fwd_kernel(n_layers, coord_dim,
     bt, nt, H = h.shape
     h = h.reshape(bt * nt, H)
     for l in range(n_layers):
-        h = jnp.tanh(
-            jnp.dot(h, hw_ref[l], preferred_element_type=jnp.float32)
-            + hb_ref[l])
+        h = jnp.tanh(_mxu_dot(h, hw_ref[l]) + hb_ref[l])
     # output head as a VPU lane-reduce (wout passed transposed, [1, H]);
     # a (BN, H) @ (H, 1) matmul would waste the MXU and trip Mosaic's
     # lane<->sublane reshape restrictions
@@ -211,9 +222,7 @@ def _bwd_kernel(n_layers, coord_dim,
     bt, nt, H = h0.shape
     hs = [h0.reshape(bt * nt, H)]
     for l in range(n_layers):
-        hs.append(jnp.tanh(
-            jnp.dot(hs[-1], hw_ref[l], preferred_element_type=jnp.float32)
-            + hb_ref[l]))
+        hs.append(jnp.tanh(_mxu_dot(hs[-1], hw_ref[l]) + hb_ref[l]))
     logit = jnp.sum(hs[-1].reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt,nt]
     out = jax.nn.sigmoid(logit + bout_ref[0, 0])
 
@@ -228,9 +237,9 @@ def _bwd_kernel(n_layers, coord_dim,
     dh = dl_bn * wout_ref[:]
     for l in range(n_layers - 1, -1, -1):
         d_pre = dh * (1.0 - hs[l + 1] * hs[l + 1])
-        dhw_ref[l] += jnp.dot(hs[l].T, d_pre, preferred_element_type=jnp.float32)
+        dhw_ref[l] += _mxu_dot(hs[l].T, d_pre)
         dhb_ref[l] += jnp.sum(d_pre, axis=0)
-        dh = jnp.dot(d_pre, hw_ref[l].T, preferred_element_type=jnp.float32)
+        dh = _mxu_dot(d_pre, hw_ref[l].T)
     d0 = dh * (1.0 - hs[0] * hs[0])                        # [BN, H]
 
     # per-batch reductions over the pixel axis via static row slices

@@ -21,6 +21,8 @@ def interpret_mode(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(sd.pl, "pallas_call", patched)
+    # bit-level comparison against the f32 XLA reference
+    monkeypatch.setattr(sd, "BF16_MATMUL", False)
 
 
 def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0):
