@@ -1,0 +1,139 @@
+"""Typed dataclass configuration system.
+
+The reference threads options through constructor args and silently-ignored
+``**kwargs`` (a misspelled kwarg does nothing — e.g. the reference tests
+pass a nonexistent ``coord=1``, ``tests/test_models.py:383``). Here every
+model has a frozen dataclass config with validated fields; ``build()``
+constructs the model. Constructor-arg style remains fully supported — this
+is an additive, typo-proof layer.
+"""
+from dataclasses import asdict, dataclass, field, fields
+from typing import List, Optional, Sequence, Tuple
+
+from . import models
+
+
+def _clean(cfg, skip=("extra",)):
+    d = {k: v for k, v in asdict(cfg).items() if k not in skip}
+    d.update(cfg.extra or {})
+    return d
+
+
+@dataclass(frozen=True)
+class iVAEConfig:
+    data_dim: Tuple[int, ...]
+    latent_dim: int = 2
+    invariances: Optional[Tuple[str, ...]] = None
+    c_dim: int = 0
+    hidden_dim_e: Optional[Tuple[int, ...]] = None
+    hidden_dim_d: Optional[Tuple[int, ...]] = None
+    activation: str = "tanh"
+    sampler_d: str = "bernoulli"
+    sigmoid_d: bool = True
+    seed: int = 1
+    dx_prior: float = 0.1
+    dy_prior: Optional[float] = None
+    sc_prior: float = 0.1
+    decoder_sig: float = 0.5
+    kl: str = "mc"
+    fused: bool = True
+    extra: Optional[dict] = None
+
+    def __post_init__(self):
+        _validate_invariances(self.data_dim, self.invariances)
+        _validate_choice("activation", self.activation,
+                         ("relu", "lrelu", "tanh", "softplus", "gelu"))
+        _validate_choice("sampler_d", self.sampler_d,
+                         ("bernoulli", "continuous_bernoulli", "gaussian"))
+        _validate_choice("kl", self.kl, ("mc", "analytic"))
+
+    def build(self) -> "models.iVAE":
+        kw = _clean(self)
+        if kw.get("dy_prior") is None:
+            kw.pop("dy_prior", None)
+        return models.iVAE(**kw)
+
+
+@dataclass(frozen=True)
+class jiVAEConfig(iVAEConfig):
+    discrete_dim: int = 2
+
+    def build(self) -> "models.jiVAE":
+        kw = _clean(self)
+        kw.pop("c_dim", None)
+        if kw.get("dy_prior") is None:
+            kw.pop("dy_prior", None)
+        return models.jiVAE(**kw)
+
+
+@dataclass(frozen=True)
+class ssiVAEConfig(iVAEConfig):
+    num_classes: int = 2
+    hidden_dim_cls: Optional[Tuple[int, ...]] = None
+
+    def build(self) -> "models.ssiVAE":
+        kw = _clean(self)
+        kw.pop("c_dim", None)
+        if kw.get("dy_prior") is None:
+            kw.pop("dy_prior", None)
+        return models.ssiVAE(**kw)
+
+
+@dataclass(frozen=True)
+class ssRegiVAEConfig(iVAEConfig):
+    reg_dim: int = 1
+    hidden_dim_reg: Optional[Tuple[int, ...]] = None
+    regressor_sig: float = 0.5
+
+    def build(self) -> "models.ss_reg_iVAE":
+        kw = _clean(self)
+        kw.pop("c_dim", None)
+        if kw.get("dy_prior") is None:
+            kw.pop("dy_prior", None)
+        return models.ss_reg_iVAE(**kw)
+
+
+@dataclass(frozen=True)
+class VEDConfig:
+    input_dim: Tuple[int, ...]
+    output_dim: Tuple[int, ...]
+    input_channels: int = 1
+    output_channels: int = 1
+    latent_dim: int = 2
+    hidden_dim_e: Optional[Tuple[Tuple[int, ...], ...]] = None
+    hidden_dim_d: Optional[Tuple[Tuple[int, ...], ...]] = None
+    activation: str = "lrelu"
+    batchnorm: bool = False
+    sampler_d: str = "bernoulli"
+    sigmoid_d: bool = True
+    seed: int = 1
+    decoder_sig: float = 0.5
+    kl: str = "mc"
+    extra: Optional[dict] = None
+
+    def build(self) -> "models.VED":
+        return models.VED(**_clean(self))
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-3
+    epochs: int = 100
+    batch_size: int = 100
+    scale_factor: float = 1.0
+    seed: int = 1
+
+
+def _validate_invariances(data_dim, invariances):
+    if invariances is None:
+        return
+    valid = {"r", "t", "s"}
+    if not set(invariances) <= valid:
+        raise ValueError(f"invariances must be a subset of {valid}, got {invariances}")
+    if len(data_dim) == 1 and list(invariances) != ["t"]:
+        raise ValueError("For 1D data, the only invariance to enforce is translation ('t')")
+
+
+def _validate_choice(name, value, choices):
+    if value not in choices:
+        raise ValueError(f"{name} must be one of {choices}, got {value!r}")

@@ -24,6 +24,7 @@ Pass ``mesh=jax.sharding.Mesh(...)`` to shard each batch over the mesh's
 ``'data'`` axis: XLA then partitions the step and inserts the gradient
 all-reduce over ICI automatically.
 """
+import time
 from typing import Optional
 
 import jax
@@ -70,6 +71,7 @@ class SVItrainer:
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = kwargs.get("mesh")
         self.loss_history = {"training_loss": [], "test_loss": []}
+        self.epoch_times = []
         self.current_epoch = 0
         self._train_epoch_jit = None
         self._eval_epoch_jit = None
@@ -213,9 +215,11 @@ class SVItrainer:
         Keyword Args:
             scale_factor: KL scale beta (scalar, or [cont, disc] for jiVAE).
         """
+        t0 = time.perf_counter()
         self.loss_history["training_loss"].append(self.train(train_loader, **kwargs))
         if test_loader is not None:
             self.loss_history["test_loss"].append(self.evaluate(test_loader, **kwargs))
+        self.epoch_times.append(time.perf_counter() - t0)
         self.current_epoch += 1
 
     def print_statistics(self) -> None:

@@ -1,0 +1,46 @@
+"""Typed config system: validation and build round-trips."""
+import numpy as np
+import pytest
+
+from pyroved_tpu.config import (TrainConfig, VEDConfig, iVAEConfig,
+                                jiVAEConfig, ssRegiVAEConfig, ssiVAEConfig)
+
+
+def test_ivae_config_build():
+    cfg = iVAEConfig(data_dim=(8, 8), latent_dim=3, invariances=("r", "t"),
+                     dx_prior=0.2)
+    m = cfg.build()
+    assert m.z_dim == 3 + 3
+    assert float(m.t_prior[0]) == pytest.approx(0.2)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(16,), invariances=("r",))
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(8, 8), invariances=("q",))
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(8, 8), activation="swish")
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(8, 8), sampler_d="poisson")
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(8, 8), kl="exact")
+    with pytest.raises(TypeError):
+        iVAEConfig(data_dim=(8, 8), cord=1)  # typo is an error, not silence
+
+
+def test_jivae_ssivae_ssreg_ved_configs_build():
+    m = jiVAEConfig(data_dim=(8, 8), discrete_dim=3, invariances=("r",)).build()
+    assert m.discrete_dim == 3
+    m = ssiVAEConfig(data_dim=(8, 8), num_classes=4).build()
+    assert m.num_classes == 4
+    m = ssRegiVAEConfig(data_dim=(8, 8), reg_dim=2, regressor_sig=0.2).build()
+    assert m.reg_dim == 2 and m.reg_sig == pytest.approx(0.2)
+    m = VEDConfig(input_dim=(16, 16), output_dim=(32,),
+                  hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,))).build()
+    assert m.z_dim == 2
+
+
+def test_train_config_defaults():
+    t = TrainConfig()
+    assert t.lr == 1e-3 and t.batch_size == 100
