@@ -171,6 +171,41 @@ class baseVAE:
         return jax.tree_util.tree_map(lambda *rs: jnp.concatenate(rs), *outs)
 
     # ------------------------------------------------------------------
+    # Custom network injection (reference base.py:173-181)
+    # ------------------------------------------------------------------
+    def set_encoder(self, encoder_net) -> None:
+        """Replace the inference network with a user-defined linen module;
+        its parameters are freshly initialized with the model's PRNG."""
+        self.encoder_net = encoder_net
+        flat = int(np.prod(self.data_dim))
+        x0 = jnp.zeros((1, flat), jnp.float32)
+        try:
+            variables = encoder_net.init(self.next_rng(), x0)
+        except TypeError:  # conditional encoders take (x, y)
+            c = getattr(self, "c_dim", 0) or getattr(self, "num_classes", 0) \
+                or getattr(self, "reg_dim", 0)
+            variables = encoder_net.init(
+                self.next_rng(), x0, jnp.zeros((1, c), jnp.float32))
+        self.params["encoder_z"] = variables["params"]
+        self._encode_jit = None
+
+    def set_decoder(self, decoder_net) -> None:
+        """Replace the generator network with a user-defined linen module;
+        disables the fused-kernel path (its layout is sDecoderNet-specific)."""
+        self.decoder_net = decoder_net
+        zc0 = jnp.zeros(
+            (1, self.z_dim - self.coord + getattr(self, "c_dim", 0)
+             + getattr(self, "num_classes", 0) + getattr(self, "reg_dim", 0)
+             + getattr(self, "discrete_dim", 0)), jnp.float32)
+        try:  # spatial decoders take (coords, z); plain decoders take (z,)
+            variables = decoder_net.init(self.next_rng(), self.grid[None], zc0)
+        except TypeError:
+            variables = decoder_net.init(self.next_rng(), zc0)
+        self.params["decoder"] = variables["params"]
+        self._fused = False
+        self._decode_jit = None
+
+    # ------------------------------------------------------------------
     # Weight persistence (params + rng), reference base.py:183-192
     # ------------------------------------------------------------------
     def save_weights(self, filepath: str) -> None:

@@ -132,6 +132,24 @@ class fcDecoderNet(nn.Module):
         return jax.nn.sigmoid(x) if self.sigmoid_out else x
 
 
+class coord_latent(nn.Module):
+    """Standalone coordinate/latent fusion block (reference
+    ``coord_latent``, ``nets/fc.py:202-237``, arXiv:1909.11663):
+    h = tanh(coords @ Wc + b + z @ Wz) with a bias-free latent head.
+    ``sDecoderNet`` inlines this computation (same parameter names); the
+    standalone module is provided for building custom spatial decoders."""
+    latent_dim: int
+    out_dim: int
+    activation_out: bool = True
+
+    @nn.compact
+    def __call__(self, x_coord: Array, z: Array) -> Array:
+        h_x = Dense(self.out_dim, name="fc_coord")(x_coord)
+        h_z = Dense(self.out_dim, use_bias=False, name="fc_latent")(z)
+        h = h_x + h_z[..., None, :]
+        return jnp.tanh(h) if self.activation_out else h
+
+
 class sDecoderNet(nn.Module):
     """Spatial decoder: per-pixel MLP over a (transformed) coordinate grid
     (reference ``sDecoderNet`` + ``coord_latent``, ``nets/fc.py:155-237``,

@@ -68,6 +68,45 @@ def as_numpy(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def get_bnorm(dim: int):
+    """Dimension-keyed BatchNorm factory (reference: ``utils/nn.py:103-105``).
+    flax BatchNorm normalizes the channel (last) axis for any rank, so every
+    dim maps to the same module class."""
+    import flax.linen as fnn
+    if dim not in (1, 2, 3):
+        raise KeyError(dim)
+    return fnn.BatchNorm
+
+
+def get_conv(dim: int):
+    """Dimension-keyed convolution factory (reference: ``utils/nn.py:108-110``).
+    Returns a constructor ``(features, kernel_size=3, stride=1) -> nn.Conv``
+    in channels-last layout."""
+    import flax.linen as fnn
+    if dim not in (1, 2, 3):
+        raise KeyError(dim)
+
+    def make(features, kernel_size=3, stride=1, padding="SAME", **kw):
+        ks = kernel_size if isinstance(kernel_size, tuple) else (kernel_size,) * dim
+        st = stride if isinstance(stride, tuple) else (stride,) * dim
+        return fnn.Conv(features, ks, st, padding, **kw)
+
+    return make
+
+
+def get_maxpool(dim: int):
+    """Dimension-keyed max-pool op (reference: ``utils/nn.py:113-115``).
+    Returns ``pool(x, window=2, stride=2)``."""
+    import flax.linen as fnn
+    if dim not in (1, 2, 3):
+        raise KeyError(dim)
+
+    def pool(x, window=2, stride=2):
+        return fnn.max_pool(x, (window,) * dim, (stride,) * dim)
+
+    return pool
+
+
 def concat_features(args: Union[Array, Iterable[Array]]) -> Array:
     """Concatenate a list of feature tensors on the last dim, flattening
     any input with >=4 dims to 2-D and broadcasting batch dims — the jnp
@@ -78,3 +117,14 @@ def concat_features(args: Union[Array, Iterable[Array]]) -> Array:
     batch_shape = jnp.broadcast_shapes(*[a.shape[:-1] for a in args])
     args = [jnp.broadcast_to(a, batch_shape + (a.shape[-1],)) for a in args]
     return jnp.concatenate(args, axis=-1)
+
+
+class Concat:
+    """Callable wrapper over :func:`concat_features` for API parity with the
+    reference's ``Concat`` module (``utils/nn.py:51-74``)."""
+
+    def __init__(self, allow_broadcast: bool = True):
+        self.allow_broadcast = allow_broadcast
+
+    def __call__(self, input_args):
+        return concat_features(input_args)

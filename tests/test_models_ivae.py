@@ -147,3 +147,14 @@ def test_vanilla_vae_uses_fc_decoder():
     m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
     assert isinstance(m0.decoder_net, fcDecoderNet)
     assert isinstance(m1.decoder_net, sDecoderNet)
+
+
+def test_set_encoder_decoder_injection():
+    from pyroved_tpu.nets import fcDecoderNet, fcEncoderNet
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    m.set_encoder(fcEncoderNet(DATA_2D, latent_dim=3, hidden_dim=(64,)))
+    m.set_decoder(fcDecoderNet(DATA_2D, hidden_dim=(64,)))
+    assert m._fused is False
+    x = jnp.zeros((2, 64))
+    mu, sig = m.encoder_net.apply({"params": m.params["encoder_z"]}, x)
+    assert mu.shape == (2, 3)

@@ -155,3 +155,26 @@ def test_conv_encoder_batchnorm_variables():
     enc = convEncoderNet((16, 16), latent_dim=2, batchnorm=True)
     variables = enc.init(KEY, x)
     assert "batch_stats" in variables
+
+
+def test_coord_latent_standalone():
+    from pyroved_tpu.nets import coord_latent
+    mod = coord_latent(latent_dim=2, out_dim=16)
+    coords = jnp.zeros((3, 10, 2))
+    z = jnp.zeros((3, 2))
+    out = _init_apply(mod, coords, z)
+    assert out.shape == (3, 10, 16)
+
+
+def test_dim_registries():
+    from pyroved_tpu.utils import get_bnorm, get_conv, get_maxpool
+    import pytest as _pytest
+    conv = get_conv(2)(4)
+    x = jnp.zeros((1, 8, 8, 2))
+    v = conv.init(KEY, x)
+    assert conv.apply(v, x).shape == (1, 8, 8, 4)
+    pool = get_maxpool(1)
+    assert pool(jnp.zeros((1, 8, 2))).shape == (1, 4, 2)
+    assert get_bnorm(3) is not None
+    with _pytest.raises(KeyError):
+        get_conv(4)
