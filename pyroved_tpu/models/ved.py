@@ -85,13 +85,23 @@ class VED(baseVAE):
     def _apply_encoder(self, params, x, train=False):
         variables = {"params": params["encoder_z"]}
         if self.batchnorm:
+            # Stateless batchnorm: always normalize with the current batch's
+            # statistics (train=True) and discard the running-average update.
+            # See docs/DEVIATIONS.md — no mutable state threads through the
+            # jitted epoch scan.
             variables["batch_stats"] = self.state["encoder_z"]
+            out, _ = self.encoder_net.apply(
+                variables, x, True, mutable=["batch_stats"])
+            return out
         return self.encoder_net.apply(variables, x, train)
 
     def _apply_decoder(self, params, z, train=False):
         variables = {"params": params["decoder"]}
         if self.batchnorm:
             variables["batch_stats"] = self.state["decoder"]
+            out, _ = self.decoder_net.apply(
+                variables, z, True, mutable=["batch_stats"])
+            return out
         return self.decoder_net.apply(variables, z, train)
 
     # ------------------------------------------------------------------
