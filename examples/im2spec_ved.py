@@ -1,6 +1,8 @@
 """im2spec VED: predict 1-D spectra from 2-D image patches
 (mirrors the reference's examples/im2spec_VED.ipynb: 16x16 images ->
 length-64 spectra, conv encoder/decoder, 30-sample predictive uncertainty)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 import pyroved_tpu as pv

@@ -1,6 +1,8 @@
 """jrVAE: joint discrete + continuous rotationally-invariant VAE
 (mirrors the reference's examples/jrVAE.ipynb): exact enumeration over the
 discrete classes with separate KL scale factors [continuous, discrete]."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 import pyroved_tpu as pv

@@ -5,6 +5,8 @@
 Pass a path to an .npy array of [N, 28, 28] images in [0, 1] to use real
 data; otherwise synthetic oriented blobs are generated.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

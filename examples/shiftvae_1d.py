@@ -5,6 +5,8 @@ Generates synthetic randomly-shifted Gaussian peaks, trains a vanilla VAE
 and a translation-invariant VAE, and prints the loss trajectories. With the
 invariance enabled, the latent space stops encoding the nuisance shift.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 import pyroved_tpu as pv

@@ -1,5 +1,7 @@
 """ssVAE: semi-supervised classification with few labels
 (mirrors the reference's examples/ssVAE-MNIST.ipynb workflow)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 import pyroved_tpu as pv

@@ -102,3 +102,31 @@ def test_average_weights_pytree():
     avg = average_weights(e)
     np.testing.assert_allclose(np.asarray(avg["a"]), 2.0)
     np.testing.assert_allclose(np.asarray(avg["b"]["c"]), 0.5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model)
+    trainer.step(init_dataloader(_imgs(32), batch_size=16))
+    p_ref = jax.device_get(model.params)
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(path, model, trainer, backend="orbax")
+    model2 = iVAE(DATA, latent_dim=2, invariances=["r"], seed=9)
+    trainer2 = SVItrainer(model2)
+    load_checkpoint(path, model2, trainer2, backend="orbax")
+    assert trainer2.current_epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(model2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_timer():
+    from pyroved_tpu.utils import Timer
+    t = Timer()
+    with t.time("work"):
+        sum(range(1000))
+    with t.time("work"):
+        sum(range(1000))
+    assert t.counts["work"] == 2
+    assert t.mean("work") > 0
+    assert "work" in t.summary()
