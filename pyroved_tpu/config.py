@@ -7,8 +7,8 @@ model has a frozen dataclass config with validated fields; ``build()``
 constructs the model. Constructor-arg style remains fully supported — this
 is an additive, typo-proof layer.
 """
-from dataclasses import asdict, dataclass, field, fields
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import asdict, dataclass
+from typing import Optional, Tuple
 
 from . import models
 

@@ -11,8 +11,7 @@ otherwise identical:
   model:  z ~ N(0,I) with beta-scaled KL; split z into (phi, dx, sc, content);
           warp the coordinate grid; decode; score obs   (ivae.py:165-202)
 """
-import math
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ K-way decode is one batched tensor op (leading class axis), so the MXU sees
 a single [K*B, ...] matmul stream instead of K separate calls.
 """
 import math
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,13 +7,12 @@ is channels-LAST (TPU-native); channel-less inputs get a singleton channel
 appended. ``predict`` draws 30 posterior samples and decodes them in one
 batched call (reference loops decode 30 times, ``ved.py:198-216``).
 """
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..infer.dists import get_sampler, normal_sample
+from ..infer.dists import get_sampler
 from ..infer.elbo import normal_latent_site, obs_site
 from ..nets.conv import convDecoderNet, convEncoderNet
 from ..utils.coord import generate_latent_grid

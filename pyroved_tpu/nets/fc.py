@@ -13,7 +13,7 @@ two matmuls and a broadcast add, which XLA tiles directly onto the MXU. A
 fused Pallas kernel for the full transform+decode chain lives in
 ``pyroved_tpu.ops``.
 """
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,11 +22,8 @@ recomputes activations tile-by-tile (flash-attention-style rematerialization)
 and accumulates weight gradients across grid steps in VMEM.
 """
 import functools
-from typing import Optional, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -6,7 +6,6 @@ optimizer moments and RNG state. Here a checkpoint captures params +
 optimizer state + PRNG + epoch + loss history, so training resumes exactly.
 """
 import pickle
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

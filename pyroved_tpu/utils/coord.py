@@ -7,7 +7,7 @@ matrix rows ``[[cos, sin], [-sin, cos]]`` applied as ``coord @ R``), but
 expressed as pure jnp functions that batch via broadcasting instead of
 ``torch.bmm`` loops, so XLA can fuse them into the decoder matmuls.
 """
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ per-epoch durations (``trainer.epoch_times``).
 """
 import contextlib
 import time
-from typing import Dict, List
+from typing import Dict
 
 import jax
 

@@ -3,7 +3,7 @@
 The reference used torchvision's ``make_grid``; here a small numpy tiler
 produces the same d-by-d layout. All functions accept jax or numpy arrays.
 """
-from typing import List, Sequence, Tuple, Union
+from typing import Sequence
 
 import numpy as np
 
