@@ -48,6 +48,7 @@ def make_data():
 
 def bench_ours(data) -> float:
     import pyroved_tpu as pv
+    pv.utils.profiling.enable_compilation_cache()
     model = pv.models.iVAE(DATA_DIM, latent_dim=LATENT, invariances=["r"])
     loader = pv.utils.init_dataloader(data, batch_size=BATCH)
     trainer = pv.trainers.SVItrainer(model)

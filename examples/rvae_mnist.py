@@ -12,6 +12,7 @@ import sys
 import numpy as np
 
 import pyroved_tpu as pv
+pv.utils.profiling.enable_compilation_cache()
 
 EPOCHS = 100
 

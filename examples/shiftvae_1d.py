@@ -10,6 +10,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import numpy as np
 
 import pyroved_tpu as pv
+pv.utils.profiling.enable_compilation_cache()
 
 L, N, EPOCHS = 100, 2048, 50
 

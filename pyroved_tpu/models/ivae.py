@@ -145,10 +145,11 @@ class iVAE(baseVAE):
             self._encode_jit = jax.jit(
                 lambda p, xx, yy=None: self.encoder_net.apply(
                     {"params": p["encoder_z"]}, xx, yy))
-        if y is not None:
-            y = self._as_f32(y).reshape(x.shape[0], -1)
-            return self._encode_jit(self.params, x, y)
-        return self._encode_jit(self.params, x)
+        bs = kwargs.get("batch_size")
+        args = (x,) if y is None else (x, self._as_f32(y).reshape(x.shape[0], -1))
+        if bs and x.shape[0] > bs:
+            return self._chunked(self._encode_jit, *args, batch_size=bs)
+        return self._encode_jit(self.params, *args)
 
     def decode(self, z, y=None, **kwargs) -> Array:
         """Decode content latents (plus optional conditional vector) into the

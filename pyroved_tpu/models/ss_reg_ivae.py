@@ -167,6 +167,9 @@ class ss_reg_iVAE(baseVAE):
         if self._reg_jit is None:
             self._reg_jit = jax.jit(
                 lambda p, xx: self.encoder_y_net.apply({"params": p["encoder_y"]}, xx))
+        bs = kwargs.get("batch_size")
+        if bs and x.shape[0] > bs:
+            return self._chunked(self._reg_jit, x, batch_size=bs)
         return self._reg_jit(self.params, x)
 
     def encode(self, x_new, y=None, **kwargs):

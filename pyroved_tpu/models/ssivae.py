@@ -175,6 +175,9 @@ class ssiVAE(baseVAE):
             self._cls_jit = jax.jit(
                 lambda p, xx: jnp.argmax(
                     self.encoder_y_net.apply({"params": p["encoder_y"]}, xx), -1))
+        bs = kwargs.get("batch_size")
+        if bs and x.shape[0] > bs:
+            return self._chunked(self._cls_jit, x, batch_size=bs)
         return self._cls_jit(self.params, x)
 
     def encode(self, x_new, y=None, **kwargs):

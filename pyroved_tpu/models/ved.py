@@ -124,6 +124,9 @@ class VED(baseVAE):
         x = self._with_channels(self._as_f32(x_new), self.input_dim)
         if self._encode_jit is None:
             self._encode_jit = jax.jit(lambda p, xx: self._apply_encoder(p, xx))
+        bs = kwargs.get("batch_size")
+        if bs and x.shape[0] > bs:
+            return self._chunked(self._encode_jit, x, batch_size=bs)
         return self._encode_jit(self.params, x)
 
     def decode(self, z, **kwargs) -> Array:

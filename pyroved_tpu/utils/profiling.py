@@ -12,6 +12,14 @@ from typing import Dict
 import jax
 
 
+def enable_compilation_cache(path: str = "/tmp/pyroved_tpu_jax_cache") -> None:
+    """Turn on JAX's persistent compilation cache so repeated runs skip the
+    (minutes-long on remote-compile TPU setups) first-jit cost."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture a jax.profiler device trace into ``logdir``

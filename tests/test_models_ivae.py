@@ -158,3 +158,12 @@ def test_set_encoder_decoder_injection():
     x = jnp.zeros((2, 64))
     mu, sig = m.encoder_net.apply({"params": m.params["encoder_z"]}, x)
     assert mu.shape == (2, 3)
+
+
+def test_encode_chunked_batch_size():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    x = np.random.default_rng(0).uniform(0, 1, (23,) + DATA_2D).astype(np.float32)
+    z_full, s_full = m.encode(x)
+    z_chunk, s_chunk = m.encode(x, batch_size=8)
+    np.testing.assert_allclose(np.asarray(z_full), np.asarray(z_chunk), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_full), np.asarray(s_chunk), atol=1e-5)
