@@ -108,7 +108,7 @@ class auxSVItrainer:
         p = (len(loader_sup) + len(loader_unsup)) // max(len(loader_sup), 1)
         p = max(p, 1)
         self.rng, epoch_rng = jax.random.split(self.rng)
-        epoch_loss, unsup_count = 0.0, 0
+        losses, unsup_count = [], 0
         sup_i = 0
         params, opt_state = self.model.params, self.opt_state
         for i in range(idx_u.shape[0]):
@@ -117,7 +117,7 @@ class auxSVItrainer:
             step_rng = jax.random.fold_in(epoch_rng, 2 * i)
             params, opt_state, loss = self._step_unsup(
                 params, opt_state, step_rng, jnp.take(xu, bidx, 0), bw, beta)
-            epoch_loss += float(loss)
+            losses.append(loss)  # stays on device; sync once per epoch
             unsup_count += int(w_u[i].sum())
             if i % p == 1:
                 j = sup_i % idx_s.shape[0]
@@ -131,7 +131,7 @@ class auxSVItrainer:
                     batch[0], batch[1], sw, beta, aux_mult)
         self.model.params = params
         self.opt_state = opt_state
-        return epoch_loss / max(unsup_count, 1)
+        return float(sum(losses)) / max(unsup_count, 1)
 
     # ------------------------------------------------------------------
     def evaluate(self, loader_val: DataLoader) -> float:

@@ -150,7 +150,7 @@ class SVItrainer:
         iterables (uploads one batch per step)."""
         self.rng, epoch_rng = jax.random.split(self.rng)
         params, opt_state = self.model.params, self.opt_state
-        total, count, bs = 0.0, 0, None
+        losses, count, bs = [], 0, None
         for i, batch in enumerate(loader):
             batch = tuple(jnp.asarray(b) for b in batch)
             bs = bs or batch[0].shape[0]
@@ -159,10 +159,10 @@ class SVItrainer:
             step_rng = jax.random.fold_in(epoch_rng, i)
             params, opt_state, loss = self._train_step_jit(
                 params, opt_state, step_rng, batch, weights, beta)
-            total += float(loss)
+            losses.append(loss)  # stays on device; sync once per epoch
         self.model.params = params
         self.opt_state = opt_state
-        return total / max(count, 1)
+        return float(sum(losses)) / max(count, 1)
 
     # ------------------------------------------------------------------
     def train(self, train_loader: DataLoader, **kwargs) -> float:
