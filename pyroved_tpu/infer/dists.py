@@ -11,6 +11,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -47,8 +48,14 @@ def normal_kl(loc: Array, scale: Array) -> Array:
 # matching the reference sampler at utils/prob.py:26)
 # ---------------------------------------------------------------------------
 
+_PROB_EPS = float(np.finfo(np.float32).eps)
+
+
 def bernoulli_log_prob(x: Array, probs: Array) -> Array:
-    # xlogy handles the 0*log(0) corners exactly like torch's BCE path.
+    # Clamp to [eps, 1-eps] exactly like torch's probs_to_logits, so a
+    # saturated sigmoid (p rounding to 0.0/1.0 in f32) cannot produce -inf;
+    # xlogy then handles the 0*log(0) corners like torch's BCE path.
+    probs = jnp.clip(probs, _PROB_EPS, 1.0 - _PROB_EPS)
     return jax.scipy.special.xlogy(x, probs) + jax.scipy.special.xlog1py(1.0 - x, -probs)
 
 
@@ -68,6 +75,7 @@ def _cb_log_norm(probs: Array) -> Array:
 
 
 def continuous_bernoulli_log_prob(x: Array, probs: Array) -> Array:
+    probs = jnp.clip(probs, _PROB_EPS, 1.0 - _PROB_EPS)
     return bernoulli_log_prob(x, probs) + _cb_log_norm(probs)
 
 

@@ -110,3 +110,13 @@ def test_continuous_bernoulli_sample_range():
     p = jnp.asarray(np.random.default_rng(3).uniform(0.05, 0.95, (1000,)).astype(np.float32))
     s = np.asarray(obs.sample(key, p))
     assert (s >= 0).all() and (s <= 1).all()
+
+
+def test_bernoulli_saturated_probs_finite():
+    # f32-saturated sigmoid outputs must not give -inf (torch clamps too)
+    p = jnp.asarray([[0.0, 1.0, 1e-30, 1.0 - 1e-8]])
+    x = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+    out = np.asarray(dists.bernoulli_log_prob(x, p))
+    assert np.isfinite(out).all()
+    out_cb = np.asarray(dists.continuous_bernoulli_log_prob(x, p))
+    assert np.isfinite(out_cb).all()
