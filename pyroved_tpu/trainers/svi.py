@@ -69,6 +69,11 @@ class SVItrainer:
         self.opt_state = self.optimizer.init(model.params)
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = kwargs.get("mesh")
+        # Crash recovery: checkpoint the FULL training state every
+        # checkpoint_every epochs (reference training loses everything on a
+        # crash — user-owned loops, SURVEY.md section 5).
+        self.checkpoint_path = kwargs.get("checkpoint_path")
+        self.checkpoint_every = int(kwargs.get("checkpoint_every", 10))
         self.loss_history = {"training_loss": [], "test_loss": []}
         self.epoch_times = []
         self.current_epoch = 0
@@ -220,6 +225,18 @@ class SVItrainer:
             self.loss_history["test_loss"].append(self.evaluate(test_loader, **kwargs))
         self.epoch_times.append(time.perf_counter() - t0)
         self.current_epoch += 1
+        if (self.checkpoint_path
+                and self.current_epoch % self.checkpoint_every == 0):
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_path, self.model, self)
+
+    def resume(self, checkpoint_path: Optional[str] = None) -> int:
+        """Restore model + optimizer + PRNG + epoch from a checkpoint written
+        by this trainer; returns the epoch to continue from."""
+        from ..utils.checkpoint import load_checkpoint
+        load_checkpoint(checkpoint_path or self.checkpoint_path,
+                        self.model, self)
+        return self.current_epoch
 
     def print_statistics(self) -> None:
         """Prints current-epoch losses (reference: ``svi.py:164-175``)."""

@@ -130,3 +130,17 @@ def test_timer():
     assert t.counts["work"] == 2
     assert t.mean("work") > 0
     assert "work" in t.summary()
+
+
+def test_trainer_auto_checkpoint_and_resume(tmp_path):
+    path = str(tmp_path / "auto.pkl")
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model, checkpoint_path=path, checkpoint_every=2)
+    loader = init_dataloader(_imgs(32), batch_size=16)
+    trainer.step(loader)
+    trainer.step(loader)  # epoch 2 -> checkpoint written
+    import os
+    assert os.path.exists(path)
+    model2 = iVAE(DATA, latent_dim=2, invariances=["r"], seed=3)
+    trainer2 = SVItrainer(model2, checkpoint_path=path)
+    assert trainer2.resume() == 2
