@@ -69,3 +69,17 @@ def test_tensor_parallel_sharding_placement():
     k = params["decoder"]["MLP_0"]["Dense_0"]["kernel"]
     specs = {s.spec for s in [k.sharding]}
     assert any("model" in str(s) for s in specs)
+
+
+def test_pixel_sharded_decode_matches_local():
+    from pyroved_tpu.parallel import pixel_sharded_decode
+    mesh = data_parallel_mesh()
+    model = iVAE((8, 16), latent_dim=2, invariances=["r"])  # N=128 pixels
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)), jnp.float32)
+    sharded = pixel_sharded_decode(model, z, mesh)
+    local = model.decoder_net.apply(
+        {"params": model.params["decoder"]},
+        jnp.broadcast_to(model.grid, (4,) + model.grid.shape), z)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local), atol=1e-5)
+    with pytest.raises(ValueError):
+        pixel_sharded_decode(iVAE((8, 8), latent_dim=2), z, mesh)
