@@ -171,6 +171,40 @@ class baseVAE:
         return jax.tree_util.tree_map(lambda *rs: jnp.concatenate(rs), *outs)
 
     # ------------------------------------------------------------------
+    # One-call training convenience (north-star API; the reference leaves
+    # the epoch loop to the user, models/ivae.py:96-102)
+    # ------------------------------------------------------------------
+    def fit(self, X, y=None, epochs: int = 100, batch_size: int = 100,
+            lr: float = 1e-3, scale_factor=1.0, test_data=None,
+            verbose: bool = False, trainer=None, **kwargs):
+        """Train this model for ``epochs`` epochs and return the trainer
+        (its ``loss_history`` holds the per-epoch losses).
+
+        ``X`` may be an array or an existing DataLoader; ``y`` adds labels /
+        targets (conditional iVAE, VED pairs). Semi-supervised models
+        override this with the (unlabeled, labeled, validation) signature.
+        """
+        from ..trainers.svi import SVItrainer
+        from ..utils.data import DataLoader, init_dataloader
+        if isinstance(X, DataLoader):
+            loader = X
+        else:
+            arrays = (X,) if y is None else (X, y)
+            loader = init_dataloader(*arrays, batch_size=batch_size)
+        test_loader = None
+        if test_data is not None:
+            test_loader = (test_data if isinstance(test_data, DataLoader)
+                           else init_dataloader(*(test_data if isinstance(test_data, tuple)
+                                                  else (test_data,)),
+                                                batch_size=batch_size))
+        trainer = trainer or SVItrainer(self, lr=lr, **kwargs)
+        for _ in range(int(epochs)):
+            trainer.step(loader, test_loader, scale_factor=scale_factor)
+            if verbose:
+                trainer.print_statistics()
+        return trainer
+
+    # ------------------------------------------------------------------
     # Custom network injection (reference base.py:173-181)
     # ------------------------------------------------------------------
     def set_encoder(self, encoder_net) -> None:

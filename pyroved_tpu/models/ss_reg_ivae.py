@@ -152,6 +152,23 @@ class ss_reg_iVAE(baseVAE):
         return -aux_loss_multiplier * lp
 
     # ------------------------------------------------------------------
+    def fit(self, X_unsup, labeled, val=None, epochs: int = 100,
+            batch_size: int = 100, lr: float = 5e-4, verbose: bool = False,
+            trainer=None, **kwargs):
+        """Semi-supervised regression training convenience (see ssiVAE.fit)."""
+        from ..trainers.auxsvi import auxSVItrainer
+        from ..utils.data import init_ssvae_dataloaders
+        Xl, yl = labeled
+        Xv, yv = val if val is not None else (Xl, yl)
+        loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
+                                         batch_size=batch_size)
+        trainer = trainer or auxSVItrainer(self, lr=lr)
+        for _ in range(int(epochs)):
+            trainer.step(*loaders, **kwargs)
+            if verbose:
+                trainer.print_statistics()
+        return trainer
+
     def set_regressor(self, reg_net) -> None:
         """Injects a user-defined regressor (reference:
         ``ss_reg_ivae.py:678-682``)."""

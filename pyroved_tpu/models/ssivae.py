@@ -159,6 +159,33 @@ class ssiVAE(baseVAE):
         return -aux_loss_multiplier * log_q
 
     # ------------------------------------------------------------------
+    def fit(self, X_unsup, labeled, val=None, epochs: int = 100,
+            batch_size: int = 100, lr: float = 5e-4, verbose: bool = False,
+            trainer=None, **kwargs):
+        """Semi-supervised training convenience: ``labeled`` is ``(X, y)``
+        (y one-hot or class indices), ``val`` an optional ``(X, y)`` pair.
+        Returns the auxSVItrainer (``history`` has loss and accuracy/MSE)."""
+        from ..trainers.auxsvi import auxSVItrainer
+        from ..utils.data import init_ssvae_dataloaders
+        from ..utils.nn import to_onehot
+        Xl, yl = labeled
+        yl = jnp.asarray(self._as_f32(yl))
+        if yl.ndim < 2 and self.task == "classification":
+            yl = to_onehot(yl, self.num_classes)
+        val = val if val is not None else (Xl, yl)
+        Xv, yv = val
+        yv = jnp.asarray(self._as_f32(yv))
+        if yv.ndim < 2 and self.task == "classification":
+            yv = to_onehot(yv, self.num_classes)
+        loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
+                                         batch_size=batch_size)
+        trainer = trainer or auxSVItrainer(self, lr=lr)
+        for _ in range(int(epochs)):
+            trainer.step(*loaders, **kwargs)
+            if verbose:
+                trainer.print_statistics()
+        return trainer
+
     def set_classifier(self, cls_net) -> None:
         """Injects a user-defined classifier module; parameters re-initialized
         (reference: ``ssivae.py:579-583``)."""

@@ -92,3 +92,22 @@ def test_loss_decreases_on_structured_data():
         trainer.step(loader)
     hist = trainer.loss_history["training_loss"]
     assert hist[-1] < hist[0]
+
+
+def test_fit_convenience():
+    model = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    trainer = model.fit(_rand_imgs(32), epochs=2, batch_size=16)
+    assert len(trainer.loss_history["training_loss"]) == 2
+    assert all(np.isfinite(v) for v in trainer.loss_history["training_loss"])
+
+
+def test_fit_ssivae_convenience():
+    from pyroved_tpu.models import ssiVAE
+    rng = np.random.default_rng(0)
+    X_unsup = _rand_imgs(32)
+    Xl = _rand_imgs(16)
+    yl = rng.integers(0, 3, 16)
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3)
+    trainer = m.fit(X_unsup, (Xl, yl), epochs=1, batch_size=8)
+    assert len(trainer.history["training_loss"]) == 1
+    assert 0.0 <= trainer.history["test"][-1] <= 1.0
