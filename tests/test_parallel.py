@@ -83,3 +83,22 @@ def test_pixel_sharded_decode_matches_local():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(local), atol=1e-5)
     with pytest.raises(ValueError):
         pixel_sharded_decode(iVAE((8, 8), latent_dim=2), z, mesh)
+
+
+def test_dp_tp_training_matches_single_device():
+    """Tensor-parallel sharding is a layout, not an approximation: the
+    dp x tp training epoch must reproduce single-device numerics."""
+    x = _imgs(32)
+    m1 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    t1 = SVItrainer(m1, seed=11)
+    l1 = t1.train(init_dataloader(x, batch_size=8, seed=4))
+
+    mesh = create_mesh({"data": 4, "model": 2})
+    m2 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    m2.params = tensor_parallel_params(m2.params, mesh)
+    t2 = SVItrainer(m2, seed=11, mesh=mesh)
+    l2 = t2.train(init_dataloader(x, batch_size=8, seed=4))
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
