@@ -30,9 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # Tile sizes: (B_T * N_T, H) matmuls with H=128 keep the MXU saturated while
-# three [B_T, N_T, H] f32 activation buffers stay well under VMEM.
+# three [B_T, N_T, H] f32 activation buffers stay well under VMEM. The pixel
+# tile shrinks for wider hidden dims so the backward kernel's rematerialized
+# activation stack stays within the ~16 MB VMEM budget.
 B_T = 8
 N_T = 512
+
+
+def _pixel_tile(H: int) -> int:
+    return max(128, (N_T * 128) // int(H))
 
 # Hidden-layer matmuls run bf16 x bf16 -> f32-accumulate on the MXU — the
 # same effective precision XLA uses for f32 dots at default precision, at
@@ -127,7 +133,8 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
     D = grid.shape[1]
     H = Wc.shape[1]
     n_layers = hw.shape[0]
-    Bp, Np = _round_up(B, B_T), _round_up(N, N_T)
+    n_t = _pixel_tile(H)
+    Bp, Np = _round_up(B, B_T), _round_up(N, n_t)
 
     grid_p = _pad_rows(grid, Np)
     z_p = _pad_rows(z, Bp)
@@ -140,9 +147,9 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
     kernel = functools.partial(_fwd_kernel, int(n_layers), int(D))
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // B_T, Np // N_T),
+        grid=(Bp // B_T, Np // n_t),
         in_specs=[
-            pl.BlockSpec((N_T, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_t, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B_T, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B_T, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B_T, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -155,7 +162,7 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [1, H])
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
         ],
-        out_specs=pl.BlockSpec((B_T, N_T), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((B_T, n_t), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
     )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2)
@@ -283,7 +290,8 @@ def _bwd(res, g):
     H = Wc.shape[1]
     L = z.shape[1]
     n_layers = hw.shape[0]
-    Bp, Np = _round_up(B, B_T), _round_up(N, N_T)
+    n_t = _pixel_tile(H)
+    Bp, Np = _round_up(B, B_T), _round_up(N, n_t)
 
     grid_p = _pad_rows(grid, Np)
     z_p = _pad_rows(z, Bp)
@@ -301,9 +309,9 @@ def _bwd(res, g):
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
-        grid=(Bp // B_T, Np // N_T),
+        grid=(Bp // B_T, Np // n_t),
         in_specs=[
-            pl.BlockSpec((N_T, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_t, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             batch_blk(1), batch_blk(D), batch_blk(1), batch_blk(L),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bc
@@ -312,7 +320,7 @@ def _bwd(res, g):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hb
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [1, H])
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
-            pl.BlockSpec((B_T, N_T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_T, n_t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             batch_blk(1),                       # dphi

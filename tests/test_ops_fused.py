@@ -104,3 +104,11 @@ def test_supports_fusion_gate():
     assert not sd.sdecoder_supports_fusion((128, 128), "relu", True, 1)
     # on CPU the TPU-platform gate must be False
     assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
+
+
+def test_wide_hidden_dim_tiles():
+    # H=256 shrinks the pixel tile; numerics still match the reference
+    args = _make(2, B=3, N=300, H=256, nl=2, seed=3)
+    out = sd.fused_spatial_decoder(*args)
+    ref = _ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
