@@ -61,6 +61,9 @@ class iVAE(baseVAE):
         self.z_dim = self.latent_dim + self.coord
         self.c_dim = int(c_dim)
         self.kl_mode = kwargs.get("kl", "mc")
+        # Pyro Trace_ELBO(num_particles=P) analog: average P reparameterized
+        # ELBO estimates per example (all particles decode in one batched call)
+        self.num_particles = int(kwargs.get("num_particles", 1))
 
         self.encoder_net = fcEncoderNet(
             self.data_dim, self.z_dim, c_dim, hidden_dim_e, activation,
@@ -113,8 +116,15 @@ class iVAE(baseVAE):
         """
         x = batch[0]
         y = batch[1] if len(batch) > 1 else None
-        xf = x.reshape(x.shape[0], -1)
+        B = x.shape[0]
+        xf = x.reshape(B, -1)
         mu, sig = self.encoder_net.apply({"params": params["encoder_z"]}, xf, y)
+        P = self.num_particles
+        if P > 1:  # leading particle axis; decodes stay one batched call
+            mu = jnp.broadcast_to(mu, (P,) + mu.shape)
+            sig = jnp.broadcast_to(sig, (P,) + sig.shape)
+            if y is not None:
+                y = jnp.broadcast_to(y, (P,) + y.shape)
         z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
         if self.coord > 0 and self._fused:
             from ..ops.spatial_decoder import apply_fused_sdecoder
@@ -130,8 +140,9 @@ class iVAE(baseVAE):
                 loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
             else:
                 loc = self.decoder_net.apply({"params": params["decoder"]}, zc)
-        recon = obs_site(self.sampler_d, xf, loc.reshape(x.shape[0], -1))
-        return -(recon + latent_term)
+        recon = obs_site(self.sampler_d, xf, loc.reshape(z.shape[:-1] + (-1,)))
+        per_example = -(recon + latent_term)
+        return per_example.mean(0) if P > 1 else per_example
 
     # ------------------------------------------------------------------
     # Inference / generation APIs (reference ivae.py:230-310)

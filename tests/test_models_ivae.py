@@ -167,3 +167,20 @@ def test_encode_chunked_batch_size():
     z_chunk, s_chunk = m.encode(x, batch_size=8)
     np.testing.assert_allclose(np.asarray(z_full), np.asarray(z_chunk), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_full), np.asarray(s_chunk), atol=1e-5)
+
+
+def test_num_particles_elbo():
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (6,) + DATA_2D), jnp.float32)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    m5 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], num_particles=5)
+    m5.params = m1.params
+    l1 = m1.loss_fn(m1.params, jax.random.PRNGKey(0), (x,), jnp.asarray(1.0))
+    l5 = m5.loss_fn(m1.params, jax.random.PRNGKey(0), (x,), jnp.asarray(1.0))
+    assert l5.shape == (6,)
+    assert np.isfinite(np.asarray(l5)).all()
+    # multi-particle estimates have lower variance across seeds
+    def spread(m, n=10):
+        vals = [float(m.loss_fn(m1.params, jax.random.PRNGKey(s), (x,),
+                                jnp.asarray(1.0)).mean()) for s in range(n)]
+        return np.std(vals)
+    assert spread(m5) < spread(m1)
