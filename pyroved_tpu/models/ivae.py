@@ -84,6 +84,8 @@ class iVAE(baseVAE):
         from ..ops.spatial_decoder import sdecoder_supports_fusion
         self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
             hidden_dim_d, activation, sigmoid_d, self.coord)
+        self._dec_act = activation
+        self._dec_sig = bool(sigmoid_d)
 
         self._init_params()
         self._encode_jit = None
@@ -131,7 +133,8 @@ class iVAE(baseVAE):
             phi, dx, sc, zc = self.split_latent_full(z)
             if y is not None:
                 zc = jnp.concatenate([zc, y], axis=-1)
-            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx, sc, zc)
+            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx,
+                                       sc, zc, self._dec_act, self._dec_sig)
         else:
             coords, zc = self.transformed_grid(z)
             if y is not None:

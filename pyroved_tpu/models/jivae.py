@@ -74,6 +74,8 @@ class jiVAE(baseVAE):
         from ..ops.spatial_decoder import sdecoder_supports_fusion
         self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
             hidden_dim_d, activation, sigmoid_d, self.coord)
+        self._dec_act = activation
+        self._dec_sig = bool(sigmoid_d)
 
         self._init_params()
         self._encode_jit = None
@@ -127,7 +129,8 @@ class jiVAE(baseVAE):
                 params["decoder"], self.grid,
                 jnp.broadcast_to(phi, (K, B)),
                 jnp.broadcast_to(dx, (K,) + dx.shape),
-                jnp.broadcast_to(sc, (K, B)), zc_k)
+                jnp.broadcast_to(sc, (K, B)), zc_k,
+                self._dec_act, self._dec_sig)
         else:
             coords, zc = self.transformed_grid(z)  # [B,N,2], [B,latent]
             zc_k = jnp.concatenate([

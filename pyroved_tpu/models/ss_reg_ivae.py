@@ -70,6 +70,8 @@ class ss_reg_iVAE(baseVAE):
         from ..ops.spatial_decoder import sdecoder_supports_fusion
         self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
             hidden_dim_d, activation, sigmoid_d, self.coord)
+        self._dec_act = activation
+        self._dec_sig = bool(sigmoid_d)
 
         self._init_params()
         self._reg_jit = None
@@ -127,7 +129,8 @@ class ss_reg_iVAE(baseVAE):
             from ..ops.spatial_decoder import apply_fused_sdecoder
             phi, dx, sc, zc = self.split_latent_full(z)
             zy = jnp.concatenate([zc, ys], axis=-1)
-            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx, sc, zy)
+            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx,
+                                       sc, zy, self._dec_act, self._dec_sig)
         else:
             coords, zc = self.transformed_grid(z)
             zy = jnp.concatenate([zc, ys], axis=-1)

@@ -71,6 +71,8 @@ class ssiVAE(baseVAE):
         from ..ops.spatial_decoder import sdecoder_supports_fusion
         self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
             hidden_dim_d, activation, sigmoid_d, self.coord)
+        self._dec_act = activation
+        self._dec_sig = bool(sigmoid_d)
 
         self._init_params()
         self._cls_jit = None
@@ -110,7 +112,8 @@ class ssiVAE(baseVAE):
             from ..ops.spatial_decoder import apply_fused_sdecoder
             phi, dx, sc, zc = self.split_latent_full(z)
             zy = jnp.concatenate([zc, ys], axis=-1)
-            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx, sc, zy)
+            loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx,
+                                       sc, zy, self._dec_act, self._dec_sig)
         else:
             coords, zc = self.transformed_grid(z)
             zy = jnp.concatenate([zc, ys], axis=-1)

@@ -58,6 +58,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Hidden-layer activations supported by the kernel. The coord fusion layer
+# (h0) is ALWAYS tanh, matching the reference's hardcoded coord_latent
+# activation (nets/fc.py:219); only the MLP layers follow `activation`.
+# Both derivatives are computable from the POST-activation value, which is
+# what the rematerializing backward keeps.
+def _act(name, x):
+    return jnp.tanh(x) if name == "tanh" else jnp.maximum(x, 0.0)
+
+
+def _act_grad_from_post(name, h):
+    return (1.0 - h * h) if name == "tanh" else (h > 0.0).astype(h.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Reference (pure-XLA) implementation — used for correctness tests and as
 # the fallback for configurations the kernel does not support.
@@ -86,7 +99,7 @@ def spatial_decoder_reference(grid, phi, dx, sc, z, Wc, bc, Wz, hidden, wout, bo
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n_layers, coord_dim,
+def _fwd_kernel(n_layers, coord_dim, act, sigmoid_out,
                 grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
                 wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
                 out_ref):
@@ -111,12 +124,13 @@ def _fwd_kernel(n_layers, coord_dim,
     bt, nt, H = h.shape
     h = h.reshape(bt * nt, H)
     for l in range(n_layers):
-        h = jnp.tanh(_mxu_dot(h, hw_ref[l]) + hb_ref[l])
+        h = _act(act, _mxu_dot(h, hw_ref[l]) + hb_ref[l])
     # output head as a VPU lane-reduce (wout passed transposed, [1, H]);
     # a (BN, H) @ (H, 1) matmul would waste the MXU and trip Mosaic's
     # lane<->sublane reshape restrictions
     logit = jnp.sum(h.reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt, nt]
-    out_ref[:] = jax.nn.sigmoid(logit + bout_ref[0, 0])
+    logit = logit + bout_ref[0, 0]
+    out_ref[:] = jax.nn.sigmoid(logit) if sigmoid_out else logit
 
 
 def _pad_rows(x: Array, rows: int) -> Array:
@@ -126,7 +140,8 @@ def _pad_rows(x: Array, rows: int) -> Array:
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
 
 
-def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
+def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+         act="tanh", sigmoid_out=True):
     """Padded pallas_call wrapper. grid [N,D], phi/sc [B], dx [B,D], z [B,L];
     hw [L_layers,H,H], hb [L_layers,H], wout [H,1], bout scalar."""
     B, N = z.shape[0], grid.shape[0]
@@ -144,7 +159,8 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
     bc2 = bc[None, :]
     bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
 
-    kernel = functools.partial(_fwd_kernel, int(n_layers), int(D))
+    kernel = functools.partial(_fwd_kernel, int(n_layers), int(D), act,
+                               bool(sigmoid_out))
     out = pl.pallas_call(
         kernel,
         grid=(Bp // B_T, Np // n_t),
@@ -173,7 +189,7 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
 # Backward kernel: recompute activations per tile, accumulate grads.
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n_layers, coord_dim,
+def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out,
                 grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
                 wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
                 g_ref,
@@ -226,21 +242,25 @@ def _bwd_kernel(n_layers, coord_dim,
     bt, nt, H = h0.shape
     hs = [h0.reshape(bt * nt, H)]
     for l in range(n_layers):
-        hs.append(jnp.tanh(_mxu_dot(hs[-1], hw_ref[l]) + hb_ref[l]))
+        hs.append(_act(act, _mxu_dot(hs[-1], hw_ref[l]) + hb_ref[l]))
     logit = jnp.sum(hs[-1].reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt,nt]
-    out = jax.nn.sigmoid(logit + bout_ref[0, 0])
+    logit = logit + bout_ref[0, 0]
 
     # ---- backprop. Mosaic restriction notes: no lane<->sublane reshapes,
     # no 3-D dots, and no axis-1 reductions of 3-D vectors — everything
     # below stays in 2-D [BN, H] space with full-sublane (axis-0) reduces,
     # using static per-batch row slices where a per-b reduction is needed.
-    dl2 = g_ref[:] * out * (1.0 - out)                     # [bt, nt]
+    if sigmoid_out:
+        out = jax.nn.sigmoid(logit)
+        dl2 = g_ref[:] * out * (1.0 - out)                 # [bt, nt]
+    else:
+        dl2 = g_ref[:]
     dbout_ref[0, 0] += jnp.sum(dl2)
     dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
     dwout_ref[:] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
     dh = dl_bn * wout_ref[:]
     for l in range(n_layers - 1, -1, -1):
-        d_pre = dh * (1.0 - hs[l + 1] * hs[l + 1])
+        d_pre = dh * _act_grad_from_post(act, hs[l + 1])
         dhw_ref[l] += _mxu_dot(hs[l].T, d_pre)
         dhb_ref[l] += jnp.sum(d_pre, axis=0)
         dh = _mxu_dot(d_pre, hw_ref[l].T)
@@ -283,7 +303,7 @@ def _bwd_kernel(n_layers, coord_dim,
                        + jnp.dot(dx_ref[:].T, dw_vec, preferred_element_type=jnp.float32))
 
 
-def _bwd(res, g):
+def _bwd(act, sigmoid_out, res, g):
     (grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout) = res
     B, N = z.shape[0], grid.shape[0]
     D = grid.shape[1]
@@ -302,7 +322,8 @@ def _bwd(res, g):
     bc2 = bc[None, :]
     bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
 
-    kernel = functools.partial(_bwd_kernel, int(n_layers), int(D))
+    kernel = functools.partial(_bwd_kernel, int(n_layers), int(D), act,
+                               bool(sigmoid_out))
     full = lambda i, j: (0, 0)
     full3 = lambda i, j: (0, 0, 0)
     batch_blk = lambda w: pl.BlockSpec((B_T, w), lambda i, j: (i, 0),
@@ -355,8 +376,9 @@ def _bwd(res, g):
             dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
 
 
-@jax.custom_vjp
-def fused_spatial_decoder(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def fused_spatial_decoder(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                          act="tanh", sigmoid_out=True):
     """Fused transform+decode: returns [B, N] decoded values.
 
     Args:
@@ -368,11 +390,14 @@ def fused_spatial_decoder(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
         hw [n_layers,H,H], hb [n_layers,H]: hidden tanh layers.
         wout [H,1], bout []: sigmoid output head.
     """
-    return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
+    return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                act, sigmoid_out)
 
 
-def _fwd_rule(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
-    out = _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
+def _fwd_rule(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+              act, sigmoid_out):
+    out = _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+               act, sigmoid_out)
     return out, (grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
 
 
@@ -389,15 +414,16 @@ def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
     tanh + sigmoid head, equal hidden widths that are lane-aligned (x128),
     and an active coordinate transform."""
     hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
+    del sigmoid_out  # both heads supported
     return (0 < coord < 5
-            and activation == "tanh"
-            and sigmoid_out
+            and activation in ("tanh", "relu")
             and len(set(hidden)) == 1
             and hidden[0] % 128 == 0
             and jax.devices()[0].platform == "tpu")
 
 
-def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z):
+def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z,
+                         act="tanh", sigmoid_out=True):
     """Run the fused kernel from an sDecoderNet parameter pytree
     (names: fc_coord, fc_latent, MLP_0/Dense_i, out). Leading batch dims of
     phi/dx/sc/z may be multi-dimensional (e.g. [K, B] under enumeration) —
@@ -419,5 +445,6 @@ def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z):
         hw, hb,
         dec_params["out"]["kernel"],
         dec_params["out"]["bias"].reshape(()),
+        act, sigmoid_out,
     )
     return out.reshape(batch_shape + (grid.shape[0],))

@@ -112,3 +112,31 @@ def test_wide_hidden_dim_tiles():
     out = sd.fused_spatial_decoder(*args)
     ref = _ref(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("act,sig", [("relu", True), ("tanh", False), ("relu", False)])
+def test_activation_variants_match_reference(act, sig):
+    args = _make(2, B=4, N=256, seed=5)
+    grid, rest = args[0], args[1:]
+
+    def ref_fn(rest):
+        (phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout) = rest
+        c = jnp.cos(phi)[:, None]
+        s = jnp.sin(phi)[:, None]
+        gx, gy = grid[:, 0], grid[:, 1]
+        cx = (gx[None] * c - gy[None] * s) * sc[:, None] + dx[:, 0:1]
+        cy = (gx[None] * s + gy[None] * c) * sc[:, None] + dx[:, 1:2]
+        coords = jnp.stack([cx, cy], -1)
+        h = jnp.tanh(coords @ Wc + bc + (z @ Wz)[:, None, :])  # h0 always tanh
+        a = jnp.tanh if act == "tanh" else jax.nn.relu
+        for i in range(hw.shape[0]):
+            h = a(h @ hw[i] + hb[i])
+        o = (h @ wout + bout)[..., 0]
+        return jax.nn.sigmoid(o) if sig else o
+
+    out = sd.fused_spatial_decoder(grid, *rest, act, sig)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fn(rest)), atol=1e-5)
+    gf = jax.grad(lambda r: jnp.sum(jnp.sin(sd.fused_spatial_decoder(grid, *r, act, sig))))(rest)
+    gr = jax.grad(lambda r: jnp.sum(jnp.sin(ref_fn(r))))(rest)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=1e-4, rtol=1e-3)
