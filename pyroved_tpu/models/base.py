@@ -151,6 +151,32 @@ class baseVAE:
         return coords[0]
 
     # ------------------------------------------------------------------
+    # Shared decoder machinery
+    # ------------------------------------------------------------------
+    def _setup_fusion(self, hidden_dim_d, activation: str, sigmoid_d: bool,
+                      kwargs) -> None:
+        """Decide whether the fused Pallas transform+decode kernel applies
+        (TPU + supported sDecoderNet config; ``fused=False`` opts out)."""
+        from ..ops.spatial_decoder import sdecoder_supports_fusion
+        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
+            hidden_dim_d, activation, sigmoid_d, self.coord)
+        self._dec_act = activation
+        self._dec_sig = bool(sigmoid_d)
+
+    def _build_decode_jit(self):
+        """Jitted generation-path decoder apply: spatial decoders take
+        (coords, z) with the grid broadcast over the batch; plain decoders
+        take (z,) and ignore the coords argument."""
+        if self.coord > 0:
+            return jax.jit(
+                lambda p, coords, zz: self.decoder_net.apply(
+                    {"params": p["decoder"]},
+                    jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
+        return jax.jit(
+            lambda p, coords, zz: self.decoder_net.apply(
+                {"params": p["decoder"]}, zz))
+
+    # ------------------------------------------------------------------
     # Batched inference / generation
     # ------------------------------------------------------------------
     def _chunked(self, fn, *arrays, batch_size: int = 100):

@@ -78,14 +78,7 @@ class iVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
-        # Fused Pallas transform+decode kernel on the training hot path
-        # (auto-enabled on TPU for supported configs; kwargs fused=False
-        # forces the pure-XLA path).
-        from ..ops.spatial_decoder import sdecoder_supports_fusion
-        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
-            hidden_dim_d, activation, sigmoid_d, self.coord)
-        self._dec_act = activation
-        self._dec_sig = bool(sigmoid_d)
+        self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
 
         self._init_params()
         self._encode_jit = None
@@ -173,15 +166,7 @@ class iVAE(baseVAE):
         if y is not None:
             z = jnp.concatenate([z, self._as_f32(y).reshape(z.shape[0], -1)], -1)
         if self._decode_jit is None:
-            if self.coord > 0:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]},
-                        jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
-            else:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]}, zz))
+            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_jit(self.params, coords, z)
         return loc.reshape((z.shape[0],) + self.data_dim)
@@ -223,6 +208,6 @@ class iVAE(baseVAE):
         z_decoded = self.manifold2d(d, plot=False)
         if plot:
             from ..utils import viz
-            self.manifold2d(d=d, cmap="viridis")
+            viz.plot_img_grid(z_decoded, d, cmap="viridis")  # reuse the decode
             viz.plot_latent_predictions(predictions, d)
         return (z, z_decoded), predictions

@@ -71,11 +71,7 @@ class jiVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
-        from ..ops.spatial_decoder import sdecoder_supports_fusion
-        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
-            hidden_dim_d, activation, sigmoid_d, self.coord)
-        self._dec_act = activation
-        self._dec_sig = bool(sigmoid_d)
+        self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
 
         self._init_params()
         self._encode_jit = None
@@ -155,7 +151,11 @@ class jiVAE(baseVAE):
         if self._encode_jit is None:
             self._encode_jit = jax.jit(
                 lambda p, xx: self.encoder_net.apply({"params": p["encoder_z"]}, xx))
-        z_loc, z_scale, alpha = self._encode_jit(self.params, x)
+        bs = kwargs.get("batch_size")
+        if bs and x.shape[0] > bs:
+            z_loc, z_scale, alpha = self._chunked(self._encode_jit, x, batch_size=bs)
+        else:
+            z_loc, z_scale, alpha = self._encode_jit(self.params, x)
         classes = alpha if logits else jnp.argmax(alpha, axis=1)
         return z_loc, z_scale, classes
 
@@ -164,15 +164,7 @@ class jiVAE(baseVAE):
         (reference: ``jivae.py:256-266``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         if self._decode_jit is None:
-            if self.coord > 0:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]},
-                        jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
-            else:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]}, zz))
+            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_jit(self.params, coords, z)
         return loc.reshape((-1,) + self.data_dim)

@@ -67,11 +67,7 @@ class ss_reg_iVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
-        from ..ops.spatial_decoder import sdecoder_supports_fusion
-        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
-            hidden_dim_d, activation, sigmoid_d, self.coord)
-        self._dec_act = activation
-        self._dec_sig = bool(sigmoid_d)
+        self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
 
         self._init_params()
         self._reg_jit = None
@@ -106,6 +102,8 @@ class ss_reg_iVAE(baseVAE):
         B = x.shape[0]
         xf = x.reshape(B, -1)
         ys = batch[1] if len(batch) > 1 else None
+        if ys is not None and ys.ndim == 1:  # scalar targets given as [B]
+            ys = ys[:, None]
         rng_y, rng_z = jax.random.split(rng)
         y_term = 0.0
         sig_y = jnp.asarray(self.reg_sig, xf.dtype)
@@ -149,6 +147,8 @@ class ss_reg_iVAE(baseVAE):
         if len(batch) < 2:
             return jnp.zeros(batch[0].shape[0])
         x, ys = batch[0], batch[1]
+        if ys.ndim == 1:
+            ys = ys[:, None]
         xf = x.reshape(x.shape[0], -1)
         c = self.encoder_y_net.apply({"params": params["encoder_y"]}, xf)
         lp = jnp.sum(normal_log_prob(ys, c, jnp.asarray(self.reg_sig, xf.dtype)), -1)
@@ -163,6 +163,8 @@ class ss_reg_iVAE(baseVAE):
         from ..utils.data import init_ssvae_dataloaders
         Xl, yl = labeled
         Xv, yv = val if val is not None else (Xl, yl)
+        yl = np.asarray(yl, np.float32).reshape(len(yl), -1)
+        yv = np.asarray(yv, np.float32).reshape(len(yv), -1)
         loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
                                          batch_size=batch_size)
         trainer = trainer or auxSVItrainer(self, lr=lr)
@@ -211,15 +213,7 @@ class ss_reg_iVAE(baseVAE):
         (reference: ``ss_reg_ivae.py:736-747``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         if self._decode_jit is None:
-            if self.coord > 0:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]},
-                        jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
-            else:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]}, zz))
+            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_jit(self.params, coords, z)
         return loc.reshape((-1,) + self.data_dim)

@@ -68,11 +68,7 @@ class ssiVAE(baseVAE):
                 self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
-        from ..ops.spatial_decoder import sdecoder_supports_fusion
-        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
-            hidden_dim_d, activation, sigmoid_d, self.coord)
-        self._dec_act = activation
-        self._dec_sig = bool(sigmoid_d)
+        self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
 
         self._init_params()
         self._cls_jit = None
@@ -170,7 +166,6 @@ class ssiVAE(baseVAE):
         Returns the auxSVItrainer (``history`` has loss and accuracy/MSE)."""
         from ..trainers.auxsvi import auxSVItrainer
         from ..utils.data import init_ssvae_dataloaders
-        from ..utils.nn import to_onehot
         Xl, yl = labeled
         yl = jnp.asarray(self._as_f32(yl))
         if yl.ndim < 2 and self.task == "classification":
@@ -232,15 +227,7 @@ class ssiVAE(baseVAE):
         (reference: ``ssivae.py:638-649``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         if self._decode_jit is None:
-            if self.coord > 0:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]},
-                        jnp.broadcast_to(coords, (zz.shape[0],) + coords.shape), zz))
-            else:
-                self._decode_jit = jax.jit(
-                    lambda p, coords, zz: self.decoder_net.apply(
-                        {"params": p["decoder"]}, zz))
+            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_jit(self.params, coords, z)
         return loc.reshape((-1,) + self.data_dim)

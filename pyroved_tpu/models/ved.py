@@ -62,7 +62,7 @@ class VED(baseVAE):
         self._init_params()
         self._encode_jit = None
         self._decode_jit = None
-        self._predict_jit = None
+        self._predict_jit = {}
 
     def _init_params(self) -> None:
         x0 = jnp.zeros((1,) + self.input_dim + (self.input_channels,), jnp.float32)
@@ -143,17 +143,17 @@ class VED(baseVAE):
         one batched call -> (mean, std) over samples
         (reference: ``ved.py:198-216`` with its 30-sample loop)."""
         x = self._with_channels(self._as_f32(x_new), self.input_dim)
-        if self._predict_jit is None:
-            def _predict(params, xx, rng):
+        if num_samples not in self._predict_jit:  # cache keyed per sample count
+            def _predict(params, xx, rng, S=num_samples):
                 mu, sig = self._apply_encoder(params, xx)
-                eps = jax.random.normal(rng, (num_samples,) + mu.shape, mu.dtype)
+                eps = jax.random.normal(rng, (S,) + mu.shape, mu.dtype)
                 zs = mu[None] + sig[None] * eps                   # [S,B,Z]
                 flat = zs.reshape(-1, zs.shape[-1])               # one [S*B] decode
                 ys = self._apply_decoder(params, flat)
-                ys = ys.reshape((num_samples,) + (xx.shape[0],) + ys.shape[1:])
+                ys = ys.reshape((S,) + (xx.shape[0],) + ys.shape[1:])
                 return ys.mean(0), ys.std(0)
-            self._predict_jit = jax.jit(_predict)
-        mean, std = self._predict_jit(self.params, x, self.next_rng())
+            self._predict_jit[num_samples] = jax.jit(_predict)
+        mean, std = self._predict_jit[num_samples](self.params, x, self.next_rng())
         if self.output_channels == 1:
             mean, std = mean[..., 0], std[..., 0]
         return mean, std

@@ -24,14 +24,14 @@ def pixel_sharded_decode(model, z, mesh: Mesh, axis: str = "data"):
         raise ValueError("pixel_sharded_decode requires a spatial decoder")
     z = jnp.asarray(z, jnp.float32)
     grid = model.grid
-    sharding = NamedSharding(mesh, P("data", None))
+    sharding = NamedSharding(mesh, P(axis, None))
     grid = jax.device_put(grid, sharding)  # [N, D] sharded over pixels
 
     @jax.jit
     def f(params, grid, zz):
         coords = jnp.broadcast_to(grid, (zz.shape[0],) + grid.shape)
         coords = jax.lax.with_sharding_constraint(
-            coords, NamedSharding(mesh, P(None, "data", None)))
+            coords, NamedSharding(mesh, P(None, axis, None)))
         return model.decoder_net.apply({"params": params["decoder"]}, coords, zz)
 
     return f(model.params, grid, z)

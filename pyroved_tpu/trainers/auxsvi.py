@@ -107,6 +107,10 @@ class auxSVItrainer:
 
         p = (len(loader_sup) + len(loader_unsup)) // max(len(loader_sup), 1)
         p = max(p, 1)
+        # The reference's `i % p == 1` cadence never fires when p == 1
+        # (labeled batches >= unlabeled) — labels would silently never train.
+        # Deviate: supervise every iteration in that regime (docs/DEVIATIONS.md).
+        sup_now = (lambda i: True) if p == 1 else (lambda i: i % p == 1)
         self.rng, epoch_rng = jax.random.split(self.rng)
         losses, unsup_count = [], 0
         sup_i = 0
@@ -119,7 +123,7 @@ class auxSVItrainer:
                 params, opt_state, step_rng, jnp.take(xu, bidx, 0), bw, beta)
             losses.append(loss)  # stays on device; sync once per epoch
             unsup_count += int(w_u[i].sum())
-            if i % p == 1:
+            if sup_now(i):
                 j = sup_i % idx_s.shape[0]
                 sup_i += 1
                 sb = jnp.asarray(idx_s[j])

@@ -115,11 +115,9 @@ def init_dataloader(*args, random_sampler: bool = False, shuffle: bool = True,
                     **kwargs) -> DataLoader:
     """Drop-in equivalent of the reference's ``init_dataloader``
     (``utils/data.py:6-38``). ``random_sampler`` maps to shuffling (sampling
-    with a fresh permutation per epoch)."""
-    batch_size = kwargs.get("batch_size", 100)
-    seed = kwargs.get("seed", 0)
-    return DataLoader(*args, batch_size=batch_size,
-                      shuffle=shuffle or random_sampler, seed=seed)
+    with a fresh permutation per epoch). All other kwargs (``batch_size``,
+    ``seed``, ``device_resident``) are forwarded to :class:`DataLoader`."""
+    return DataLoader(*args, shuffle=shuffle or random_sampler, **kwargs)
 
 
 def init_ssvae_dataloaders(data_unsup, data_sup: Sequence, data_val: Sequence,

@@ -83,3 +83,34 @@ def test_task_validation():
     model = ssiVAE(DATA, latent_dim=2, num_classes=3)
     with pytest.raises(ValueError):
         auxSVItrainer(model, task="segmentation")
+
+
+def test_supervised_steps_fire_when_p_equals_one():
+    """More labeled than unlabeled batches (p==1): labels must still train
+    (the reference's `i % p == 1` cadence silently never fires there)."""
+    rng = np.random.default_rng(0)
+    X_unsup = _data(16, rng)   # 2 batches
+    X_sup = _data(32, rng)     # 4 batches -> p = (4+2)//4 = 1
+    y_sup = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 32)]
+    loaders = init_ssvae_dataloaders(X_unsup, (X_sup, y_sup),
+                                     (X_sup, y_sup), batch_size=8)
+    model = ssiVAE(DATA, latent_dim=2, num_classes=3)
+    cls0 = jax.device_get(model.params["encoder_y"])
+    trainer = auxSVItrainer(model)
+    trainer.step(loaders[0], loaders[1])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(cls0),
+                        jax.tree_util.tree_leaves(model.params["encoder_y"])))
+    assert changed  # aux loss touched the classifier -> labels trained
+
+
+def test_ss_reg_fit_accepts_1d_labels():
+    from pyroved_tpu.models import ss_reg_iVAE
+    rng = np.random.default_rng(0)
+    X_unsup = _data(16, rng)
+    Xl = _data(16, rng)
+    yl = rng.normal(size=16).astype(np.float32)  # 1-D scalar targets
+    m = ss_reg_iVAE(DATA, latent_dim=2, reg_dim=1)
+    trainer = m.fit(X_unsup, (Xl, yl), epochs=1, batch_size=8)
+    assert np.isfinite(trainer.history["training_loss"][0])

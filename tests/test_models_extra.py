@@ -187,3 +187,13 @@ def test_ved_encode_decode_manifold():
     assert dec.shape == (2, 32)
     loc = m.manifold2d(2, plot=False)
     assert loc.shape == (4, 32)
+
+
+def test_ved_predict_num_samples_not_cached_stale():
+    m = VED((16, 16), (32,), latent_dim=2,
+            hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+    x = np.random.default_rng(0).uniform(0, 1, (3, 16, 16)).astype(np.float32)
+    m.predict(x, num_samples=4)
+    mean, std = m.predict(x, num_samples=16)  # must NOT reuse the 4-sample jit
+    assert 4 in m._predict_jit and 16 in m._predict_jit
+    assert mean.shape == (3, 32)
