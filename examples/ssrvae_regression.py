@@ -8,7 +8,7 @@ import numpy as np
 import pyroved_tpu as pv
 pv.utils.profiling.enable_compilation_cache()
 
-EPOCHS = 30
+EPOCHS = 100
 
 
 def synthetic(n, seed=0):
@@ -23,8 +23,14 @@ def synthetic(n, seed=0):
 
 if __name__ == "__main__":
     X_unsup, _ = synthetic(2000, seed=0)
-    X_lab, y_lab = synthetic(200, seed=1)
+    X_lab, y_lab = synthetic(400, seed=1)
     X_val, y_val = synthetic(400, seed=2)
+    # standardize targets: the model's y-prior is N(0, regressor_sig), so
+    # centered/scaled targets are the canonical usage (as in the reference's
+    # regression notebooks)
+    mu_y, sd_y = y_lab.mean(), y_lab.std()
+    y_lab = (y_lab - mu_y) / sd_y
+    y_val = (y_val - mu_y) / sd_y
 
     ssr = pv.models.ss_reg_iVAE((16, 16), latent_dim=2, reg_dim=1,
                                 invariances=["r"])
