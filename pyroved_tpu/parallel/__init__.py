@@ -2,6 +2,7 @@
 from .mesh import (create_mesh, data_parallel_mesh, replicate_params,
                    tensor_parallel_params)
 from .spatial import pixel_sharded_decode
+from .spmd import make_spmd_train_step
 
 __all__ = ["create_mesh", "data_parallel_mesh", "replicate_params",
-           "tensor_parallel_params", "pixel_sharded_decode"]
+           "tensor_parallel_params", "pixel_sharded_decode", "make_spmd_train_step"]
