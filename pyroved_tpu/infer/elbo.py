@@ -21,6 +21,24 @@ from . import dists
 Array = jax.Array
 
 
+class TraceELBO:
+    """Configuration object mirroring ``pyro.infer.Trace_ELBO`` for the
+    trainer's ``loss=`` argument (reference: ``trainers/svi.py:82-91``):
+    ``SVItrainer(model, loss=TraceELBO(num_particles=4, kl='analytic'))``
+    applies the estimator settings to the model's loss function."""
+
+    def __init__(self, num_particles: int = 1, kl: str = "mc"):
+        if kl not in ("mc", "analytic"):
+            raise ValueError("kl must be 'mc' or 'analytic'")
+        self.num_particles = int(num_particles)
+        self.kl = kl
+
+    def configure(self, model) -> None:
+        model.kl_mode = self.kl
+        if hasattr(model, "num_particles"):
+            model.num_particles = self.num_particles
+
+
 def normal_latent_site(
     rng: Array,
     loc: Array,

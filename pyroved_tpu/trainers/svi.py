@@ -62,7 +62,9 @@ class SVItrainer:
     def __init__(self, model, optimizer: Optional[optax.GradientTransformation] = None,
                  loss=None, enumerate_parallel: bool = False, seed: int = 1,
                  **kwargs):
-        del loss, enumerate_parallel  # parity-only arguments
+        del enumerate_parallel  # parity-only: enumeration lives in loss_fn
+        if loss is not None:  # infer.TraceELBO(num_particles=, kl=)
+            loss.configure(model)
         self.model = model
         lr = kwargs.get("lr", 1e-3)
         self.optimizer = optimizer if optimizer is not None else optax.adam(lr)

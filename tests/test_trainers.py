@@ -111,3 +111,13 @@ def test_fit_ssivae_convenience():
     trainer = m.fit(X_unsup, (Xl, yl), epochs=1, batch_size=8)
     assert len(trainer.history["training_loss"]) == 1
     assert 0.0 <= trainer.history["test"][-1] <= 1.0
+
+
+def test_trace_elbo_loss_arg():
+    from pyroved_tpu.infer import TraceELBO
+    model = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    SVItrainer(model, loss=TraceELBO(num_particles=3, kl="analytic"))
+    assert model.num_particles == 3 and model.kl_mode == "analytic"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TraceELBO(kl="exact")
