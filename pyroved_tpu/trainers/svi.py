@@ -76,6 +76,8 @@ class SVItrainer:
         # crash — user-owned loops, SURVEY.md section 5).
         self.checkpoint_path = kwargs.get("checkpoint_path")
         self.checkpoint_every = int(kwargs.get("checkpoint_every", 10))
+        # Observability: append one JSONL record per epoch when set.
+        self.log_file = kwargs.get("log_file")
         self.loss_history = {"training_loss": [], "test_loss": []}
         self.epoch_times = []
         self.current_epoch = 0
@@ -227,6 +229,15 @@ class SVItrainer:
             self.loss_history["test_loss"].append(self.evaluate(test_loader, **kwargs))
         self.epoch_times.append(time.perf_counter() - t0)
         self.current_epoch += 1
+        if self.log_file:
+            import json
+            record = {"epoch": self.current_epoch,
+                      "training_loss": self.loss_history["training_loss"][-1],
+                      "epoch_seconds": self.epoch_times[-1]}
+            if test_loader is not None:
+                record["test_loss"] = self.loss_history["test_loss"][-1]
+            with open(self.log_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
         if (self.checkpoint_path
                 and self.current_epoch % self.checkpoint_every == 0):
             from ..utils.checkpoint import save_checkpoint

@@ -6,7 +6,7 @@ from .coord import (generate_grid, generate_latent_grid,
                     generate_latent_grid_traversal, grid2xy, imcoordgrid,
                     rotate_coordinates, scale_coordinates,
                     transform_coordinates)
-from .data import DataLoader, init_dataloader, init_ssvae_dataloaders
+from .data import DataLoader, init_dataloader, init_ssvae_dataloaders, prefetch
 from .gp import GPRegression, gp_model
 from .nn import (Concat, as_numpy, average_weights, concat_features,
                  get_activation, get_bnorm, get_conv, get_maxpool,
@@ -19,7 +19,7 @@ __all__ = [
     "generate_grid", "generate_latent_grid", "generate_latent_grid_traversal",
     "grid2xy", "imcoordgrid", "rotate_coordinates", "scale_coordinates",
     "transform_coordinates", "DataLoader", "init_dataloader",
-    "init_ssvae_dataloaders", "as_numpy", "average_weights", "Concat",
+    "init_ssvae_dataloaders", "prefetch", "as_numpy", "average_weights", "Concat",
     "concat_features", "get_activation", "get_bnorm", "get_conv",
     "get_maxpool", "set_deterministic_mode", "to_onehot", "get_sampler",
     "GPRegression", "gp_model", "save_checkpoint", "load_checkpoint",

@@ -111,6 +111,36 @@ class DataLoader:
         return self.num_batches
 
 
+def prefetch(loader, size: int = 2):
+    """Iterate ``loader`` with a background producer thread keeping ``size``
+    batches in flight, overlapping host-side gather/upload with device
+    compute. The C++ gather in :mod:`pyroved_tpu.native` releases the GIL,
+    so the producer runs truly concurrently with the training step.
+    Intended for ``device_resident=False`` loaders; device-resident epochs
+    already run as a single on-device scan and gain nothing."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in loader:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
+
+
 def init_dataloader(*args, random_sampler: bool = False, shuffle: bool = True,
                     **kwargs) -> DataLoader:
     """Drop-in equivalent of the reference's ``init_dataloader``

@@ -57,3 +57,35 @@ def test_streaming_and_resident_losses_close():
     l2 = t2.train(DataLoader(x, batch_size=16, seed=1, device_resident=False))
     # same data, same epoch seeds -> same permutation -> near-identical loss
     np.testing.assert_allclose(l1, l2, rtol=1e-4)
+
+
+def test_prefetch_wrapper():
+    from pyroved_tpu.utils import prefetch
+    x = np.random.default_rng(0).uniform(0, 1, (48, 8, 8)).astype(np.float32)
+    loader = DataLoader(x, batch_size=16, device_resident=False, shuffle=False)
+    batches = list(prefetch(loader, size=2))
+    assert len(batches) == 3
+    direct = list(DataLoader(x, batch_size=16, device_resident=False, shuffle=False))
+    for (a,), (b,) in zip(batches, direct):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # trainer consumes a prefetched stream via the streaming fallback
+    model = iVAE((8, 8), latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model)
+    loss = trainer.train(prefetch(DataLoader(x, batch_size=16,
+                                             device_resident=False)))
+    assert np.isfinite(loss)
+
+
+def test_trainer_jsonl_logging(tmp_path):
+    import json
+    path = str(tmp_path / "metrics.jsonl")
+    model = iVAE((8, 8), latent_dim=2, invariances=None)
+    x = np.random.default_rng(0).uniform(0, 1, (32, 8, 8)).astype(np.float32)
+    loader = DataLoader(x, batch_size=16)
+    trainer = SVItrainer(model, log_file=path)
+    trainer.step(loader)
+    trainer.step(loader)
+    records = [json.loads(l) for l in open(path)]
+    assert len(records) == 2
+    assert records[1]["epoch"] == 2
+    assert "training_loss" in records[0] and "epoch_seconds" in records[0]
