@@ -140,3 +140,15 @@ def test_activation_variants_match_reference(act, sig):
     gr = jax.grad(lambda r: jnp.sum(jnp.sin(ref_fn(r))))(rest)
     for a_, b_ in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=1e-4, rtol=1e-3)
+
+
+def test_three_layer_mlp():
+    args = _make(2, B=4, N=256, nl=3, seed=7)
+    out = sd.fused_spatial_decoder(*args)
+    ref = _ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    grid, rest = args[0], args[1:]
+    gf = jax.grad(lambda r: jnp.sum(sd.fused_spatial_decoder(grid, *r) ** 2))(rest)
+    gr = jax.grad(lambda r: jnp.sum(_ref(grid, *r) ** 2))(rest)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
