@@ -50,6 +50,7 @@ class VED(baseVAE):
         self.z_dim = int(latent_dim)
         self.batchnorm = bool(batchnorm)
         self.kl_mode = kwargs.get("kl", "mc")
+        self.num_particles = int(kwargs.get("num_particles", 1))
 
         self.encoder_net = convEncoderNet(
             self.input_dim, latent_dim, hidden_dim_e, batchnorm, activation,
@@ -111,12 +112,18 @@ class VED(baseVAE):
         x, y = batch[0], batch[1]
         x = self._with_channels(x, self.input_dim)
         y = self._with_channels(y, self.output_dim)
+        B = x.shape[0]
         mu, sig = self._apply_encoder(params, x)
+        P = self.num_particles
+        if P > 1:
+            mu = jnp.broadcast_to(mu, (P,) + mu.shape)
+            sig = jnp.broadcast_to(sig, (P,) + sig.shape)
         z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
-        loc = self._apply_decoder(params, z)
-        recon = obs_site(self.sampler_d, y.reshape(y.shape[0], -1),
-                         loc.reshape(loc.shape[0], -1))
-        return -(recon + latent_term)
+        loc = self._apply_decoder(params, z.reshape(-1, z.shape[-1]))
+        recon = obs_site(self.sampler_d, y.reshape(B, -1),
+                         loc.reshape(z.shape[:-1] + (-1,)))
+        per_example = -(recon + latent_term)
+        return per_example.mean(0) if P > 1 else per_example
 
     # ------------------------------------------------------------------
     def encode(self, x_new, **kwargs) -> Tuple[Array, Array]:

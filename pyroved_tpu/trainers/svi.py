@@ -78,6 +78,10 @@ class SVItrainer:
         self.checkpoint_every = int(kwargs.get("checkpoint_every", 10))
         # Observability: append one JSONL record per epoch when set.
         self.log_file = kwargs.get("log_file")
+        # remat=True rematerializes the loss forward pass in the backward
+        # (jax.checkpoint): trades FLOPs for activation memory — for large
+        # grids / batches that would otherwise exceed HBM.
+        self.remat = bool(kwargs.get("remat", False))
         self.loss_history = {"training_loss": [], "test_loss": []}
         self.epoch_times = []
         self.current_epoch = 0
@@ -94,6 +98,8 @@ class SVItrainer:
 
     def _build_epoch_fns(self):
         loss_fn = self.model.loss_fn
+        if self.remat:
+            loss_fn = jax.checkpoint(loss_fn, static_argnums=())
         optimizer = self.optimizer
 
         def batch_loss(params, rng, batch, weights, beta):

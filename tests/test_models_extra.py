@@ -197,3 +197,14 @@ def test_ved_predict_num_samples_not_cached_stale():
     mean, std = m.predict(x, num_samples=16)  # must NOT reuse the 4-sample jit
     assert 4 in m._predict_jit and 16 in m._predict_jit
     assert mean.shape == (3, 32)
+
+
+def test_ved_num_particles():
+    m = VED((16, 16), (32,), latent_dim=2, num_particles=4,
+            hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 1, (3, 32)), jnp.float32)
+    loss = m.loss_fn(m.params, RNG, (x, y), jnp.asarray(1.0))
+    assert loss.shape == (3,)
+    assert np.isfinite(np.asarray(loss)).all()

@@ -141,3 +141,14 @@ def test_golden_rvae_loss_band():
     # band measured on the reference implementation of this exact config
     assert 40.0 < final < 110.0, final
     assert trainer.loss_history["training_loss"][0] > final
+
+
+def test_remat_matches_plain():
+    x = _rand_imgs(32)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    t1 = SVItrainer(m1, seed=2)
+    t2 = SVItrainer(m2, seed=2, remat=True)
+    l1 = t1.train(init_dataloader(x, batch_size=16, seed=5))
+    l2 = t2.train(init_dataloader(x, batch_size=16, seed=5))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
