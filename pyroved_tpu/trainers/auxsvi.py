@@ -89,6 +89,46 @@ class auxSVItrainer:
         self._step_unsup = jax.jit(unsup_step, donate_argnums=(0, 1))
         self._step_sup = jax.jit(sup_step, donate_argnums=(0, 1, 2))
 
+        # Whole-epoch scan (device-resident loaders): one dispatch per epoch,
+        # same execution model as SVItrainer. The interleave cadence is
+        # static per epoch, so it is precomputed as a boolean mask and the
+        # scan body wraps the supervised update in lax.cond.
+        def epoch(params, opt_state, aux_opt_state, rng, xu, sup_arrays,
+                  idx_u, w_u, idx_s, w_s, sup_mask, sup_j, beta, aux_mult):
+            def body(carry, inp):
+                params, opt_state, aux_opt_state = carry
+                bidx, bw, sb, sw, do_sup, step = inp
+                x = jnp.take(xu, bidx, axis=0)
+                rng_u = jax.random.fold_in(rng, 2 * step)
+                params, opt_state, loss = unsup_step(
+                    params, opt_state, rng_u, x, bw, beta)
+
+                sup_batch = tuple(jnp.take(a, sb, axis=0) for a in sup_arrays)
+                rng_s = jax.random.fold_in(rng, 2 * step + 1)
+
+                def with_sup(args):
+                    params, opt_state, aux_opt_state = args
+                    params, opt_state, aux_opt_state, _ = sup_step(
+                        params, opt_state, aux_opt_state, rng_s,
+                        sup_batch[0], sup_batch[1], sw, beta, aux_mult)
+                    return params, opt_state, aux_opt_state
+
+                params, opt_state, aux_opt_state = jax.lax.cond(
+                    do_sup, with_sup, lambda args: args,
+                    (params, opt_state, aux_opt_state))
+                return (params, opt_state, aux_opt_state), loss
+
+            steps = jnp.arange(idx_u.shape[0])
+            sup_idx_rows = jnp.take(idx_s, sup_j, axis=0)
+            sup_w_rows = jnp.take(w_s, sup_j, axis=0)
+            carry, losses = jax.lax.scan(
+                body, (params, opt_state, aux_opt_state),
+                (idx_u, w_u, sup_idx_rows, sup_w_rows, sup_mask, steps))
+            params, opt_state, aux_opt_state = carry
+            return params, opt_state, aux_opt_state, jnp.sum(losses)
+
+        self._epoch_jit = jax.jit(epoch, donate_argnums=(0, 1, 2))
+
     # ------------------------------------------------------------------
     def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,
               **kwargs) -> float:
@@ -112,30 +152,26 @@ class auxSVItrainer:
         # Deviate: supervise every iteration in that regime (docs/DEVIATIONS.md).
         sup_now = (lambda i: True) if p == 1 else (lambda i: i % p == 1)
         self.rng, epoch_rng = jax.random.split(self.rng)
-        losses, unsup_count = [], 0
-        sup_i = 0
-        params, opt_state = self.model.params, self.opt_state
-        for i in range(idx_u.shape[0]):
-            bidx = jnp.asarray(idx_u[i])
-            bw = jnp.asarray(w_u[i])
-            step_rng = jax.random.fold_in(epoch_rng, 2 * i)
-            params, opt_state, loss = self._step_unsup(
-                params, opt_state, step_rng, jnp.take(xu, bidx, 0), bw, beta)
-            losses.append(loss)  # stays on device; sync once per epoch
-            unsup_count += int(w_u[i].sum())
-            if sup_now(i):
-                j = sup_i % idx_s.shape[0]
-                sup_i += 1
-                sb = jnp.asarray(idx_s[j])
-                sw = jnp.asarray(w_s[j])
-                batch = tuple(jnp.take(a, sb, 0) for a in sup_arrays)
-                step_rng = jax.random.fold_in(epoch_rng, 2 * i + 1)
-                params, opt_state, self.aux_opt_state, _ = self._step_sup(
-                    params, opt_state, self.aux_opt_state, step_rng,
-                    batch[0], batch[1], sw, beta, aux_mult)
+
+        # static interleave schedule for this epoch
+        nb = idx_u.shape[0]
+        sup_mask = np.asarray([sup_now(i) for i in range(nb)], bool)
+        sup_j = np.zeros(nb, np.int32)
+        j = 0
+        for i in range(nb):
+            if sup_mask[i]:
+                sup_j[i] = j % idx_s.shape[0]
+                j += 1
+        unsup_count = float(w_u.sum())
+
+        params, opt_state, self.aux_opt_state, total = self._epoch_jit(
+            self.model.params, self.opt_state, self.aux_opt_state, epoch_rng,
+            xu, sup_arrays, jnp.asarray(idx_u), jnp.asarray(w_u),
+            jnp.asarray(idx_s), jnp.asarray(w_s), jnp.asarray(sup_mask),
+            jnp.asarray(sup_j), beta, aux_mult)
         self.model.params = params
         self.opt_state = opt_state
-        return float(sum(losses)) / max(unsup_count, 1)
+        return float(total) / max(unsup_count, 1.0)
 
     # ------------------------------------------------------------------
     def evaluate(self, loader_val: DataLoader) -> float:
