@@ -152,3 +152,18 @@ def test_remat_matches_plain():
     l1 = t1.train(init_dataloader(x, batch_size=16, seed=5))
     l2 = t2.train(init_dataloader(x, batch_size=16, seed=5))
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_full_training_determinism():
+    """Same seeds -> bitwise-identical loss history (RNG discipline)."""
+    x = _rand_imgs(48)
+
+    def run():
+        model = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=11)
+        trainer = SVItrainer(model, seed=13)
+        loader = init_dataloader(x, batch_size=16, seed=17)
+        for _ in range(3):
+            trainer.step(loader)
+        return trainer.loss_history["training_loss"]
+
+    np.testing.assert_array_equal(run(), run())
