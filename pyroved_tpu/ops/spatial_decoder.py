@@ -46,6 +46,13 @@ def _pixel_tile(H: int) -> int:
 # with Precision.HIGHEST reference paths.
 BF16_MATMUL = True
 
+# Hidden-activation dtype. Measured on v5e: bfloat16 activations give NO
+# speedup over f32 here (Mosaic evaluates the tanh transcendental at full
+# precision either way, and the casts add VPU work), so the default stays
+# f32 for strict parity. The flag remains for memory-constrained configs
+# (halves the activation VMEM, letting wider hidden dims keep larger tiles).
+ACT_DTYPE = jnp.float32
+
 
 def _mxu_dot(a, b):
     if BF16_MATMUL:
@@ -115,20 +122,22 @@ def _fwd_kernel(n_layers, coord_dim, act, sigmoid_out,
         sc = sc_ref[:]
         u = sc * (c * wc[0:1, :] + s * wc[1:2, :])    # [B_T, H]
         v = sc * (-s * wc[0:1, :] + c * wc[1:2, :])   # [B_T, H]
-        h = jnp.tanh(gx[None, :, None] * u[:, None, :]
-                     + gy[None, :, None] * v[:, None, :]
-                     + w_vec[:, None, :])
+        pre = (gx[None, :, None] * u[:, None, :]
+               + gy[None, :, None] * v[:, None, :]
+               + w_vec[:, None, :])
     else:
         u = jnp.broadcast_to(wc[0:1, :], w_vec.shape)
-        h = jnp.tanh(gx[None, :, None] * u[:, None, :] + w_vec[:, None, :])
+        pre = gx[None, :, None] * u[:, None, :] + w_vec[:, None, :]
+    h = jnp.tanh(pre.astype(ACT_DTYPE))  # h0 always tanh; VPU runs ACT_DTYPE
     bt, nt, H = h.shape
     h = h.reshape(bt * nt, H)
     for l in range(n_layers):
-        h = _act(act, _mxu_dot(h, hw_ref[l]) + hb_ref[l])
+        h = _act(act, (_mxu_dot(h, hw_ref[l]) + hb_ref[l]).astype(ACT_DTYPE))
     # output head as a VPU lane-reduce (wout passed transposed, [1, H]);
     # a (BN, H) @ (H, 1) matmul would waste the MXU and trip Mosaic's
     # lane<->sublane reshape restrictions
-    logit = jnp.sum(h.reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt, nt]
+    logit = jnp.sum(h.reshape(bt, nt, H).astype(jnp.float32) * wout_ref[:],
+                    axis=-1)  # [bt, nt] f32
     logit = logit + bout_ref[0, 0]
     out_ref[:] = jax.nn.sigmoid(logit) if sigmoid_out else logit
 
@@ -233,17 +242,19 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out,
         a1 = -s * wc[0:1, :] + c * wc[1:2, :]
         u = sc * a0
         v = sc * a1
-        h0 = jnp.tanh(gx[None, :, None] * u[:, None, :]
-                      + gy[None, :, None] * v[:, None, :]
-                      + w_vec[:, None, :])
+        pre0 = (gx[None, :, None] * u[:, None, :]
+                + gy[None, :, None] * v[:, None, :]
+                + w_vec[:, None, :])
     else:
-        h0 = jnp.tanh(gx[None, :, None] * wc[0:1, :][None]
-                      + w_vec[:, None, :])
+        pre0 = gx[None, :, None] * wc[0:1, :][None] + w_vec[:, None, :]
+    h0 = jnp.tanh(pre0.astype(ACT_DTYPE))
     bt, nt, H = h0.shape
     hs = [h0.reshape(bt * nt, H)]
     for l in range(n_layers):
-        hs.append(_act(act, _mxu_dot(hs[-1], hw_ref[l]) + hb_ref[l]))
-    logit = jnp.sum(hs[-1].reshape(bt, nt, H) * wout_ref[:], axis=-1)  # [bt,nt]
+        hs.append(_act(act, (_mxu_dot(hs[-1], hw_ref[l])
+                             + hb_ref[l]).astype(ACT_DTYPE)))
+    logit = jnp.sum(hs[-1].reshape(bt, nt, H).astype(jnp.float32)
+                    * wout_ref[:], axis=-1)  # [bt,nt]
     logit = logit + bout_ref[0, 0]
 
     # ---- backprop. Mosaic restriction notes: no lane<->sublane reshapes,
@@ -257,14 +268,16 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out,
         dl2 = g_ref[:]
     dbout_ref[0, 0] += jnp.sum(dl2)
     dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
-    dwout_ref[:] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
+    dwout_ref[:] += jnp.sum(hs[-1].astype(jnp.float32) * dl_bn, axis=0,
+                            keepdims=True)
     dh = dl_bn * wout_ref[:]
     for l in range(n_layers - 1, -1, -1):
-        d_pre = dh * _act_grad_from_post(act, hs[l + 1])
+        d_pre = dh * _act_grad_from_post(act, hs[l + 1]).astype(jnp.float32)
         dhw_ref[l] += _mxu_dot(hs[l].T, d_pre)
         dhb_ref[l] += jnp.sum(d_pre, axis=0)
         dh = _mxu_dot(d_pre, hw_ref[l].T)
-    d0 = dh * (1.0 - hs[0] * hs[0])                        # [BN, H]
+    h0f = hs[0].astype(jnp.float32)
+    d0 = dh * (1.0 - h0f * h0f)                            # [BN, H] f32
 
     # per-batch reductions over the pixel axis via static row slices
     gxc = grid_ref[:, 0:1]                                 # [nt, 1]

@@ -20,9 +20,11 @@ def interpret_mode(monkeypatch):
         kwargs["interpret"] = True
         return orig(*args, **kwargs)
 
+    monkeypatch.setattr(sd, "pl", sd.pl)
     monkeypatch.setattr(sd.pl, "pallas_call", patched)
     # bit-level comparison against the f32 XLA reference
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
+    monkeypatch.setattr(sd, "ACT_DTYPE", jnp.float32)
 
 
 def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0):
@@ -152,3 +154,15 @@ def test_three_layer_mlp():
     gr = jax.grad(lambda r: jnp.sum(_ref(grid, *r) ** 2))(rest)
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_bf16_activations_close_to_f32(monkeypatch):
+    """Default bf16 activation mode stays within VAE-training tolerance of
+    the f32 reference (values in (0,1) after sigmoid; ~1e-2 abs)."""
+    monkeypatch.setattr(sd, "BF16_MATMUL", True)
+    monkeypatch.setattr(sd, "ACT_DTYPE", jnp.bfloat16)
+    args = _make(2, B=5, N=300)
+    out = sd.fused_spatial_decoder(*args)
+    ref = _ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+    assert float(jnp.abs(out - ref).mean()) < 5e-3
