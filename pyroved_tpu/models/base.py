@@ -151,6 +151,23 @@ class baseVAE:
         return coords[0]
 
     # ------------------------------------------------------------------
+    # Multi-sample ELBO (Pyro Trace_ELBO num_particles analog)
+    # ------------------------------------------------------------------
+    def _particle_loss(self, single_fn, params, rng: Array, batch, beta) -> Array:
+        """Average ``num_particles`` independent single-sample ELBO estimates
+        per example by tiling the batch P-fold (fresh latent noise per tile;
+        one batched decode, no Python loop). Returns per-example [B]."""
+        P = int(getattr(self, "num_particles", 1))
+        if P <= 1:
+            return single_fn(params, rng, batch, beta)
+        B = batch[0].shape[0]
+        tiled = tuple(
+            jnp.broadcast_to(a, (P,) + a.shape).reshape((P * B,) + a.shape[1:])
+            for a in batch)
+        per = single_fn(params, rng, tiled, beta)
+        return per.reshape(P, B).mean(0)
+
+    # ------------------------------------------------------------------
     # Shared decoder machinery
     # ------------------------------------------------------------------
     def _setup_fusion(self, hidden_dim_d, activation: str, sigmoid_d: bool,

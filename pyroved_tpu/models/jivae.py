@@ -59,6 +59,7 @@ class jiVAE(baseVAE):
         self.z_dim = self.latent_dim + self.coord
         self.discrete_dim = int(discrete_dim)
         self.kl_mode = kwargs.get("kl", "mc")
+        self.num_particles = int(kwargs.get("num_particles", 1))
 
         self.encoder_net = jfcEncoderNet(
             self.data_dim, self.z_dim, self.discrete_dim, hidden_dim_e,
@@ -101,7 +102,12 @@ class jiVAE(baseVAE):
                 beta: Array) -> Array:
         """Per-example negative ELBO with exact K-way discrete enumeration
         (replaces TraceEnum_ELBO on the reference program,
-        ``jivae.py:152-220``). ``beta`` is ``[beta_cont, beta_disc]``."""
+        ``jivae.py:152-220``); averaged over ``num_particles`` estimates.
+        ``beta`` is ``[beta_cont, beta_disc]``."""
+        return self._particle_loss(self._loss_single, params, rng, batch, beta)
+
+    def _loss_single(self, params, rng: Array, batch: Tuple[Array, ...],
+                     beta: Array) -> Array:
         x = batch[0]
         B = x.shape[0]
         K = self.discrete_dim

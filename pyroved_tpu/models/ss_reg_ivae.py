@@ -52,6 +52,7 @@ class ss_reg_iVAE(baseVAE):
         self.reg_dim = int(reg_dim)
         self.reg_sig = float(kwargs.get("regressor_sig", 0.5))
         self.kl_mode = kwargs.get("kl", "mc")
+        self.num_particles = int(kwargs.get("num_particles", 1))
         self.task = "regression"
 
         self.encoder_net = fcEncoderNet(
@@ -97,7 +98,11 @@ class ss_reg_iVAE(baseVAE):
         """Per-example negative ELBO (reference model/guide:
         ``ss_reg_ivae.py:586-642``). Labeled (x, y): y observed under the
         N(0, reg_sig) prior. Unlabeled (x,): y ~ q(y|x) sampled and scored
-        against prior and guide."""
+        against prior and guide. Averaged over ``num_particles`` estimates."""
+        return self._particle_loss(self._loss_single, params, rng, batch, beta)
+
+    def _loss_single(self, params, rng: Array, batch: Tuple[Array, ...],
+                     beta: Array) -> Array:
         x = batch[0]
         B = x.shape[0]
         xf = x.reshape(B, -1)

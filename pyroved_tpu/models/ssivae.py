@@ -53,6 +53,7 @@ class ssiVAE(baseVAE):
         self.z_dim = self.latent_dim + self.coord
         self.num_classes = int(num_classes)
         self.kl_mode = kwargs.get("kl", "mc")
+        self.num_particles = int(kwargs.get("num_particles", 1))
         self.task = "classification"
 
         self.encoder_net = fcEncoderNet(
@@ -125,7 +126,11 @@ class ssiVAE(baseVAE):
         """Per-example negative ELBO. Labeled batches (x, y): y observed in
         the model (``ssivae.py:519``). Unlabeled batches (x,): exact
         enumeration over classes (reference guide ``ssivae.py:527-544`` under
-        ``config_enumerate``)."""
+        ``config_enumerate``). Averaged over ``num_particles`` estimates."""
+        return self._particle_loss(self._loss_single, params, rng, batch, beta)
+
+    def _loss_single(self, params, rng: Array, batch: Tuple[Array, ...],
+                     beta: Array) -> Array:
         x = batch[0]
         B = x.shape[0]
         K = self.num_classes

@@ -208,3 +208,27 @@ def test_ved_num_particles():
     loss = m.loss_fn(m.params, RNG, (x, y), jnp.asarray(1.0))
     assert loss.shape == (3,)
     assert np.isfinite(np.asarray(loss)).all()
+
+
+@pytest.mark.parametrize("make", [
+    lambda **kw: jiVAE(DATA_2D, latent_dim=2, discrete_dim=3,
+                       invariances=["r"], **kw),
+    lambda **kw: ssiVAE(DATA_2D, latent_dim=2, num_classes=3,
+                        invariances=["r"], **kw),
+    lambda **kw: ss_reg_iVAE(DATA_2D, latent_dim=2, reg_dim=1,
+                             invariances=["r"], **kw),
+])
+def test_num_particles_all_models(make):
+    m1 = make()
+    mp = make(num_particles=4)
+    mp.params = m1.params
+    x = _imgs(4)
+    beta = m1.prep_beta(1.0) if hasattr(m1, "prep_beta") else jnp.asarray(1.0)
+    lp = mp.loss_fn(m1.params, RNG, (x,), beta)
+    assert lp.shape == (4,)
+    assert np.isfinite(np.asarray(lp)).all()
+
+    def spread(m, n=8):
+        return np.std([float(m.loss_fn(m1.params, jax.random.PRNGKey(s),
+                                       (x,), beta).mean()) for s in range(n)])
+    assert spread(mp) < spread(m1)
