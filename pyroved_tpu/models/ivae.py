@@ -140,6 +140,32 @@ class iVAE(baseVAE):
         per_example = -(recon + latent_term)
         return per_example.mean(0) if P > 1 else per_example
 
+    def weighted_loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
+                         weights: Array, beta: Array) -> Array:
+        """Scalar weighted-sum training loss. For the fused Bernoulli+sigmoid
+        configuration, the reconstruction term and ALL its gradients come
+        from the one-pass train-gradient kernel (no duplicate forward in the
+        backward pass); other configs fall back to weighting ``loss_fn``."""
+        fast = (self.coord > 0 and self._fused and self.num_particles == 1
+                and self.sampler_d.name == "bernoulli" and self._dec_sig
+                and self._dec_act == "tanh")
+        if not fast:
+            return jnp.sum(self.loss_fn(params, rng, batch, beta) * weights)
+        from ..ops.spatial_decoder import apply_fused_recon_loss
+        x = batch[0]
+        y = batch[1] if len(batch) > 1 else None
+        B = x.shape[0]
+        xf = x.reshape(B, -1)
+        mu, sig = self.encoder_net.apply({"params": params["encoder_z"]}, xf, y)
+        z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
+        phi, dx, sc, zc = self.split_latent_full(z)
+        if y is not None:
+            zc = jnp.concatenate([zc, y], axis=-1)
+        recon_neg = apply_fused_recon_loss(
+            params["decoder"], self.grid, phi, dx, sc, zc, xf, weights,
+            self._dec_act)
+        return recon_neg - jnp.sum(weights * latent_term)
+
     # ------------------------------------------------------------------
     # Inference / generation APIs (reference ivae.py:230-310)
     # ------------------------------------------------------------------

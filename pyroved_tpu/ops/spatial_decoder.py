@@ -198,13 +198,25 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
 # Backward kernel: recompute activations per tile, accumulate grads.
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out,
-                grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
-                wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
-                g_ref,
-                dphi_ref, ddx_ref, dsc_ref, dz_ref,
-                dwc_ref, dbc_ref, dwz_ref, dhw_ref, dhb_ref, dwout_ref,
-                dbout_ref):
+def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, *refs):
+    if loss_mode:
+        # fused train-gradient mode: forward + Bernoulli loss + backward in
+        # ONE pass (no separate forward, no duplicate recompute). The recon
+        # term enters the training loss linearly with per-example weights,
+        # so its cotangent is known here and the gradients are exact.
+        (grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
+         wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
+         x_ref, wgt_ref, mask_ref,
+         dphi_ref, ddx_ref, dsc_ref, dz_ref,
+         dwc_ref, dbc_ref, dwz_ref, dhw_ref, dhb_ref, dwout_ref,
+         dbout_ref, loss_ref) = refs
+    else:
+        (grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
+         wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
+         g_ref,
+         dphi_ref, ddx_ref, dsc_ref, dz_ref,
+         dwc_ref, dbc_ref, dwz_ref, dhw_ref, dhb_ref, dwout_ref,
+         dbout_ref) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -226,6 +238,8 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out,
         dhb_ref[:] = jnp.zeros_like(dhb_ref)
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
         dbout_ref[0, 0] = 0.0
+        if loss_mode:
+            loss_ref[0, 0] = 0.0
 
     # ---- recompute forward ----
     gx = grid_ref[:, 0]
@@ -261,7 +275,16 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out,
     # no 3-D dots, and no axis-1 reductions of 3-D vectors — everything
     # below stays in 2-D [BN, H] space with full-sublane (axis-0) reduces,
     # using static per-batch row slices where a per-b reduction is needed.
-    if sigmoid_out:
+    if loss_mode:
+        # Bernoulli obs with the sigmoid head folded in:
+        # log p(x | logit) = x*logit - softplus(logit) (stable logits form);
+        # d(-w*logp)/dlogit = w * (sigmoid(logit) - x).
+        x = x_ref[:]
+        wm = wgt_ref[:] * mask_ref[:, 0][None, :]          # [bt, nt]
+        logp = x * logit - jax.nn.softplus(logit)
+        loss_ref[0, 0] += -jnp.sum(wm * logp)
+        dl2 = wm * (jax.nn.sigmoid(logit) - x)
+    elif sigmoid_out:
         out = jax.nn.sigmoid(logit)
         dl2 = g_ref[:] * out * (1.0 - out)                 # [bt, nt]
     else:
@@ -336,7 +359,7 @@ def _bwd(act, sigmoid_out, res, g):
     bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(_bwd_kernel, int(n_layers), int(D), act,
-                               bool(sigmoid_out))
+                               bool(sigmoid_out), False)
     full = lambda i, j: (0, 0)
     full3 = lambda i, j: (0, 0, 0)
     batch_blk = lambda w: pl.BlockSpec((B_T, w), lambda i, j: (i, 0),
@@ -461,3 +484,134 @@ def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z,
         act, sigmoid_out,
     )
     return out.reshape(batch_shape + (grid.shape[0],))
+
+
+# ---------------------------------------------------------------------------
+# Fused train-gradient: forward + Bernoulli reconstruction loss + backward
+# in a single kernel pass (saves the duplicate forward that the generic VJP
+# pays for rematerialization).
+# ---------------------------------------------------------------------------
+
+def _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout,
+                act):
+    B, N = z.shape[0], grid.shape[0]
+    D = grid.shape[1]
+    H = Wc.shape[1]
+    L = z.shape[1]
+    n_layers = hw.shape[0]
+    n_t = _pixel_tile(H)
+    Bp, Np = _round_up(B, B_T), _round_up(N, n_t)
+
+    grid_p = _pad_rows(grid, Np)
+    z_p = _pad_rows(z, Bp)
+    dx_p = _pad_rows(dx, Bp)
+    phi_p = _pad_rows(phi[:, None], Bp)
+    sc_p = _pad_rows(sc[:, None], Bp)
+    x_p = jnp.zeros((Bp, Np), jnp.float32).at[:B, :N].set(x)
+    wgt_p = _pad_rows(wgt[:, None].astype(jnp.float32), Bp)
+    # pixel-validity mask (grid rows beyond N are padding)
+    mask = (jnp.arange(Np) < N).astype(jnp.float32)[:, None]
+    bc2 = bc[None, :]
+    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_bwd_kernel, int(n_layers), int(D), act,
+                               True, True)
+    full = lambda i, j: (0, 0)
+    full3 = lambda i, j: (0, 0, 0)
+    batch_blk = lambda w: pl.BlockSpec((B_T, w), lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // B_T, Np // n_t),
+        in_specs=[
+            pl.BlockSpec((n_t, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            batch_blk(1), batch_blk(D), batch_blk(1), batch_blk(L),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout^T
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
+            pl.BlockSpec((B_T, n_t), lambda i, j: (i, j), memory_space=pltpu.VMEM),  # x
+            batch_blk(1),                                    # weights
+            pl.BlockSpec((n_t, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),  # pixel mask
+        ],
+        out_specs=[
+            batch_blk(1), batch_blk(D), batch_blk(1), batch_blk(L),
+            pl.BlockSpec((D, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((int(n_layers), H, H), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((int(n_layers), H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # loss
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.float32),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, H), jnp.float32),
+            jax.ShapeDtypeStruct((int(n_layers), H, H), jnp.float32),
+            jax.ShapeDtypeStruct((int(n_layers), H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+    )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2,
+      x_p, wgt_p, mask)
+    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwoutT, dbout, loss) = outs
+    grads = (dphi[:B, 0], ddx[:B], dsc[:B, 0], dz[:B],
+             dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
+    return loss.reshape(()), grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+def fused_bernoulli_recon_loss(grid, phi, dx, sc, z, x, wgt,
+                               Wc, bc, Wz, hw, hb, wout, bout, act="tanh"):
+    """Weighted negative Bernoulli reconstruction log-likelihood
+    ``-sum_b wgt_b * sum_n log p(x_bn | sigmoid(decode(...)_bn))`` computed
+    with its gradients in ONE kernel pass. Valid when the result enters the
+    training loss LINEARLY (which it does: the trainer sums weighted
+    per-example losses), so the saved gradients are exact up to the scalar
+    upstream cotangent."""
+    loss, _ = _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb,
+                          wout, bout, act)
+    return loss
+
+
+def _recon_loss_fwd(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout,
+                    bout, act):
+    loss, grads = _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw,
+                              hb, wout, bout, act)
+    return loss, grads
+
+
+def _recon_loss_bwd(act, grads, ct):
+    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwout, dbout) = grads
+    s = lambda g: ct * g
+    return (None, s(dphi), s(ddx), s(dsc), s(dz), None, None,
+            s(dwc), s(dbc), s(dwz), s(dhw), s(dhb), s(dwout), s(dbout))
+
+
+fused_bernoulli_recon_loss.defvjp(_recon_loss_fwd, _recon_loss_bwd)
+
+
+def apply_fused_recon_loss(dec_params, grid, phi, dx, sc, z, x, wgt,
+                           act="tanh"):
+    """Weighted-recon-loss entry from an sDecoderNet parameter pytree
+    (Bernoulli sampler + sigmoid head only)."""
+    mlp = dec_params["MLP_0"]
+    n_layers = len(mlp)
+    hw = jnp.stack([mlp[f"Dense_{i}"]["kernel"] for i in range(n_layers)])
+    hb = jnp.stack([mlp[f"Dense_{i}"]["bias"] for i in range(n_layers)])
+    return fused_bernoulli_recon_loss(
+        grid, phi, dx, sc, z, x, wgt,
+        dec_params["fc_coord"]["kernel"], dec_params["fc_coord"]["bias"],
+        dec_params["fc_latent"]["kernel"], hw, hb,
+        dec_params["out"]["kernel"], dec_params["out"]["bias"].reshape(()),
+        act)

@@ -98,12 +98,17 @@ class SVItrainer:
 
     def _build_epoch_fns(self):
         loss_fn = self.model.loss_fn
+        weighted = getattr(self.model, "weighted_loss_fn", None)
         if self.remat:
             loss_fn = jax.checkpoint(loss_fn, static_argnums=())
+            weighted = None  # remat composes with the generic path only
         optimizer = self.optimizer
 
-        def batch_loss(params, rng, batch, weights, beta):
-            return jnp.sum(loss_fn(params, rng, batch, beta) * weights)
+        if weighted is not None:
+            batch_loss = weighted  # (params, rng, batch, weights, beta)
+        else:
+            def batch_loss(params, rng, batch, weights, beta):
+                return jnp.sum(loss_fn(params, rng, batch, beta) * weights)
 
         def train_epoch(params, opt_state, rng, arrays, idx, w, beta):
             def body(carry, inp):

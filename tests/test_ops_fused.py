@@ -166,3 +166,38 @@ def test_bf16_activations_close_to_f32(monkeypatch):
     ref = _ref(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
     assert float(jnp.abs(out - ref).mean()) < 5e-3
+
+
+def test_fused_recon_loss_value_and_grads():
+    """The one-pass train-gradient kernel must match loss and ALL gradients
+    of the composed reference (decode -> bernoulli logp -> weighted sum)."""
+    rng = np.random.default_rng(9)
+    B, N = 5, 300
+    args = _make(2, B=B, N=N, seed=9)
+    grid = args[0]
+    rest = args[1:]
+    x = jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32)
+    wgt = jnp.asarray([1.0, 1.0, 0.5, 1.0, 0.0], jnp.float32)
+
+    def composed(rest):
+        loc = _ref(grid, *rest)
+        loc = jnp.clip(loc, 1e-7, 1 - 1e-7)
+        logp = jnp.sum(x * jnp.log(loc) + (1 - x) * jnp.log1p(-loc), axis=-1)
+        return -jnp.sum(wgt * logp)
+
+    def fused(rest):
+        (phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout) = rest
+        return sd.fused_bernoulli_recon_loss(
+            grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout)
+
+    np.testing.assert_allclose(float(fused(rest)), float(composed(rest)),
+                               rtol=1e-5)
+    gf = jax.grad(fused)(rest)
+    gr = jax.grad(composed)(rest)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+    # upstream scaling: grad of 3*loss must be 3x
+    g3 = jax.grad(lambda r: 3.0 * fused(r))(rest)
+    np.testing.assert_allclose(np.asarray(g3[3]), 3 * np.asarray(gf[3]),
+                               rtol=1e-5)
