@@ -64,6 +64,7 @@ class iVAE(baseVAE):
         # Pyro Trace_ELBO(num_particles=P) analog: average P reparameterized
         # ELBO estimates per example (all particles decode in one batched call)
         self.num_particles = int(kwargs.get("num_particles", 1))
+        self.one_pass_train = bool(kwargs.get("one_pass_train", False))
 
         self.encoder_net = fcEncoderNet(
             self.data_dim, self.z_dim, c_dim, hidden_dim_e, activation,
@@ -142,11 +143,14 @@ class iVAE(baseVAE):
 
     def weighted_loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
                          weights: Array, beta: Array) -> Array:
-        """Scalar weighted-sum training loss. For the fused Bernoulli+sigmoid
-        configuration, the reconstruction term and ALL its gradients come
-        from the one-pass train-gradient kernel (no duplicate forward in the
-        backward pass); other configs fall back to weighting ``loss_fn``."""
-        fast = (self.coord > 0 and self._fused and self.num_particles == 1
+        """Scalar weighted-sum training loss. With ``one_pass_train=True``
+        (opt-in; measured ~10% SLOWER than the default two-kernel pipeline on
+        v5e because the split kernels overlap better with the surrounding
+        XLA ops, but it halves peak kernel-working-set), the reconstruction
+        term and ALL its gradients come from the single-pass train-gradient
+        kernel; otherwise this weights ``loss_fn``."""
+        fast = (getattr(self, "one_pass_train", False)
+                and self.coord > 0 and self._fused and self.num_particles == 1
                 and self.sampler_d.name == "bernoulli" and self._dec_sig
                 and self._dec_act == "tanh")
         if not fast:

@@ -201,3 +201,24 @@ def test_fused_recon_loss_value_and_grads():
     g3 = jax.grad(lambda r: 3.0 * fused(r))(rest)
     np.testing.assert_allclose(np.asarray(g3[3]), 3 * np.asarray(gf[3]),
                                rtol=1e-5)
+
+
+def test_one_pass_weighted_loss_matches_generic():
+    """iVAE with one_pass_train=True must produce the same weighted loss
+    value as the generic path (CPU: falls back since fusion gate is off on
+    CPU — so exercise the kernel path directly via weighted_loss_fn parts
+    by forcing the flags)."""
+    from pyroved_tpu.models import iVAE
+    m = iVAE((8, 8), latent_dim=2, invariances=["r"], one_pass_train=True)
+    # force-enable the kernel path on CPU interpret mode
+    m._fused = True
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (5, 8, 8)),
+                    jnp.float32)
+    w = jnp.asarray([1.0, 1.0, 0.5, 1.0, 0.0])
+    rng = jax.random.PRNGKey(3)
+    beta = jnp.asarray(1.0)
+    fast = float(m.weighted_loss_fn(m.params, rng, (x,), w, beta))
+    m2 = iVAE((8, 8), latent_dim=2, invariances=["r"])
+    m2.params = m.params
+    ref = float(jnp.sum(m2.loss_fn(m.params, rng, (x,), beta) * w))
+    np.testing.assert_allclose(fast, ref, rtol=1e-4)
