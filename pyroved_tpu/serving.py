@@ -5,6 +5,10 @@ this module packages a trained model's inference functions as serialized
 StableHLO artifacts via ``jax.export`` — loadable in any JAX process (or any
 StableHLO-consuming runtime) without the pyroved_tpu source tree, with the
 trained parameters baked in as constants.
+
+Note: exported artifacts are lowered for the platform they were exported on
+(TPU exports serve on TPU, CPU exports on CPU) — export on the platform you
+will serve from.
 """
 import pickle
 from typing import Optional
