@@ -141,6 +141,47 @@ class iVAE(baseVAE):
         per_example = -(recon + latent_term)
         return per_example.mean(0) if P > 1 else per_example
 
+    def trace(self, rng: Array, batch: Tuple[Array, ...], beta=1.0,
+              params=None) -> dict:
+        """Site-introspection dict for the ELBO program — the TPU analogue of
+        Pyro's poutine traces used by the reference's structure tests
+        (``tests/test_models.py:21-38``): every intermediate value of one
+        guide+model execution, keyed by site.
+
+        Keys: ``latent.loc / latent.scale / latent.value`` (q(z|x)),
+        ``transform.phi / .dx / .sc`` (split special latents),
+        ``coords`` (warped grid, None for vanilla), ``obs.loc`` (decoder
+        output), ``recon_logp`` and ``latent_term`` (per-example ELBO parts).
+        """
+        params = self.params if params is None else params
+        beta = jnp.asarray(beta, jnp.float32)
+        x = jnp.asarray(batch[0], jnp.float32)
+        y = jnp.asarray(batch[1], jnp.float32) if len(batch) > 1 else None
+        xf = x.reshape(x.shape[0], -1)
+        mu, sig = self.encoder_net.apply({"params": params["encoder_z"]}, xf, y)
+        z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
+        phi = dx = sc = coords = None
+        if self.coord > 0:
+            phi, dx, sc, zc = self.split_latent_full(z)
+            coords, _ = self.transformed_grid(z)
+        else:
+            zc = z
+        if y is not None:
+            zc = jnp.concatenate([zc, y], axis=-1)
+        if coords is not None:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
+        else:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, zc)
+        recon = obs_site(self.sampler_d, xf, loc.reshape(x.shape[0], -1))
+        return {
+            "latent": {"loc": mu, "scale": sig, "value": z},
+            "transform": {"phi": phi, "dx": dx, "sc": sc},
+            "coords": coords,
+            "obs": {"loc": loc},
+            "recon_logp": recon,
+            "latent_term": latent_term,
+        }
+
     def weighted_loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
                          weights: Array, beta: Array) -> Array:
         """Scalar weighted-sum training loss. With ``one_pass_train=True``

@@ -184,3 +184,39 @@ def test_num_particles_elbo():
                                 jnp.asarray(1.0)).mean()) for s in range(n)]
         return np.std(vals)
     assert spread(m5) < spread(m1)
+
+
+@pytest.mark.parametrize("invariances,z_dim,coords_shape", [
+    (None, 2, None), (["r"], 3, (6, 64, 2)), (["r", "t", "s"], 6, (6, 64, 2)),
+])
+def test_trace_site_shapes(invariances, z_dim, coords_shape):
+    """Site-shape assertions mirroring the reference's trace-introspection
+    tests (tests/test_models.py:101-142)."""
+    m = iVAE(DATA_2D, latent_dim=2, invariances=invariances)
+    x = np.random.default_rng(0).uniform(0, 1, (6,) + DATA_2D).astype(np.float32)
+    t = m.trace(jax.random.PRNGKey(0), (x,))
+    assert t["latent"]["value"].shape == (6, z_dim)
+    assert t["latent"]["loc"].shape == (6, z_dim)
+    assert (np.asarray(t["latent"]["scale"]) > 0).all()  # Normal site
+    assert t["latent"]["value"].dtype == jnp.float32
+    if coords_shape is None:
+        assert t["coords"] is None
+    else:
+        assert t["coords"].shape == coords_shape
+        assert t["transform"]["phi"].shape == (6,)
+    loc = np.asarray(t["obs"]["loc"]).reshape(6, -1)
+    assert loc.shape == (6, 64)
+    assert (loc >= 0).all() and (loc <= 1).all()  # Bernoulli obs site
+    assert t["recon_logp"].shape == (6,)
+    assert np.isfinite(np.asarray(t["recon_logp"])).all()
+
+
+def test_trace_consistent_with_loss():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], fused=False)
+    x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+    t = m.trace(rng, (x,))
+    loss = m.loss_fn(m.params, rng, (jnp.asarray(x),), jnp.asarray(1.0))
+    np.testing.assert_allclose(
+        np.asarray(-(t["recon_logp"] + t["latent_term"])), np.asarray(loss),
+        rtol=1e-5)
