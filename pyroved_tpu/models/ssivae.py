@@ -150,6 +150,33 @@ class ssiVAE(baseVAE):
         elbo = jnp.sum(alpha.T * branch, axis=0)
         return -elbo
 
+    def trace(self, rng: Array, batch: Tuple[Array, ...], beta=1.0,
+              params=None) -> dict:
+        """Enumerated-site introspection for unlabeled batches — the analogue
+        of the reference's ``get_enum_traces`` tests
+        (``tests/test_models.py:193-208``): the class site has shape [B, K]
+        and each enumerated branch's z site is expanded to [K, B, z_dim],
+        exactly like Pyro's parallel enumeration."""
+        params = self.params if params is None else params
+        x = jnp.asarray(batch[0], jnp.float32)
+        B, K = x.shape[0], self.num_classes
+        xf = x.reshape(B, -1)
+        alpha = self.encoder_y_net.apply({"params": params["encoder_y"]}, xf)
+        eye = jnp.eye(K, dtype=xf.dtype)
+        ys_k = jnp.broadcast_to(eye[:, None, :], (K, B, K))
+        xf_k = jnp.broadcast_to(xf, (K, B, xf.shape[-1]))
+        mu, sig = self.encoder_net.apply({"params": params["encoder_z"]},
+                                         xf_k, ys_k)
+        from ..infer.dists import normal_sample
+        z = normal_sample(rng, mu, sig)
+        elbo_k = self._branch_elbo(params, rng, xf_k, ys_k,
+                                   jnp.asarray(beta, jnp.float32))
+        return {
+            "y": {"probs": alpha, "enumerated": ys_k},
+            "z": {"loc": mu, "scale": sig, "value": z},
+            "branch_elbo": elbo_k,
+        }
+
     def aux_loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
                     aux_loss_multiplier: Array) -> Array:
         """Auxiliary supervised objective: -mult * log q(y|x) on labeled

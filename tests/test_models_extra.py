@@ -232,3 +232,17 @@ def test_num_particles_all_models(make):
         return np.std([float(m.loss_fn(m1.params, jax.random.PRNGKey(s),
                                        (x,), beta).mean()) for s in range(n)])
     assert spread(mp) < spread(m1)
+
+
+def test_ssivae_enum_trace_shapes():
+    """Enumeration-expanded site shapes (K, B, .) like Pyro's parallel
+    enumeration (reference tests/test_models.py:193-208)."""
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=4, invariances=["r"])
+    x = _imgs(5)
+    t = m.trace(RNG, (x,))
+    assert t["y"]["probs"].shape == (5, 4)
+    assert t["y"]["enumerated"].shape == (4, 5, 4)
+    assert t["z"]["value"].shape == (4, 5, 3)   # [K, B, z_dim]
+    assert (np.asarray(t["z"]["scale"]) > 0).all()
+    assert t["branch_elbo"].shape == (4, 5)
+    assert np.isfinite(np.asarray(t["branch_elbo"])).all()
