@@ -1,0 +1,141 @@
+"""One-shot integration validation: every model family, trainer, and
+subsystem exercised briefly end-to-end. Prints one PASS/FAIL line each and
+exits nonzero on any failure.
+
+Runs on whatever backend JAX selects (TPU when available; force CPU with
+jax.config). Useful as a quick health check between rounds:
+    python benchmarks/validate_all.py
+"""
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import pyroved_tpu as pv  # noqa: E402
+
+pv.utils.profiling.enable_compilation_cache()
+
+RESULTS = []
+
+
+def check(name):
+    def deco(fn):
+        def run():
+            try:
+                fn()
+                RESULTS.append((name, True, ""))
+                print(f"PASS {name}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                RESULTS.append((name, False, str(e)))
+                print(f"FAIL {name}: {e}", flush=True)
+                traceback.print_exc()
+        return run
+    return deco
+
+
+def _imgs(n=64, d=12):
+    rng = np.random.default_rng(0)
+    return rng.uniform(0, 1, (n, d, d)).astype(np.float32)
+
+
+@check("iVAE train/encode/decode/manifold")
+def c1():
+    m = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"])
+    t = m.fit(_imgs(), epochs=2, batch_size=16)
+    assert t.loss_history["training_loss"][-1] < t.loss_history["training_loss"][0] * 1.5
+    z, s = m.encode(_imgs(8))
+    assert z.shape == (8, 3)
+    assert m.decode(np.zeros((2, 2), np.float32)).shape == (2, 12, 12)
+    assert m.manifold2d(3, plot=False).shape == (9, 12, 12)
+
+
+@check("jiVAE enumeration + traversal")
+def c2():
+    m = pv.models.jiVAE((12, 12), latent_dim=2, discrete_dim=3, invariances=["r"])
+    t = m.fit(_imgs(), epochs=2, batch_size=16, scale_factor=[2.0, 1.0])
+    assert np.isfinite(t.loss_history["training_loss"][-1])
+    _, _, cls = m.encode(_imgs(8))
+    assert cls.shape == (8,)
+    assert m.manifold_traversal(3, 0, plot=False).shape == (9, 12, 12)
+
+
+@check("ssiVAE semi-supervised classification")
+def c3():
+    rng = np.random.default_rng(1)
+    m = pv.models.ssiVAE((12, 12), latent_dim=2, num_classes=2)
+    t = m.fit(_imgs(48), (_imgs(16), rng.integers(0, 2, 16)), epochs=2,
+              batch_size=8)
+    assert 0.0 <= t.history["test"][-1] <= 1.0
+
+
+@check("ss_reg_iVAE semi-supervised regression + SWA")
+def c4():
+    rng = np.random.default_rng(2)
+    m = pv.models.ss_reg_iVAE((12, 12), latent_dim=2, reg_dim=1)
+    t = m.fit(_imgs(32), (_imgs(16), rng.normal(size=16).astype(np.float32)),
+              epochs=2, batch_size=8)
+    t.save_running_weights("encoder_y")
+    t.save_running_weights("encoder_y")
+    t.average_weights("encoder_y")
+    assert np.isfinite(t.history["test"][-1])
+
+
+@check("VED im2spec + predict")
+def c5():
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 1, (32, 16, 16)).astype(np.float32)
+    Y = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    m = pv.models.VED((16, 16), (32,), latent_dim=2,
+                      hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+    t = m.fit(X, Y, epochs=2, batch_size=16)
+    assert np.isfinite(t.loss_history["training_loss"][-1])
+    mean, sd = m.predict(X[:4], num_samples=5)
+    assert mean.shape == (4, 32)
+
+
+@check("checkpoint save/resume")
+def c6():
+    import tempfile
+    m = pv.models.iVAE((12, 12), latent_dim=2)
+    tr = pv.trainers.SVItrainer(m)
+    loader = pv.utils.init_dataloader(_imgs(32), batch_size=16)
+    tr.step(loader)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.pkl")
+        pv.utils.save_checkpoint(path, m, tr)
+        m2 = pv.models.iVAE((12, 12), latent_dim=2, seed=5)
+        tr2 = pv.trainers.SVItrainer(m2)
+        pv.utils.load_checkpoint(path, m2, tr2)
+        assert tr2.current_epoch == 1
+
+
+@check("GP on latent")
+def c7():
+    m = pv.models.iVAE((12, 12), latent_dim=2)
+    (z, zd), preds = m.predict_on_latent(
+        _imgs(16), np.random.default_rng(0).normal(size=16).astype(np.float32),
+        gp_iterations=2, d=3)
+    assert np.asarray(preds).shape == (9,)
+
+
+@check("serving export/load")
+def c8():
+    import tempfile
+    m = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.pvtx")
+        pv.serving.export_model(m, path, batch_size=8)
+        served = pv.serving.ServedModel(path)
+        z, s = served.encode(_imgs(5))
+        assert z.shape == (5, 3)
+
+
+if __name__ == "__main__":
+    for fn in (c1, c2, c3, c4, c5, c6, c7, c8):
+        fn()
+    failed = [n for n, ok, _ in RESULTS if not ok]
+    print(f"\n{len(RESULTS) - len(failed)}/{len(RESULTS)} checks passed")
+    sys.exit(1 if failed else 0)
