@@ -21,6 +21,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Initialize JAX's multi-host runtime (DCN scale-out): after this,
+    ``jax.devices()`` spans every host's chips and the same mesh/sharding
+    code paths drive multi-host training (meshes here never assume a single
+    process; GSPMD routes intra-slice collectives over ICI and cross-slice
+    over DCN). On TPU pods with standard env configuration all arguments
+    auto-detect. Returns the global device count. Single-process setups may
+    skip this entirely."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return len(jax.devices())
+
+
 def create_mesh(axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     """Build a mesh from ``{'axis': size}``. Sizes must multiply to the
     device count; pass ``-1`` for one axis to absorb the remainder."""
