@@ -20,6 +20,21 @@ VPU outer products.
 A custom VJP routes the backward pass through a second fused kernel that
 recomputes activations tile-by-tile (flash-attention-style rematerialization)
 and accumulates weight gradients across grid steps in VMEM.
+
+Transform-gradient derivation (for the folded form): with
+a0 = cos*Wc0 + sin*Wc1, a1 = -sin*Wc0 + cos*Wc1, u = sc*a0, v = sc*a1 and
+h0_pre[b,n] = gx[n]*u_b + gy[n]*v_b + w_b, let d0 = dL/d(h0_pre). Then
+
+  du_b = sum_n gx[n] d0[b,n,:],   dv_b = sum_n gy[n] d0[b,n,:],
+  dw_b = sum_n d0[b,n,:]
+  dsc_b  = <du_b, a0_b> + <dv_b, a1_b>            (u,v linear in sc)
+  dphi_b = <du_b, v_b> - <dv_b, u_b>              (du/dphi = v, dv/dphi = -u)
+  ddx_b  = dw_b @ Wc^T,  dz_b = dw_b @ Wz^T
+  dWc0   = (sc*cos)^T du - (sc*sin)^T dv + dx0^T dw
+  dWc1   = (sc*sin)^T du + (sc*cos)^T dv + dx1^T dw
+
+All verified against jax.grad of the unfolded reference to 1e-4
+(tests/test_ops_fused.py).
 """
 import functools
 import jax

@@ -246,3 +246,22 @@ def test_ssivae_enum_trace_shapes():
     assert (np.asarray(t["z"]["scale"]) > 0).all()
     assert t["branch_elbo"].shape == (4, 5)
     assert np.isfinite(np.asarray(t["branch_elbo"])).all()
+
+
+def test_jivae_trainer_beta_pair_eval():
+    from pyroved_tpu.trainers import SVItrainer
+    from pyroved_tpu.utils import init_dataloader
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=["r"])
+    loader = init_dataloader(np.asarray(_imgs(32)), batch_size=16)
+    tr = SVItrainer(m)
+    tr.step(loader, loader, scale_factor=[3.0, 1.0])
+    assert np.isfinite(tr.loss_history["training_loss"][0])
+    assert np.isfinite(tr.loss_history["test_loss"][0])
+
+
+def test_ssivae_classifier_chunked():
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3)
+    x = _imgs(23)
+    full = np.asarray(m.classifier(x))
+    chunked = np.asarray(m.classifier(x, batch_size=8))
+    np.testing.assert_array_equal(full, chunked)
