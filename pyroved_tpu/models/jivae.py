@@ -148,6 +148,30 @@ class jiVAE(baseVAE):
         recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
         return -(recon + latent_term + disc_term)
 
+    def trace(self, rng: Array, batch: Tuple[Array, ...], beta=1.0,
+              params=None) -> dict:
+        """Site introspection for the joint model: continuous site
+        (loc/scale/value) and the discrete site's class probabilities plus
+        the K enumerated one-hot values — mirroring the reference's
+        enumeration trace tests on ``latent_cont``/``latent_disc``
+        (``tests/test_models.py:241-257``)."""
+        params = self.params if params is None else params
+        x = jnp.asarray(batch[0], jnp.float32)
+        B, K = x.shape[0], self.discrete_dim
+        xf = x.reshape(B, -1)
+        mu, sig, alpha = self.encoder_net.apply(
+            {"params": params["encoder_z"]}, xf)
+        z, latent_term = normal_latent_site(
+            rng, mu, sig, self.prep_beta(beta)[0], self.kl_mode)
+        eye = jnp.eye(K, dtype=xf.dtype)
+        return {
+            "latent_cont": {"loc": mu, "scale": sig, "value": z},
+            "latent_disc": {"probs": alpha,
+                            "enumerated": jnp.broadcast_to(
+                                eye[:, None, :], (K, B, K))},
+            "latent_term": latent_term,
+        }
+
     # ------------------------------------------------------------------
     def encode(self, x_new, logits: bool = False, **kwargs):
         """Returns (z_loc, z_scale, classes); classes are argmax indices or

@@ -265,3 +265,14 @@ def test_ssivae_classifier_chunked():
     full = np.asarray(m.classifier(x))
     chunked = np.asarray(m.classifier(x, batch_size=8))
     np.testing.assert_array_equal(full, chunked)
+
+
+def test_jivae_trace_sites():
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=["r"])
+    t = m.trace(RNG, (_imgs(4),))
+    assert t["latent_cont"]["value"].shape == (4, 3)
+    assert (np.asarray(t["latent_cont"]["scale"]) > 0).all()
+    assert t["latent_disc"]["probs"].shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(t["latent_disc"]["probs"]).sum(-1),
+                               1.0, rtol=1e-5)
+    assert t["latent_disc"]["enumerated"].shape == (3, 4, 3)
