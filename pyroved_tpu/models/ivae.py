@@ -242,6 +242,15 @@ class iVAE(baseVAE):
         loc = self._decode_jit(self.params, coords, z)
         return loc.reshape((z.shape[0],) + self.data_dim)
 
+    def reconstruct(self, x_new, y=None, **kwargs) -> Array:
+        """Encode then decode: the model's reconstruction of the inputs at
+        the posterior mean (special latents pass through the learned
+        transform, so reconstructions are in the canonical pose unless
+        ``angle``/``shift``/``scale`` kwargs re-pose them)."""
+        z_loc, _ = self.encode(x_new, y, **kwargs)
+        zc = z_loc[:, self.coord:]  # content latents only
+        return self.decode(zc, y, **kwargs)
+
     def manifold2d(self, d: int, y=None, plot: bool = True, **kwargs) -> Array:
         """Decode a d x d grid over the 2-D latent plane
         (reference: ``ivae.py:277-310``)."""

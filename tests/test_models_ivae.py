@@ -220,3 +220,14 @@ def test_trace_consistent_with_loss():
     np.testing.assert_allclose(
         np.asarray(-(t["recon_logp"] + t["latent_term"])), np.asarray(loss),
         rtol=1e-5)
+
+
+def test_reconstruct_roundtrip():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    x = np.random.default_rng(0).uniform(0, 1, (6,) + DATA_2D).astype(np.float32)
+    rec = m.reconstruct(x)
+    assert rec.shape == (6,) + DATA_2D
+    assert (np.asarray(rec) >= 0).all() and (np.asarray(rec) <= 1).all()
+    # re-posed reconstruction differs
+    rec_rot = m.reconstruct(x, angle=1.0)
+    assert not np.allclose(np.asarray(rec), np.asarray(rec_rot))
