@@ -113,3 +113,54 @@ def test_conv_encoder_matches_torch():
     mu, sig = enc.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-4)
     np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=1e-4)
+
+
+def test_jfc_encoder_matches_torch():
+    from pyroved_tpu.nets import jfcEncoderNet
+    enc = jfcEncoderNet((8, 8), latent_dim=2, discrete_dim=4)
+    x = np.random.default_rng(3).normal(size=(5, 64)).astype(np.float32)
+    variables = enc.init(KEY, jnp.asarray(x))
+    p = variables["params"]
+    l1, l2 = tnn.Linear(64, 128), tnn.Linear(128, 128)
+    mu_l, sig_l, cls_l = tnn.Linear(128, 2), tnn.Linear(128, 2), tnn.Linear(128, 4)
+    for tl, pp in ((l1, p["MLP_0"]["Dense_0"]), (l2, p["MLP_0"]["Dense_1"]),
+                   (mu_l, p["fc11"]), (sig_l, p["fc12"]), (cls_l, p["fc13"])):
+        _copy_dense(tl, pp)
+    with torch.no_grad():
+        h = torch.tanh(l2(torch.tanh(l1(_t(x)))))
+        mu_ref = mu_l(h).numpy()
+        sig_ref = tnn.functional.softplus(sig_l(h)).numpy()
+        alpha_ref = torch.softmax(cls_l(h), dim=-1).numpy()
+    mu, sig, alpha = enc.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), alpha_ref, atol=1e-5)
+
+
+def test_classifier_regressor_match_torch():
+    from pyroved_tpu.nets import fcClassifierNet, fcRegressorNet
+    x = np.random.default_rng(4).normal(size=(5, 64)).astype(np.float32)
+
+    cls = fcClassifierNet((8, 8), num_classes=3)
+    v = cls.init(KEY, jnp.asarray(x))
+    l1, l2, out = tnn.Linear(64, 128), tnn.Linear(128, 128), tnn.Linear(128, 3)
+    for tl, pp in ((l1, v["params"]["MLP_0"]["Dense_0"]),
+                   (l2, v["params"]["MLP_0"]["Dense_1"]),
+                   (out, v["params"]["out"])):
+        _copy_dense(tl, pp)
+    with torch.no_grad():
+        ref = torch.softmax(out(torch.tanh(l2(torch.tanh(l1(_t(x)))))), -1).numpy()
+    np.testing.assert_allclose(np.asarray(cls.apply(v, jnp.asarray(x))), ref,
+                               atol=1e-5)
+
+    reg = fcRegressorNet((8, 8), c_dim=2)
+    v = reg.init(KEY, jnp.asarray(x))
+    for tl, pp in ((l1, v["params"]["MLP_0"]["Dense_0"]),
+                   (l2, v["params"]["MLP_0"]["Dense_1"])):
+        _copy_dense(tl, pp)
+    out2 = tnn.Linear(128, 2)
+    _copy_dense(out2, v["params"]["out"])
+    with torch.no_grad():
+        ref = out2(torch.tanh(l2(torch.tanh(l1(_t(x)))))).numpy()
+    np.testing.assert_allclose(np.asarray(reg.apply(v, jnp.asarray(x))), ref,
+                               atol=1e-5)
