@@ -44,3 +44,10 @@ def test_jivae_ssivae_ssreg_ved_configs_build():
 def test_train_config_defaults():
     t = TrainConfig()
     assert t.lr == 1e-3 and t.batch_size == 100
+
+
+def test_ved_config_channels():
+    m = VEDConfig(input_dim=(16, 16), output_dim=(32,), input_channels=2,
+                  output_channels=3, hidden_dim_e=((4,), (8,)),
+                  hidden_dim_d=((8,), (4,))).build()
+    assert m.input_channels == 2 and m.output_channels == 3

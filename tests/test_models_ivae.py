@@ -231,3 +231,12 @@ def test_reconstruct_roundtrip():
     # re-posed reconstruction differs
     rec_rot = m.reconstruct(x, angle=1.0)
     assert not np.allclose(np.asarray(rec), np.asarray(rec_rot))
+
+
+def test_trace_1d():
+    m = iVAE(DATA_1D, latent_dim=2, invariances=["t"])
+    x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_1D).astype(np.float32)
+    t = m.trace(jax.random.PRNGKey(0), (x,))
+    assert t["latent"]["value"].shape == (4, 3)
+    assert t["coords"].shape == (4, 16, 1)
+    assert t["transform"]["phi"] is None  # 1-D: translation only
