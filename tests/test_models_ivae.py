@@ -239,4 +239,6 @@ def test_trace_1d():
     t = m.trace(jax.random.PRNGKey(0), (x,))
     assert t["latent"]["value"].shape == (4, 3)
     assert t["coords"].shape == (4, 16, 1)
-    assert t["transform"]["phi"] is None  # 1-D: translation only
+    # 1-D: translation only — rotation slot is the identity (zeros)
+    np.testing.assert_allclose(np.asarray(t["transform"]["phi"]), 0.0)
+    assert t["transform"]["dx"].shape == (4, 1)
