@@ -12,6 +12,7 @@ setup(
     long_description=open("README.md").read(),
     long_description_content_type="text/markdown",
     packages=find_packages(exclude=["tests*", "benchmarks*", "examples*"]),
+    package_data={"pyroved_tpu": ["py.typed"]},
     python_requires=">=3.10",
     install_requires=[
         "jax>=0.4.30",
