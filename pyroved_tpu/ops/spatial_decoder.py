@@ -459,18 +459,64 @@ fused_spatial_decoder.defvjp(_fwd_rule, _bwd)
 # Model integration helpers
 # ---------------------------------------------------------------------------
 
+def _fusion_work_ok(hidden) -> bool:
+    """Unequal / non-128-aligned hidden widths are fused by zero-padding every
+    layer to ``Hmax = round_up(max(hidden), 128)`` (see
+    :func:`_padded_sdecoder_weights`). Worth it only while the padded
+    multiply-accumulate work stays within 2x the exact work, and while the
+    stacked [n, Hmax, Hmax] weights still fit comfortably in VMEM."""
+    hmax = _round_up(max(hidden), 128)
+    if hmax == 128:  # padding to the minimum lane width is always cheap
+        return True
+    exact = sum(a * b for a, b in zip((hidden[0],) + tuple(hidden[:-1]), hidden))
+    return hmax <= 1024 and len(hidden) * hmax * hmax <= 2 * exact
+
+
 def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
                              coord: int) -> bool:
     """True when an sDecoderNet config maps onto the fused kernel:
-    tanh + sigmoid head, equal hidden widths that are lane-aligned (x128),
-    and an active coordinate transform."""
+    tanh/relu hidden layers, an active coordinate transform, and hidden
+    widths whose pad-to-max overhead is acceptable (equal 128-aligned widths
+    run unpadded)."""
     hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
     del sigmoid_out  # both heads supported
     return (0 < coord < 5
             and activation in ("tanh", "relu")
-            and len(set(hidden)) == 1
-            and hidden[0] % 128 == 0
+            and _fusion_work_ok(hidden)
             and jax.devices()[0].platform == "tpu")
+
+
+def _padded_sdecoder_weights(dec_params):
+    """Extract (Wc, bc, Wz, hw, hb, wout, bout) from an sDecoderNet param
+    pytree, zero-padding every hidden width to a common lane-aligned Hmax.
+
+    Padding is exact, not approximate: padded lanes see zero weights in and
+    zero bias, so they carry ``act(0) = 0`` (tanh/relu) through every layer
+    and contribute nothing to real lanes or to the output head; their
+    parameter gradients are identically zero, and autodiff through
+    ``jnp.pad`` slices the cotangents back to the original shapes.
+    """
+    mlp = dec_params["MLP_0"]
+    n_layers = len(mlp)
+    kernels = [mlp[f"Dense_{i}"]["kernel"] for i in range(n_layers)]
+    biases = [mlp[f"Dense_{i}"]["bias"] for i in range(n_layers)]
+    Wc = dec_params["fc_coord"]["kernel"]
+    bc = dec_params["fc_coord"]["bias"]
+    Wz = dec_params["fc_latent"]["kernel"]
+    wout = dec_params["out"]["kernel"]
+    bout = dec_params["out"]["bias"].reshape(())
+    widths = {Wc.shape[1], wout.shape[0],
+              *(k.shape[0] for k in kernels), *(k.shape[1] for k in kernels)}
+    hmax = _round_up(max(widths), 128)
+    if len(widths) > 1 or max(widths) != hmax:
+        pad_last = lambda a: jnp.pad(
+            a, [(0, 0)] * (a.ndim - 1) + [(0, hmax - a.shape[-1])])
+        Wc, bc, Wz = pad_last(Wc), pad_last(bc), pad_last(Wz)
+        kernels = [jnp.pad(k, ((0, hmax - k.shape[0]), (0, hmax - k.shape[1])))
+                   for k in kernels]
+        biases = [pad_last(b) for b in biases]
+        wout = jnp.pad(wout, ((0, hmax - wout.shape[0]), (0, 0)))
+    return Wc, bc, Wz, jnp.stack(kernels), jnp.stack(biases), wout, bout
 
 
 def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z,
@@ -479,10 +525,7 @@ def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z,
     (names: fc_coord, fc_latent, MLP_0/Dense_i, out). Leading batch dims of
     phi/dx/sc/z may be multi-dimensional (e.g. [K, B] under enumeration) —
     they are flattened for the kernel and restored on the output."""
-    mlp = dec_params["MLP_0"]
-    n_layers = len(mlp)
-    hw = jnp.stack([mlp[f"Dense_{i}"]["kernel"] for i in range(n_layers)])
-    hb = jnp.stack([mlp[f"Dense_{i}"]["bias"] for i in range(n_layers)])
+    Wc, bc, Wz, hw, hb, wout, bout = _padded_sdecoder_weights(dec_params)
     batch_shape = z.shape[:-1]
     out = fused_spatial_decoder(
         grid,
@@ -490,12 +533,7 @@ def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z,
         dx.reshape(-1, dx.shape[-1]),
         sc.reshape(-1),
         z.reshape(-1, z.shape[-1]),
-        dec_params["fc_coord"]["kernel"],
-        dec_params["fc_coord"]["bias"],
-        dec_params["fc_latent"]["kernel"],
-        hw, hb,
-        dec_params["out"]["kernel"],
-        dec_params["out"]["bias"].reshape(()),
+        Wc, bc, Wz, hw, hb, wout, bout,
         act, sigmoid_out,
     )
     return out.reshape(batch_shape + (grid.shape[0],))
@@ -620,13 +658,6 @@ def apply_fused_recon_loss(dec_params, grid, phi, dx, sc, z, x, wgt,
                            act="tanh"):
     """Weighted-recon-loss entry from an sDecoderNet parameter pytree
     (Bernoulli sampler + sigmoid head only)."""
-    mlp = dec_params["MLP_0"]
-    n_layers = len(mlp)
-    hw = jnp.stack([mlp[f"Dense_{i}"]["kernel"] for i in range(n_layers)])
-    hb = jnp.stack([mlp[f"Dense_{i}"]["bias"] for i in range(n_layers)])
+    Wc, bc, Wz, hw, hb, wout, bout = _padded_sdecoder_weights(dec_params)
     return fused_bernoulli_recon_loss(
-        grid, phi, dx, sc, z, x, wgt,
-        dec_params["fc_coord"]["kernel"], dec_params["fc_coord"]["bias"],
-        dec_params["fc_latent"]["kernel"], hw, hb,
-        dec_params["out"]["kernel"], dec_params["out"]["bias"].reshape(()),
-        act)
+        grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout, act)

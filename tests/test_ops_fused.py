@@ -222,3 +222,74 @@ def test_one_pass_weighted_loss_matches_generic():
     m2.params = m.params
     ref = float(jnp.sum(m2.loss_fn(m.params, rng, (x,), beta) * w))
     np.testing.assert_allclose(fast, ref, rtol=1e-4)
+
+
+def test_fusion_work_gate():
+    # equal 128-aligned widths: unpadded, always OK
+    assert sd._fusion_work_ok((128, 128))
+    assert sd._fusion_work_ok((256, 256, 256))
+    # mild padding (256 -> 256, 128 -> 256): within the 2x work budget
+    assert sd._fusion_work_ok((256, 128))
+    # non-aligned widths pad up to 128: OK
+    assert sd._fusion_work_ok((100, 60))
+    # heavy padding (128 -> 512 everywhere): rejected
+    assert not sd._fusion_work_ok((128, 512))
+    # VMEM cap on very wide stacks
+    assert not sd._fusion_work_ok((2048, 2048))
+
+
+@pytest.mark.parametrize("hidden", [(256, 128), (100, 60), (130,)])
+def test_padded_fusion_matches_module(hidden):
+    """Unequal / non-lane-aligned hidden widths run through the kernel by
+    zero-padding to Hmax; output and gradients must match the flax module."""
+    from pyroved_tpu.nets.fc import sDecoderNet
+    B, N = 3, 70
+    net = sDecoderNet((8, 8), hidden_dim=hidden)
+    rng = np.random.default_rng(7)
+    grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
+    z = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    coords = jnp.broadcast_to(grid, (B, N, 2))
+    variables = net.init(jax.random.PRNGKey(0), coords, z)
+    params = variables["params"]
+
+    def f_module(p, zz):
+        return net.apply({"params": p}, coords, zz)
+
+    def f_fused(p, zz):
+        return sd.apply_fused_sdecoder(p, grid, jnp.zeros(B),
+                                       jnp.zeros((B, 2)), jnp.ones(B), zz)
+
+    out_m = f_module(params, z)
+    out_f = f_fused(params, z)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_m), atol=1e-5)
+
+    lm = lambda p, zz: jnp.sum(jnp.sin(3 * f_module(p, zz)))
+    lf = lambda p, zz: jnp.sum(jnp.sin(3 * f_fused(p, zz)))
+    gm = jax.grad(lm, argnums=(0, 1))(params, z)
+    gf = jax.grad(lf, argnums=(0, 1))(params, z)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gm)):
+        assert a.shape == b.shape  # cotangents sliced back to param shapes
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_padded_one_pass_recon_loss():
+    """The one-pass train kernel also accepts padded widths."""
+    from pyroved_tpu.nets.fc import sDecoderNet
+    B, N = 4, 64
+    net = sDecoderNet((8, 8), hidden_dim=(256, 128))
+    rng = np.random.default_rng(9)
+    grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
+    z = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32)
+    wgt = jnp.asarray([1.0, 0.5, 1.0, 0.0])
+    coords = jnp.broadcast_to(grid, (B, N, 2))
+    params = net.init(jax.random.PRNGKey(0), coords, z)["params"]
+
+    loss = sd.apply_fused_recon_loss(params, grid, jnp.zeros(B),
+                                     jnp.zeros((B, 2)), jnp.ones(B), z, x, wgt)
+    probs = net.apply({"params": params}, coords, z)
+    lp = x * jnp.log(probs) + (1 - x) * jnp.log1p(-probs)
+    ref = -jnp.sum(wgt[:, None] * lp)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
