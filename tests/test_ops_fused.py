@@ -293,3 +293,17 @@ def test_padded_one_pass_recon_loss():
     lp = x * jnp.log(probs) + (1 - x) * jnp.log1p(-probs)
     ref = -jnp.sum(wgt[:, None] * lp)
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+
+def test_model_ctor_wires_padded_gate(monkeypatch):
+    """iVAE's fusion decision must follow the padding-aware gate."""
+    import types
+    monkeypatch.setattr(sd.jax, "devices",
+                        lambda: [types.SimpleNamespace(platform="tpu")])
+    from pyroved_tpu.models import iVAE
+    assert iVAE((8, 8), invariances=["r"], hidden_dim_d=[256, 128])._fused
+    assert iVAE((8, 8), invariances=["r"], hidden_dim_d=[100, 60])._fused
+    assert not iVAE((8, 8), invariances=["r"], hidden_dim_d=[128, 512])._fused
+    assert not iVAE((8, 8), invariances=["r"], hidden_dim_d=[256, 128],
+                    fused=False)._fused
+    assert not iVAE((8, 8), hidden_dim_d=[256, 128])._fused  # no invariances
