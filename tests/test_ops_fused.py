@@ -307,3 +307,21 @@ def test_model_ctor_wires_padded_gate(monkeypatch):
     assert not iVAE((8, 8), invariances=["r"], hidden_dim_d=[256, 128],
                     fused=False)._fused
     assert not iVAE((8, 8), hidden_dim_d=[256, 128])._fused  # no invariances
+
+
+def test_padded_fusion_enumerated_batch():
+    """jiVAE/ssiVAE call the kernel with [K, B] leading dims; padding must
+    compose with the flatten/restore logic."""
+    from pyroved_tpu.nets.fc import sDecoderNet
+    K, B, N = 3, 4, 48
+    net = sDecoderNet((8, 8), hidden_dim=(256, 128))
+    rng = np.random.default_rng(11)
+    grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
+    z = jnp.asarray(rng.normal(size=(K, B, 2)), jnp.float32)
+    coords = jnp.broadcast_to(grid, (K, B, N, 2))
+    params = net.init(jax.random.PRNGKey(0), coords, z)["params"]
+    ref = net.apply({"params": params}, coords, z)
+    out = sd.apply_fused_sdecoder(params, grid, jnp.zeros((K, B)),
+                                  jnp.zeros((K, B, 2)), jnp.ones((K, B)), z)
+    assert out.shape == (K, B, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
