@@ -180,6 +180,33 @@ class baseVAE:
         self._dec_act = activation
         self._dec_sig = bool(sigmoid_d)
 
+    def sync_fusion_gate(self, params=None) -> bool:
+        """Re-check the fused-kernel gate against CONCRETE parameters.
+
+        The fused Pallas kernel loads the full decoder weight stack into
+        VMEM, so it requires fully-replicated decoder params; under tensor
+        parallelism (kernels sharded over a 'model' axis) it must fall back
+        to the XLA path. Trainers call this right before compiling — no
+        manual ``fused=False`` needed. Returns the (possibly updated) gate.
+        """
+        if not getattr(self, "_fused", False):
+            return False
+        params = self.params if params is None else params
+        dec = params.get("decoder") if hasattr(params, "get") else None
+        if dec is not None:
+            for leaf in jax.tree_util.tree_leaves(dec):
+                sharding = getattr(leaf, "sharding", None)
+                if sharding is not None and not sharding.is_fully_replicated:
+                    import warnings
+                    warnings.warn(
+                        "decoder parameters are sharded across the mesh; "
+                        "disabling the fused spatial-decoder kernel (it needs "
+                        "replicated decoder weights). Training continues on "
+                        "the XLA path.", stacklevel=2)
+                    self._fused = False
+                    break
+        return self._fused
+
     def _build_decode_jit(self):
         """Jitted generation-path decoder apply: spatial decoders take
         (coords, z) with the grid broadcast over the batch; plain decoders
@@ -197,20 +224,24 @@ class baseVAE:
     # Batched inference / generation
     # ------------------------------------------------------------------
     def _chunked(self, fn, *arrays, batch_size: int = 100):
-        """Apply a jitted function over fixed-size chunks (last chunk padded)
-        and concatenate host-side results."""
+        """Apply a jitted function over fixed-size chunks and concatenate
+        host-side results. EVERY chunk (including a lone short input) is
+        zero-padded to exactly ``batch_size``, so ``fn`` compiles once per
+        (fn, batch_size) pair regardless of the input length."""
         n = arrays[0].shape[0]
         outs = []
         for start in range(0, n, batch_size):
             chunk = [a[start:start + batch_size] for a in arrays]
             pad = batch_size - chunk[0].shape[0]
-            if pad and n > batch_size:
+            if pad:
                 chunk = [jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
                          for c in chunk]
             res = fn(self.params, *chunk)
-            res = jax.tree_util.tree_map(
-                lambda r: r[: batch_size - pad] if pad and n > batch_size else r, res)
+            if pad:
+                res = jax.tree_util.tree_map(lambda r: r[: batch_size - pad], res)
             outs.append(res)
+        if len(outs) == 1:
+            return outs[0]
         return jax.tree_util.tree_map(lambda *rs: jnp.concatenate(rs), *outs)
 
     # ------------------------------------------------------------------
@@ -286,23 +317,27 @@ class baseVAE:
     # Weight persistence (params + rng), reference base.py:183-192
     # ------------------------------------------------------------------
     def save_weights(self, filepath: str) -> None:
-        """Serializes the model parameter pytree to ``filepath + '.pvt'``."""
-        payload = {
-            "params": flax.serialization.to_bytes(jax.device_get(self.params)),
-            "rng": np.asarray(jax.device_get(self.rng)) if self.rng is not None else None,
-        }
+        """Serializes the model parameter pytree to ``filepath + '.pvt'``.
+
+        The payload is a ``np.savez`` archive of a flax msgpack byte-string
+        plus the PRNG key — no pickling, so loading an untrusted file cannot
+        execute code (unlike ``torch.load`` pre-``weights_only``)."""
+        arrays = {"params": np.frombuffer(
+            flax.serialization.to_bytes(jax.device_get(self.params)), np.uint8)}
+        if self.rng is not None:
+            arrays["rng"] = np.asarray(jax.device_get(self.rng))
         with open(filepath + ".pvt", "wb") as f:
-            pickle.dump(payload, f)
+            np.savez(f, **arrays)
 
     def load_weights(self, filepath: str) -> None:
-        """Loads parameters saved by :meth:`save_weights`."""
+        """Loads parameters saved by :meth:`save_weights` (pickle-free)."""
         if not filepath.endswith(".pvt"):
             filepath = filepath + ".pvt"
-        with open(filepath, "rb") as f:
-            payload = pickle.load(f)
-        self.params = flax.serialization.from_bytes(self.params, payload["params"])
-        if payload.get("rng") is not None:
-            self.rng = jnp.asarray(payload["rng"])
+        with np.load(filepath, allow_pickle=False) as payload:
+            self.params = flax.serialization.from_bytes(
+                self.params, payload["params"].tobytes())
+            if "rng" in payload:
+                self.rng = jnp.asarray(payload["rng"])
 
     # Convenience used by several public APIs
     @staticmethod

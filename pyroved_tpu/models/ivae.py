@@ -239,7 +239,12 @@ class iVAE(baseVAE):
         if self._decode_jit is None:
             self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
-        loc = self._decode_jit(self.params, coords, z)
+        bs = kwargs.get("batch_size")
+        if bs and z.shape[0] > bs:  # chunk very large z to bound device memory
+            loc = self._chunked(lambda p, zz: self._decode_jit(p, coords, zz),
+                                z, batch_size=bs)
+        else:
+            loc = self._decode_jit(self.params, coords, z)
         return loc.reshape((z.shape[0],) + self.data_dim)
 
     def reconstruct(self, x_new, y=None, **kwargs) -> Array:

@@ -69,6 +69,19 @@ BF16_MATMUL = True
 ACT_DTYPE = jnp.float32
 
 
+# Run every pallas_call in interpret mode (pure-XLA simulation of the kernel
+# grid). Lets the EXACT fused code path execute on CPU — used by the
+# multichip dryrun and mesh tests to validate kernel-under-mesh semantics
+# without TPU hardware.
+INTERPRET = False
+
+
+def _pallas(*args, **kwargs):
+    if INTERPRET:
+        kwargs["interpret"] = True
+    return pl.pallas_call(*args, **kwargs)
+
+
 def _mxu_dot(a, b):
     if BF16_MATMUL:
         a = a.astype(jnp.bfloat16)
@@ -185,7 +198,7 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
 
     kernel = functools.partial(_fwd_kernel, int(n_layers), int(D), act,
                                bool(sigmoid_out))
-    out = pl.pallas_call(
+    out = _pallas(
         kernel,
         grid=(Bp // B_T, Np // n_t),
         in_specs=[
@@ -379,7 +392,7 @@ def _bwd(act, sigmoid_out, res, g):
     full3 = lambda i, j: (0, 0, 0)
     batch_blk = lambda w: pl.BlockSpec((B_T, w), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    outs = _pallas(
         kernel,
         grid=(Bp // B_T, Np // n_t),
         in_specs=[
@@ -573,7 +586,7 @@ def _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout,
     full3 = lambda i, j: (0, 0, 0)
     batch_blk = lambda w: pl.BlockSpec((B_T, w), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    outs = _pallas(
         kernel,
         grid=(Bp // B_T, Np // n_t),
         in_specs=[

@@ -174,6 +174,11 @@ class SVItrainer:
         for i, batch in enumerate(loader):
             batch = tuple(jnp.asarray(b) for b in batch)
             bs = bs or batch[0].shape[0]
+            if batch[0].shape[0] > bs:
+                raise ValueError(
+                    f"Streaming batch {i} has {batch[0].shape[0]} examples, "
+                    f"larger than the first batch ({bs}); yield batches of a "
+                    "fixed size (a short FINAL batch is fine — it is padded).")
             count += batch[0].shape[0]
             batch, weights = self._pad_batch(batch, bs)
             step_rng = jax.random.fold_in(epoch_rng, i)
@@ -213,6 +218,10 @@ class SVItrainer:
             for i, batch in enumerate(test_loader):
                 batch = tuple(jnp.asarray(b) for b in batch)
                 bs = bs or batch[0].shape[0]
+                if batch[0].shape[0] > bs:
+                    raise ValueError(
+                        f"Streaming batch {i} has {batch[0].shape[0]} "
+                        f"examples, larger than the first batch ({bs}).")
                 count += batch[0].shape[0]
                 batch, weights = self._pad_batch(batch, bs)
                 total += float(self._eval_step_jit(

@@ -33,13 +33,19 @@ def get_activation(activation: Union[str, None]) -> Union[Callable[[Array], Arra
 
 def to_onehot(idx, n: int) -> Array:
     """One-hot encode integer labels with range validation
-    (reference: ``utils/nn.py:37-48``)."""
-    idx = jnp.asarray(idx)
-    if int(jnp.max(idx)) >= n:
-        raise AssertionError(
-            "Labelling must start from 0 and "
-            "maximum label value must be less than total number of classes")
-    idx = idx.reshape(-1)
+    (reference: ``utils/nn.py:37-48``). Validation runs host-side on
+    concrete inputs only (a traced ``idx`` skips it — ``jax.nn.one_hot``
+    zero-fills out-of-range entries instead), avoiding a device sync and
+    keeping the function jittable."""
+    if not isinstance(idx, jax.core.Tracer):
+        host = np.asarray(jax.device_get(jnp.asarray(idx)))
+        if host.size and (int(host.max()) >= n or int(host.min()) < 0):
+            raise AssertionError(
+                "Labelling must start from 0 and "
+                "maximum label value must be less than total number of classes")
+    idx = jnp.asarray(idx).reshape(-1)
+    if not jnp.issubdtype(idx.dtype, jnp.integer):
+        idx = idx.astype(jnp.int32)
     return jax.nn.one_hot(idx, n, dtype=jnp.float32)
 
 

@@ -101,11 +101,21 @@ def test_apply_fused_sdecoder_param_tree():
 
 
 def test_supports_fusion_gate():
-    assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 0)
-    assert not sd.sdecoder_supports_fusion((128, 64), "tanh", True, 1)
-    assert not sd.sdecoder_supports_fusion((128, 128), "relu", True, 1)
-    # on CPU the TPU-platform gate must be False
-    assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
+    """Gate logic under a simulated TPU platform (so the suite passes
+    identically on CPU and TPU hosts); the real-platform check is last."""
+    import types
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sd.jax, "devices",
+                   lambda: [types.SimpleNamespace(platform="tpu")])
+        assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
+        assert sd.sdecoder_supports_fusion((128, 64), "tanh", True, 1)  # pads to 128
+        assert sd.sdecoder_supports_fusion((128, 128), "relu", True, 1)
+        assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 0)  # no coord
+        assert not sd.sdecoder_supports_fusion((128, 128), "gelu", True, 1)  # unsupported act
+        assert not sd.sdecoder_supports_fusion((128, 512), "tanh", True, 1)  # heavy padding
+    # on a non-TPU platform the gate must reflect the real platform
+    expected = jax.devices()[0].platform == "tpu"
+    assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1) == expected
 
 
 def test_wide_hidden_dim_tiles():

@@ -154,6 +154,44 @@ def test_remat_matches_plain():
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
 
 
+def test_streaming_rejects_growing_batches():
+    """A generic iterable whose later batch is LARGER than the first must
+    raise a clear error instead of crashing inside padding."""
+    model = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    trainer = SVItrainer(model)
+    batches = [(np.zeros((4,) + DATA_2D, np.float32),),
+               (np.zeros((8,) + DATA_2D, np.float32),)]
+    with pytest.raises(ValueError, match="larger than the first"):
+        trainer.train(iter(batches))
+
+
+def test_decode_batch_size_chunking():
+    """decode(batch_size=) must chunk large z and match the one-shot path."""
+    model = iVAE(DATA_2D, latent_dim=2, invariances=["r"])
+    z = np.random.default_rng(0).normal(size=(37, 2)).astype(np.float32)
+    full = np.asarray(model.decode(z))
+    chunked = np.asarray(model.decode(z, batch_size=10))
+    assert chunked.shape == (37,) + DATA_2D
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+
+def test_chunked_single_compile_per_bucket():
+    """_chunked pads EVERY chunk to batch_size, so distinct short input
+    lengths reuse one compiled shape."""
+    model = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    shapes_seen = []
+
+    @jax.jit
+    def probe(p, x):
+        shapes_seen.append(x.shape)
+        return x * 2.0
+
+    for n in (3, 5, 7):
+        out = model._chunked(probe, np.ones((n, 4), np.float32), batch_size=8)
+        assert out.shape == (n, 4)
+    assert set(shapes_seen) == {(8, 4)}  # traced once, one padded shape
+
+
 def test_full_training_determinism():
     """Same seeds -> bitwise-identical loss history (RNG discipline)."""
     x = _rand_imgs(48)

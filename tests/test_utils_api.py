@@ -31,6 +31,16 @@ def test_to_onehot_and_range_check():
     np.testing.assert_allclose(oh, np.eye(3)[[0, 2, 1]])
     with pytest.raises(AssertionError):
         unn.to_onehot(np.array([0, 3]), 3)
+    with pytest.raises(AssertionError):
+        unn.to_onehot(np.array([-1, 0]), 3)
+
+
+def test_to_onehot_jittable_and_empty():
+    # traced input: validation is skipped and the op stays jittable
+    out = jax.jit(lambda i: unn.to_onehot(i, 4))(jnp.asarray([1, 3]))
+    np.testing.assert_allclose(out, np.eye(4)[[1, 3]])
+    # empty input: no crash, empty one-hot back
+    assert unn.to_onehot(np.array([], np.int32), 3).shape == (0, 3)
 
 
 def test_set_deterministic_mode_reproducible():
