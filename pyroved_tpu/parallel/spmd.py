@@ -30,6 +30,9 @@ def make_spmd_train_step(model, optimizer: optax.GradientTransformation,
     The batch's leading dim must be divisible by the axis size. Returns a
     jitted function producing (params, opt_state, loss).
     """
+    gate = getattr(model, "sync_fusion_gate", None)
+    if gate is not None:
+        gate()  # TP-sharded decoder weights auto-disable the fused kernel
     loss_fn = model.loss_fn
 
     def local_step(params, opt_state, rng, batch, weights, beta):
@@ -48,10 +51,15 @@ def make_spmd_train_step(model, optimizer: optax.GradientTransformation,
 
     def step(params, opt_state, rng, batch: Tuple, weights, beta):
         batch_specs = tuple(P(axis) for _ in batch)
+        # check_vma=False: pallas_call cannot declare how its outputs vary
+        # across mesh axes, so the varying-mesh-axes lint rejects any fused
+        # kernel inside the mapped body; the psum placement here is explicit
+        # and covered by the numerics tests.
         mapped = jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(P(), P(), P(), batch_specs, P(axis), P()),
             out_specs=(P(), P(), P()),
+            check_vma=False,
         )
         return mapped(params, opt_state, rng, batch, weights, beta)
 

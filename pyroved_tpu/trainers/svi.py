@@ -97,6 +97,11 @@ class SVItrainer:
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
     def _build_epoch_fns(self):
+        # Re-check the fused-kernel gate against the CONCRETE params about to
+        # be compiled: TP-sharded decoder weights auto-fall-back to XLA.
+        gate = getattr(self.model, "sync_fusion_gate", None)
+        if gate is not None:
+            gate()
         loss_fn = self.model.loss_fn
         weighted = getattr(self.model, "weighted_loss_fn", None)
         if self.remat:
