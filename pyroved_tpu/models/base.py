@@ -220,6 +220,19 @@ class baseVAE:
             lambda p, coords, zz: self.decoder_net.apply(
                 {"params": p["decoder"]}, zz))
 
+    def _decode_loc(self, z: Array, coords, **kwargs) -> Array:
+        """Run the jitted generation decoder, chunking over ``batch_size``
+        when given (bounds device memory for very large latent batches,
+        mirroring the reference's loader-batched ``_decode``,
+        ``base.py:145-171``)."""
+        if self._decode_jit is None:
+            self._decode_jit = self._build_decode_jit()
+        bs = kwargs.get("batch_size")
+        if bs and z.shape[0] > bs:
+            return self._chunked(lambda p, zz: self._decode_jit(p, coords, zz),
+                                 z, batch_size=bs)
+        return self._decode_jit(self.params, coords, z)
+
     # ------------------------------------------------------------------
     # Batched inference / generation
     # ------------------------------------------------------------------

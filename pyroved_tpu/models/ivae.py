@@ -236,15 +236,8 @@ class iVAE(baseVAE):
         z = self._as_f32(z)
         if y is not None:
             z = jnp.concatenate([z, self._as_f32(y).reshape(z.shape[0], -1)], -1)
-        if self._decode_jit is None:
-            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
-        bs = kwargs.get("batch_size")
-        if bs and z.shape[0] > bs:  # chunk very large z to bound device memory
-            loc = self._chunked(lambda p, zz: self._decode_jit(p, coords, zz),
-                                z, batch_size=bs)
-        else:
-            loc = self._decode_jit(self.params, coords, z)
+        loc = self._decode_loc(z, coords, **kwargs)
         return loc.reshape((z.shape[0],) + self.data_dim)
 
     def reconstruct(self, x_new, y=None, **kwargs) -> Array:

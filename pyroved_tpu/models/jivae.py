@@ -150,26 +150,52 @@ class jiVAE(baseVAE):
 
     def trace(self, rng: Array, batch: Tuple[Array, ...], beta=1.0,
               params=None) -> dict:
-        """Site introspection for the joint model: continuous site
-        (loc/scale/value) and the discrete site's class probabilities plus
-        the K enumerated one-hot values — mirroring the reference's
-        enumeration trace tests on ``latent_cont``/``latent_disc``
-        (``tests/test_models.py:241-257``)."""
+        """Site introspection for the joint model — full ELBO-program depth,
+        matching :meth:`iVAE.trace`: continuous site (loc/scale/value), the
+        discrete site's class probabilities plus the K enumerated one-hot
+        values (mirroring the reference's enumeration trace tests on
+        ``latent_cont``/``latent_disc``, ``tests/test_models.py:241-257``),
+        the split transform parameters, the warped grid, the K-branch decoder
+        output, and the per-branch / expected reconstruction terms."""
         params = self.params if params is None else params
         x = jnp.asarray(batch[0], jnp.float32)
         B, K = x.shape[0], self.discrete_dim
         xf = x.reshape(B, -1)
+        betas = self.prep_beta(beta)
         mu, sig, alpha = self.encoder_net.apply(
             {"params": params["encoder_z"]}, xf)
-        z, latent_term = normal_latent_site(
-            rng, mu, sig, self.prep_beta(beta)[0], self.kl_mode)
+        z, latent_term = normal_latent_site(rng, mu, sig, betas[0],
+                                            self.kl_mode)
+        log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
+        disc_term = betas[1] * jnp.sum(
+            alpha * (-math.log(K) - log_alpha), axis=-1)
         eye = jnp.eye(K, dtype=xf.dtype)
+        enumerated = jnp.broadcast_to(eye[:, None, :], (K, B, K))
+        phi = dx = sc = coords = None
+        if self.coord > 0:
+            phi, dx, sc, zc = self.split_latent_full(z)
+            coords, _ = self.transformed_grid(z)
+        else:
+            zc = z
+        zc_k = jnp.concatenate(
+            [jnp.broadcast_to(zc, (K,) + zc.shape), enumerated], axis=-1)
+        if coords is not None:
+            coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
+            loc = self.decoder_net.apply({"params": params["decoder"]},
+                                         coords_k, zc_k)
+        else:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
+        recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))
         return {
             "latent_cont": {"loc": mu, "scale": sig, "value": z},
-            "latent_disc": {"probs": alpha,
-                            "enumerated": jnp.broadcast_to(
-                                eye[:, None, :], (K, B, K))},
+            "latent_disc": {"probs": alpha, "enumerated": enumerated},
+            "transform": {"phi": phi, "dx": dx, "sc": sc},
+            "coords": coords,
+            "obs": {"loc": loc},
+            "recon_logp_k": recon_k,
+            "recon_logp": jnp.sum(alpha.T * recon_k, axis=0),
             "latent_term": latent_term,
+            "disc_term": disc_term,
         }
 
     # ------------------------------------------------------------------
@@ -193,10 +219,8 @@ class jiVAE(baseVAE):
         """Decode (content latents, one-hot classes)
         (reference: ``jivae.py:256-266``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
-        if self._decode_jit is None:
-            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
-        loc = self._decode_jit(self.params, coords, z)
+        loc = self._decode_loc(z, coords, **kwargs)
         return loc.reshape((-1,) + self.data_dim)
 
     def manifold2d(self, d: int, disc_idx: int = 0, plot: bool = True, **kwargs) -> Array:

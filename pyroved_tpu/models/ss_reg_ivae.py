@@ -217,10 +217,8 @@ class ss_reg_iVAE(baseVAE):
         """Decode (content latents, continuous labels)
         (reference: ``ss_reg_ivae.py:736-747``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
-        if self._decode_jit is None:
-            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
-        loc = self._decode_jit(self.params, coords, z)
+        loc = self._decode_loc(z, coords, **kwargs)
         return loc.reshape((-1,) + self.data_dim)
 
     def manifold2d(self, d: int, y, plot: bool = True, **kwargs) -> Array:

@@ -258,10 +258,8 @@ class ssiVAE(baseVAE):
         """Decode (content latents, one-hot classes)
         (reference: ``ssivae.py:638-649``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
-        if self._decode_jit is None:
-            self._decode_jit = self._build_decode_jit()
         coords = self.fixed_transform_grid(**kwargs)
-        loc = self._decode_jit(self.params, coords, z)
+        loc = self._decode_loc(z, coords, **kwargs)
         return loc.reshape((-1,) + self.data_dim)
 
     def manifold2d(self, d: int, plot: bool = True, **kwargs) -> Array:

@@ -142,7 +142,11 @@ class VED(baseVAE):
         z = self._as_f32(z)
         if self._decode_jit is None:
             self._decode_jit = jax.jit(lambda p, zz: self._apply_decoder(p, zz))
-        loc = self._decode_jit(self.params, z)
+        bs = kwargs.get("batch_size")
+        if bs and z.shape[0] > bs:
+            loc = self._chunked(self._decode_jit, z, batch_size=bs)
+        else:
+            loc = self._decode_jit(self.params, z)
         return loc[..., 0] if self.output_channels == 1 else loc
 
     def predict(self, x_new, num_samples: int = 30, **kwargs) -> Tuple[Array, Array]:

@@ -14,12 +14,14 @@ jit-compiled update per batch (the reference takes two separate
 computation and a single Adam update each, compiled together). Both labeled
 and unlabeled step functions are compiled once and reused every epoch.
 """
+import time
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.data import DataLoader
 from ..utils.nn import average_weights
@@ -29,7 +31,18 @@ Array = jax.Array
 
 class auxSVItrainer:
     """Trainer for ssiVAE / ss_reg_iVAE (task inferred from the model,
-    overridable via ``task=``)."""
+    overridable via ``task=``).
+
+    Keyword Args:
+        lr: Adam learning rate (default 5e-4, reference ``auxsvi.py:66``).
+        mesh: optional ``jax.sharding.Mesh`` with a ``'data'`` axis —
+            batches are sharded over it and XLA inserts the gradient
+            all-reduce (same DP model as ``SVItrainer``).
+        checkpoint_path / checkpoint_every: auto-checkpoint the full
+            training state (params + both opt states + PRNG + epoch) every
+            N epochs.
+        log_file: append one JSONL record per epoch.
+    """
 
     def __init__(self, model, task: Optional[str] = None, optimizer=None,
                  seed: int = 1, **kwargs):
@@ -47,19 +60,37 @@ class auxSVItrainer:
         self.aux_optimizer = optax.adam(lr) if optimizer is None else optimizer
         self.aux_opt_state = self.aux_optimizer.init(model.params["encoder_y"])
         self.rng = jax.random.PRNGKey(seed)
+        self.mesh = kwargs.get("mesh")
+        self.checkpoint_path = kwargs.get("checkpoint_path")
+        self.checkpoint_every = int(kwargs.get("checkpoint_every", 10))
+        self.log_file = kwargs.get("log_file")
         self.history = {"training_loss": [], "test": []}
+        self.epoch_times = []
         self.current_epoch = 0
         self.running_weights: Dict[int, dict] = {}
         self._step_unsup = None
         self._step_sup = None
 
     # ------------------------------------------------------------------
+    def _constrain(self, tree):
+        if self.mesh is None:
+            return tree
+        sharding = NamedSharding(self.mesh, P("data"))
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
+
     def _build_steps(self):
+        gate = getattr(self.model, "sync_fusion_gate", None)
+        if gate is not None:
+            gate()  # TP-sharded decoder weights auto-disable the fused kernel
         loss_fn = self.model.loss_fn
         aux_loss_fn = self.model.aux_loss_fn
         optimizer, aux_optimizer = self.optimizer, self.aux_optimizer
 
         def basic_update(params, opt_state, rng, batch, weights, beta):
+            batch = self._constrain(batch)
+            weights = self._constrain(weights)
+
             def f(p):
                 return jnp.sum(loss_fn(p, rng, batch, beta) * weights)
             loss, grads = jax.value_and_grad(f)(params)
@@ -73,6 +104,8 @@ class auxSVItrainer:
                      beta, aux_mult):
             params, opt_state, loss = basic_update(
                 params, opt_state, rng, (x, y), weights, beta)
+            x, y = self._constrain((x, y))
+            weights = self._constrain(weights)
 
             def f_aux(p_y):
                 p = dict(params)
@@ -130,6 +163,63 @@ class auxSVItrainer:
         self._epoch_jit = jax.jit(epoch, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
+    def _train_streaming(self, loader_unsup, loader_sup, beta, aux_mult,
+                         sup_period: Optional[int] = None) -> float:
+        """Per-batch jitted updates for host-resident loaders or generic
+        iterables (uploads one batch per step). Interleave cadence follows
+        the reference (``auxsvi.py:110-128``): one labeled step every
+        ``p = (n_sup + n_unsup) // n_sup`` unlabeled iterations, where the
+        counts come from ``len()`` — pass ``sup_period=`` for iterables
+        without a length."""
+        from .svi import SVItrainer
+        if sup_period is not None:
+            p = max(int(sup_period), 1)
+        else:
+            try:
+                n_u, n_s = len(loader_unsup), len(loader_sup)
+            except TypeError:
+                raise TypeError(
+                    "Streaming loaders without __len__ need an explicit "
+                    "sup_period= (labeled step every p-th unlabeled batch)")
+            p = max((n_s + n_u) // max(n_s, 1), 1)
+        sup_now = (lambda i: True) if p == 1 else (lambda i: i % p == 1)
+
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        params, opt_state = self.model.params, self.opt_state
+        aux_opt_state = self.aux_opt_state
+        sup_iter = iter(loader_sup)
+        losses, count, bs_u, bs_s = [], 0, None, None
+        for i, batch in enumerate(loader_unsup):
+            x = jnp.asarray(batch[0] if isinstance(batch, (tuple, list)) else batch)
+            bs_u = bs_u or x.shape[0]
+            if x.shape[0] > bs_u:
+                raise ValueError(
+                    f"Streaming batch {i} has {x.shape[0]} examples, larger "
+                    f"than the first batch ({bs_u}); use a fixed batch size.")
+            count += x.shape[0]
+            (x,), w = SVItrainer._pad_batch((x,), bs_u)
+            rng_u = jax.random.fold_in(epoch_rng, 2 * i)
+            params, opt_state, loss = self._step_unsup(
+                params, opt_state, rng_u, x, w, beta)
+            losses.append(loss)  # device-side; one sync at epoch end
+            if sup_now(i):
+                try:
+                    sup_batch = next(sup_iter)
+                except StopIteration:  # cycle the (smaller) labeled loader
+                    sup_iter = iter(loader_sup)
+                    sup_batch = next(sup_iter)
+                sup_batch = tuple(jnp.asarray(b) for b in sup_batch)
+                bs_s = bs_s or sup_batch[0].shape[0]
+                sup_batch, sw = SVItrainer._pad_batch(sup_batch, bs_s)
+                rng_s = jax.random.fold_in(epoch_rng, 2 * i + 1)
+                params, opt_state, aux_opt_state, _ = self._step_sup(
+                    params, opt_state, aux_opt_state, rng_s,
+                    sup_batch[0], sup_batch[1], sw, beta, aux_mult)
+        self.model.params = params
+        self.opt_state = opt_state
+        self.aux_opt_state = aux_opt_state
+        return float(sum(float(l) for l in losses)) / max(count, 1)
+
     def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,
               **kwargs) -> float:
         """One epoch over the unlabeled loader, interleaving labeled batches
@@ -139,6 +229,14 @@ class auxSVItrainer:
             self._build_steps()
         beta = jnp.asarray(kwargs.get("scale_factor", 1.0), jnp.float32)
         aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20), jnp.float32)
+
+        resident = (isinstance(loader_unsup, DataLoader)
+                    and loader_unsup.device_resident
+                    and isinstance(loader_sup, DataLoader)
+                    and loader_sup.device_resident)
+        if not resident:
+            return self._train_streaming(loader_unsup, loader_sup, beta,
+                                         aux_mult, kwargs.get("sup_period"))
 
         idx_u, w_u = loader_unsup.epoch_indices()
         idx_s, w_s = loader_sup.epoch_indices()
@@ -207,12 +305,39 @@ class auxSVItrainer:
             scale_factor: KL scale beta (default 1).
             aux_loss_multiplier: weight of the auxiliary supervised loss
                 (default 20; Eq. 9 of arXiv:1406.5298).
+            sup_period: labeled-step cadence for length-less streaming
+                loaders.
         """
+        t0 = time.perf_counter()
         self.history["training_loss"].append(
             self.train(loader_unsup, loader_sup, **kwargs))
         if loader_val is not None:
             self.history["test"].append(self.evaluate(loader_val))
+        self.epoch_times.append(time.perf_counter() - t0)
         self.current_epoch += 1
+        if self.log_file:
+            import json
+            record = {"epoch": self.current_epoch,
+                      "training_loss": self.history["training_loss"][-1],
+                      "epoch_seconds": self.epoch_times[-1]}
+            if loader_val is not None:
+                record["test"] = self.history["test"][-1]
+            with open(self.log_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if (self.checkpoint_path
+                and self.current_epoch % self.checkpoint_every == 0):
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_path, self.model, self)
+
+    # ------------------------------------------------------------------
+    def resume(self, checkpoint_path: Optional[str] = None) -> int:
+        """Restore model + both optimizer states + PRNG + epoch from a
+        checkpoint written by this trainer; returns the epoch to continue
+        from."""
+        from ..utils.checkpoint import load_checkpoint
+        load_checkpoint(checkpoint_path or self.checkpoint_path,
+                        self.model, self)
+        return self.current_epoch
 
     # ------------------------------------------------------------------
     def save_running_weights(self, net: str = "encoder_y") -> None:

@@ -269,10 +269,32 @@ def test_ssivae_classifier_chunked():
 
 def test_jivae_trace_sites():
     m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=["r"])
-    t = m.trace(RNG, (_imgs(4),))
+    x = _imgs(4)
+    t = m.trace(RNG, (x,))
     assert t["latent_cont"]["value"].shape == (4, 3)
     assert (np.asarray(t["latent_cont"]["scale"]) > 0).all()
     assert t["latent_disc"]["probs"].shape == (4, 3)
     np.testing.assert_allclose(np.asarray(t["latent_disc"]["probs"]).sum(-1),
                                1.0, rtol=1e-5)
     assert t["latent_disc"]["enumerated"].shape == (3, 4, 3)
+    # full program depth (parity with iVAE.trace): transform, coords, obs,
+    # per-branch + expected recon, and both ELBO terms
+    assert t["transform"]["phi"].shape == (4,)
+    assert t["coords"].shape == (4, 64, 2)
+    assert t["obs"]["loc"].shape == (3, 4, 64)   # K enumerated branches
+    assert t["recon_logp_k"].shape == (3, 4)
+    assert t["recon_logp"].shape == (4,)
+    assert t["disc_term"].shape == (4,)
+    # the trace must reproduce loss_fn exactly (same rng)
+    loss = np.asarray(m.loss_fn(m.params, RNG, (x,), m.prep_beta(1.0)))
+    recon = np.asarray(t["recon_logp"])
+    lat = np.asarray(t["latent_term"])
+    disc = np.asarray(t["disc_term"])
+    np.testing.assert_allclose(loss, -(recon + lat + disc), rtol=1e-5)
+
+
+def test_jivae_trace_no_invariances():
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3)
+    t = m.trace(RNG, (_imgs(4),))
+    assert t["coords"] is None and t["transform"]["phi"] is None
+    assert t["obs"]["loc"].shape[0] == 3
