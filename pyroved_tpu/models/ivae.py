@@ -193,7 +193,7 @@ class iVAE(baseVAE):
         fast = (getattr(self, "one_pass_train", False)
                 and self.coord > 0 and self._fused and self.num_particles == 1
                 and self.sampler_d.name == "bernoulli" and self._dec_sig
-                and self._dec_act == "tanh")
+                and self._dec_act in ("tanh", "tanh_approx"))
         if not fast:
             return jnp.sum(self.loss_fn(params, rng, batch, beta) * weights)
         from ..ops.spatial_decoder import apply_fused_recon_loss

@@ -234,6 +234,66 @@ def test_one_pass_weighted_loss_matches_generic():
     np.testing.assert_allclose(fast, ref, rtol=1e-4)
 
 
+def test_pade_tanh_accuracy():
+    """Opt-in approx tanh: < 1e-6 abs error on the activation core range,
+    < 2e-4 everywhere (clamp region)."""
+    x = jnp.linspace(-3.0, 3.0, 20001)
+    err_core = jnp.max(jnp.abs(sd._pade_tanh(x) - jnp.tanh(x)))
+    assert float(err_core) < 2e-6, float(err_core)  # f32 rounding floor
+    xw = jnp.linspace(-30.0, 30.0, 20001)
+    err_all = jnp.max(jnp.abs(sd._pade_tanh(xw) - jnp.tanh(xw)))
+    assert float(err_all) < 2e-4, float(err_all)
+
+
+def test_approx_tanh_kernel_close_to_exact():
+    """Kernel with act='tanh_approx' stays within training tolerance of the
+    exact-tanh reference, forward and gradients."""
+    args = _make(2, B=4, N=256, seed=13)
+    grid, rest = args[0], args[1:]
+    out_exact = sd.fused_spatial_decoder(grid, *rest, "tanh", True)
+    out_approx = sd.fused_spatial_decoder(grid, *rest, "tanh_approx", True)
+    np.testing.assert_allclose(np.asarray(out_approx), np.asarray(out_exact),
+                               atol=5e-4)
+    ge = jax.grad(lambda r: jnp.sum(sd.fused_spatial_decoder(grid, *r, "tanh", True)))(rest)
+    ga = jax.grad(lambda r: jnp.sum(sd.fused_spatial_decoder(grid, *r, "tanh_approx", True)))(rest)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(ge)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-2)
+
+
+def test_approx_tanh_model_kwarg():
+    """iVAE(approx_tanh=True) switches the fused act only when fusion is on."""
+    import types
+    from pyroved_tpu.models import iVAE
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sd.jax, "devices",
+                   lambda: [types.SimpleNamespace(platform="tpu")])
+        m = iVAE((8, 8), invariances=["r"], approx_tanh=True)
+        assert m._fused and m._dec_act == "tanh_approx"
+    # CPU: fusion gate off -> approx flag must NOT leak into the XLA path
+    m2 = iVAE((8, 8), invariances=["r"], approx_tanh=True)
+    assert not m2._fused and m2._dec_act == "tanh"
+
+
+def test_approx_tanh_training_loss_close():
+    """One forced-fused training epoch with approx tanh lands within 0.1% of
+    the exact-tanh loss (interpret mode)."""
+    from pyroved_tpu.models import iVAE
+    from pyroved_tpu.trainers import SVItrainer
+    from pyroved_tpu.utils import init_dataloader
+    x = np.random.default_rng(0).uniform(0, 1, (32, 8, 8)).astype(np.float32)
+
+    def run(act):
+        m = iVAE((8, 8), latent_dim=2, invariances=["r"])
+        m._fused = True
+        m._dec_act = act
+        t = SVItrainer(m, seed=5)
+        return t.train(init_dataloader(x, batch_size=8, seed=2))
+
+    l_exact, l_approx = run("tanh"), run("tanh_approx")
+    assert abs(l_approx - l_exact) / abs(l_exact) < 1e-3
+
+
 def test_fusion_work_gate():
     # equal 128-aligned widths: unpadded, always OK
     assert sd._fusion_work_ok((128, 128))

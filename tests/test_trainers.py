@@ -192,6 +192,40 @@ def test_chunked_single_compile_per_bucket():
     assert set(shapes_seen) == {(8, 4)}  # traced once, one padded shape
 
 
+def test_run_multi_epoch_matches_sequential():
+    """run(E) (one fused device dispatch) must reproduce E sequential
+    train() calls bitwise: same PRNG chain, same shuffles, same updates."""
+    x = _rand_imgs(48)
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    l1 = init_dataloader(x, batch_size=16, seed=3)
+    seq = [t1.train(l1) for _ in range(3)]
+
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9)
+    l2 = init_dataloader(x, batch_size=16, seed=3)
+    fused = t2.run(l2, 3)
+
+    # reported losses match up to f32 summation order (host vs device sum);
+    # the parameter trajectories are BITWISE identical
+    np.testing.assert_allclose(seq, fused, rtol=1e-6)
+    assert t2.loss_history["training_loss"] == fused
+    assert t2.current_epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_streaming_fallback():
+    model = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    trainer = SVItrainer(model)
+    loader = init_dataloader(_rand_imgs(32), batch_size=16,
+                             device_resident=False)
+    losses = trainer.run(loader, 2)
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+
+
 def test_full_training_determinism():
     """Same seeds -> bitwise-identical loss history (RNG discipline)."""
     x = _rand_imgs(48)
