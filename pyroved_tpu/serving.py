@@ -6,77 +6,121 @@ StableHLO artifacts via ``jax.export`` — loadable in any JAX process (or any
 StableHLO-consuming runtime) without the pyroved_tpu source tree, with the
 trained parameters baked in as constants.
 
-Note: exported artifacts are lowered for the platform they were exported on
-(TPU exports serve on TPU, CPU exports on CPU) — export on the platform you
-will serve from.
+* Spatial models export a POSED decoder: ``decode(z, angle, shift, scale)``
+  re-poses the generated signal at serve time (the reference's fixed
+  angle/shift/scale generation path, ``models/base.py:145-171``).
+* Semi-supervised models additionally export their ``classify`` /
+  ``regress`` head.
+* Pass ``platforms=["cpu", "tpu"]`` to lower once for several platforms;
+  the default exports for the current platform only.
+* The artifact is an ``np.savez`` archive (JSON manifest + raw StableHLO
+  bytes) — no pickle, so loading an untrusted file cannot execute code.
 """
-import pickle
-from typing import Optional
+import json
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import export as jexport
 
 
-def _exported(fn, *example_args):
+def _exported(fn, example_args, platforms):
     specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args]
-    return jexport.export(jax.jit(fn))(*specs)
+    return jexport.export(jax.jit(fn), platforms=platforms)(*specs)
 
 
-def export_model(model, path: str, batch_size: int = 256) -> None:
-    """Serialize the model's encoder (and decoder, when its latent interface
-    is self-contained) for serving at a fixed batch size.
-
-    Writes a pickle containing named serialized StableHLO functions with the
-    trained parameters closed over as constants:
-
-    * ``encode``: ``[batch, *data_dim] -> (z_loc, z_scale)`` (plus class
-      probabilities for jiVAE-style encoders).
-    * ``decode`` (models with a content-latent decode path): content latents
-      (with any conditional vector already concatenated) -> decoded signal.
-    """
+def export_model(model, path: str, batch_size: int = 256,
+                 platforms: Optional[Sequence[str]] = None) -> None:
+    """Serialize the model's inference functions for serving at a fixed
+    batch size (see module docstring for the exported surface)."""
     params = model.params
-    flat = 1
-    for d in model.data_dim:
-        flat *= d
 
     arts = {}
-
-    def enc(x):
-        return model.encoder_net.apply({"params": params["encoder_z"]},
-                                       x.reshape(batch_size, -1))
-
     x_spec = jnp.zeros((batch_size,) + tuple(model.data_dim), jnp.float32)
-    arts["encode"] = _exported(enc, x_spec).serialize()
+    cond_dim = int(getattr(model, "c_dim", 0))
+
+    if "encoder_y" in params:
+        # Semi-supervised encoder q(z|x,y): compose the auto-classify /
+        # auto-regress step in, matching model.encode's label-free call
+        # (reference ``ssivae.py:282-307``).
+        def enc(x):
+            xf = x.reshape(batch_size, -1)
+            y = model.encoder_y_net.apply({"params": params["encoder_y"]}, xf)
+            if hasattr(model, "num_classes"):
+                y = jax.nn.one_hot(jnp.argmax(y, -1), model.num_classes,
+                                   dtype=jnp.float32)
+            return model.encoder_net.apply({"params": params["encoder_z"]},
+                                           xf, y)
+
+        arts["encode"] = _exported(enc, (x_spec,), platforms).serialize()
+    elif cond_dim > 0:
+        def enc(x, y):
+            return model.encoder_net.apply({"params": params["encoder_z"]},
+                                           x.reshape(batch_size, -1), y)
+
+        y_spec = jnp.zeros((batch_size, cond_dim), jnp.float32)
+        arts["encode"] = _exported(enc, (x_spec, y_spec), platforms).serialize()
+    else:
+        def enc(x):
+            return model.encoder_net.apply({"params": params["encoder_z"]},
+                                           x.reshape(batch_size, -1))
+
+        arts["encode"] = _exported(enc, (x_spec,), platforms).serialize()
+
+    zdim = getattr(model, "latent_dim", 0) + getattr(model, "c_dim", 0) \
+        + getattr(model, "num_classes", 0) + getattr(model, "reg_dim", 0) \
+        + getattr(model, "discrete_dim", 0)
+    z_spec = jnp.zeros((batch_size, zdim), jnp.float32)
 
     if getattr(model, "coord", 0) == 0 and hasattr(model, "latent_dim"):
-        zdim = model.latent_dim + getattr(model, "c_dim", 0) \
-            + getattr(model, "num_classes", 0) + getattr(model, "reg_dim", 0) \
-            + getattr(model, "discrete_dim", 0)
-
         def dec(z):
             return model.decoder_net.apply({"params": params["decoder"]}, z)
 
-        arts["decode"] = _exported(
-            dec, jnp.zeros((batch_size, zdim), jnp.float32)).serialize()
+        arts["decode"] = _exported(dec, (z_spec,), platforms).serialize()
     elif getattr(model, "coord", 0) > 0:
-        zdim = model.latent_dim + getattr(model, "c_dim", 0) \
-            + getattr(model, "num_classes", 0) + getattr(model, "reg_dim", 0) \
-            + getattr(model, "discrete_dim", 0)
+        from .utils.coord import transform_coordinates
         grid = model.grid
+        D = int(grid.shape[-1])
 
-        def dec(z):
-            coords = jnp.broadcast_to(grid, (z.shape[0],) + grid.shape)
+        def dec(z, angle, shift, scale):
+            coords = transform_coordinates(grid[None], angle[None], shift,
+                                           scale[None])[0]
+            coords_b = jnp.broadcast_to(coords, (z.shape[0],) + coords.shape)
             return model.decoder_net.apply({"params": params["decoder"]},
-                                           coords, z)
+                                           coords_b, z)
 
-        arts["decode"] = _exported(
-            dec, jnp.zeros((batch_size, zdim), jnp.float32)).serialize()
+        pose = (z_spec, jnp.zeros((), jnp.float32),
+                jnp.zeros((D,), jnp.float32), jnp.ones((), jnp.float32))
+        arts["decode"] = _exported(dec, pose, platforms).serialize()
 
-    payload = {"batch_size": batch_size, "data_dim": tuple(model.data_dim),
-               "functions": arts}
+    if "encoder_y" in params and hasattr(model, "num_classes"):
+        def classify(x):
+            return model.encoder_y_net.apply({"params": params["encoder_y"]},
+                                         x.reshape(batch_size, -1))
+
+        arts["classify"] = _exported(classify, (x_spec,), platforms).serialize()
+    elif "encoder_y" in params and hasattr(model, "reg_dim"):
+        def regress(x):
+            return model.encoder_y_net.apply({"params": params["encoder_y"]},
+                                         x.reshape(batch_size, -1))
+
+        arts["regress"] = _exported(regress, (x_spec,), platforms).serialize()
+
+    manifest = {"batch_size": batch_size,
+                "data_dim": list(model.data_dim),
+                "c_dim": cond_dim if "encoder_y" not in params else 0,
+                "coord": int(getattr(model, "coord", 0)),
+                "grid_dim": int(model.grid.shape[-1]) if getattr(
+                    model, "coord", 0) else 0,
+                "platforms": list(platforms) if platforms else None,
+                "functions": sorted(arts)}
+    arrays = {f"fn_{name}": np.frombuffer(blob, np.uint8)
+              for name, blob in arts.items()}
+    arrays["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode("utf-8"), np.uint8)
     with open(path, "wb") as f:
-        pickle.dump(payload, f)
+        np.savez(f, **arrays)
 
 
 class ServedModel:
@@ -84,24 +128,32 @@ class ServedModel:
     Inputs are padded/truncated to the exported batch size."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        self.batch_size = payload["batch_size"]
-        self.data_dim = payload["data_dim"]
-        self._fns = {name: jexport.deserialize(data)
-                     for name, data in payload["functions"].items()}
+        with np.load(path, allow_pickle=False) as archive:
+            manifest = json.loads(archive["manifest"].tobytes().decode("utf-8"))
+            self.batch_size = manifest["batch_size"]
+            self.data_dim = tuple(manifest["data_dim"])
+            self.c_dim = manifest.get("c_dim", 0)
+            self.coord = manifest.get("coord", 0)
+            self.grid_dim = manifest.get("grid_dim", 0)
+            self.platforms = manifest.get("platforms")
+            self._fns = {name: jexport.deserialize(
+                archive[f"fn_{name}"].tobytes())
+                for name in manifest["functions"]}
 
-    def _run_batched(self, name: str, x):
+    def _run_batched(self, name: str, batched, extra=()):
+        """Run an exported fn over ``batched`` (tuple of batch-aligned
+        arrays, padded per chunk) with trailing non-batched ``extra`` args."""
         fn = self._fns[name]
-        n = x.shape[0]
+        n = batched[0].shape[0]
         outs = []
         for start in range(0, n, self.batch_size):
-            chunk = x[start:start + self.batch_size]
-            pad = self.batch_size - chunk.shape[0]
+            chunks = [b[start:start + self.batch_size] for b in batched]
+            pad = self.batch_size - chunks[0].shape[0]
             if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            res = fn.call(chunk)
+                chunks = [jnp.concatenate(
+                    [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
+                    for c in chunks]
+            res = fn.call(*chunks, *extra)
             res = res if isinstance(res, tuple) else (res,)
             outs.append(tuple(r[: self.batch_size - pad] if pad else r
                               for r in res))
@@ -109,8 +161,31 @@ class ServedModel:
                        for i in range(len(outs[0])))
         return joined if len(joined) > 1 else joined[0]
 
-    def encode(self, x):
-        return self._run_batched("encode", jnp.asarray(x, jnp.float32))
+    def encode(self, x, y=None):
+        args = (jnp.asarray(x, jnp.float32),)
+        if self.c_dim > 0:
+            if y is None:
+                raise ValueError(
+                    f"This export was built for a conditional encoder; pass "
+                    f"y with {self.c_dim} features")
+            args = args + (jnp.asarray(y, jnp.float32).reshape(
+                args[0].shape[0], self.c_dim),)
+        return self._run_batched("encode", args)
 
-    def decode(self, z):
-        return self._run_batched("decode", jnp.asarray(z, jnp.float32))
+    def decode(self, z, angle=0.0, shift=0.0, scale=1.0):
+        """Decode latents; for spatial exports the pose arguments re-pose
+        the generated signal (identity by default)."""
+        z = jnp.asarray(z, jnp.float32)
+        if self.coord > 0:
+            extra = (jnp.asarray(angle, jnp.float32).reshape(()),
+                     jnp.broadcast_to(jnp.asarray(shift, jnp.float32),
+                                      (self.grid_dim,)).astype(jnp.float32),
+                     jnp.asarray(scale, jnp.float32).reshape(()))
+            return self._run_batched("decode", (z,), extra)
+        return self._run_batched("decode", (z,))
+
+    def classify(self, x):
+        return self._run_batched("classify", (jnp.asarray(x, jnp.float32),))
+
+    def regress(self, x):
+        return self._run_batched("regress", (jnp.asarray(x, jnp.float32),))

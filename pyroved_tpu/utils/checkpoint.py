@@ -3,13 +3,23 @@
 The reference persists only network ``state_dict`` weights
 (``pyroved/models/base.py:183-192``), so resuming mid-training loses the
 optimizer moments and RNG state. Here a checkpoint captures params +
-optimizer state + PRNG + epoch + loss history, so training resumes exactly.
+optimizer state(s) + PRNG + epoch + loss history, so training resumes
+exactly — including onto a live device mesh: parameter shardings
+(PartitionSpecs) are recorded at save time and re-applied on restore.
+
+Backends:
+  * ``'msgpack'`` (default) — one pickle-free file: the payload pytree is
+    flax-msgpack-serialized inside an ``np.savez`` archive, so loading an
+    untrusted checkpoint cannot execute code.
+  * ``'orbax'`` — an orbax-checkpoint directory (atomic, async-capable,
+    multi-host aware).
 """
-import pickle
+import json
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def _to_host(tree):
@@ -20,91 +30,145 @@ def _to_device(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
-def save_checkpoint(path: str, model, trainer=None, backend: str = "pickle") -> None:
-    """Serialize model params (+ trainer optimizer state, histories).
+def _param_specs(params):
+    """JSON-encodable list of per-leaf PartitionSpecs (None = replicated /
+    unsharded), in tree_leaves order."""
+    specs = []
+    for leaf in jax.tree_util.tree_leaves(params):
+        sharding = getattr(leaf, "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        if spec is None or all(s is None for s in spec):
+            specs.append(None)
+        else:
+            specs.append([s if s is None else str(s) for s in spec])
+    return specs
 
-    ``backend='orbax'`` writes an orbax-checkpoint directory (atomic,
-    async-capable, multi-host aware) instead of a pickle file.
-    """
-    if backend == "orbax":
-        _save_orbax(path, model, trainer)
-        return
-    payload = {
-        "params": _to_host(model.params),
-        "rng": np.asarray(jax.device_get(model.rng)) if model.rng is not None else None,
-    }
+
+def _apply_specs(params, specs, mesh):
+    """Re-apply saved PartitionSpecs onto a live mesh (leaves with a None
+    spec are replicated)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    placed = []
+    for leaf, spec in zip(leaves, specs):
+        p = PartitionSpec() if spec is None else PartitionSpec(*spec)
+        placed.append(jax.device_put(leaf, NamedSharding(mesh, p)))
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def _history_to_json(hist) -> str:
+    # JSON, not arrays: histories may be empty lists (orbax rejects
+    # zero-size arrays) and are small host-side floats anyway
+    return json.dumps({k: [float(x) for x in v] for k, v in hist.items()})
+
+
+def _build_payload(model, trainer):
+    payload = {"params": _to_host(model.params)}
+    if model.rng is not None:
+        payload["rng"] = np.asarray(jax.device_get(model.rng))
+    payload["param_specs"] = json.dumps(_param_specs(model.params))
     if trainer is not None:
         payload["opt_state"] = _to_host(trainer.opt_state)
-        payload["current_epoch"] = trainer.current_epoch
-        payload["loss_history"] = getattr(trainer, "loss_history",
-                                          getattr(trainer, "history", None))
+        payload["current_epoch"] = int(trainer.current_epoch)
+        hist = getattr(trainer, "loss_history", None)
+        payload["history_kind"] = "loss_history" if hist is not None else "history"
+        payload["loss_history"] = _history_to_json(
+            hist if hist is not None else trainer.history)
         payload["trainer_rng"] = np.asarray(jax.device_get(trainer.rng))
         if hasattr(trainer, "aux_opt_state"):
             payload["aux_opt_state"] = _to_host(trainer.aux_opt_state)
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+    return payload
 
 
-def load_checkpoint(path: str, model, trainer=None, backend: str = "pickle") -> None:
-    """Restore state saved by :func:`save_checkpoint` in place."""
+def _remap_state(target, restored):
+    """Rebuild a (possibly tuple/NamedTuple-structured) optimizer state from
+    its serialized form: key-matched via flax state dicts when possible,
+    else positionally onto the target's tree structure (orbax restores
+    tuples as lists)."""
+    import flax.serialization as fs
+    try:
+        return fs.from_state_dict(target, restored)
+    except Exception:
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(target),
+            jax.tree_util.tree_leaves(restored))
+
+
+def _restore_into(restored, model, trainer, mesh):
+    specs = json.loads(restored.get("param_specs", "null")) \
+        if "param_specs" in restored else None
+    model.params = _to_device(restored["params"])
+    if mesh is not None and specs is not None:
+        model.params = _apply_specs(model.params, specs, mesh)
+    if restored.get("rng") is not None:
+        model.rng = jnp.asarray(restored["rng"])
+    if trainer is not None and "opt_state" in restored:
+        opt = _to_device(_remap_state(trainer.opt_state, restored["opt_state"]))
+        if mesh is not None:
+            # optimizer moments live on the mesh replicated; the first
+            # compiled step re-lays them out to match the param shardings
+            opt = jax.device_put(opt, NamedSharding(mesh, PartitionSpec()))
+        trainer.opt_state = opt
+        trainer.current_epoch = int(restored["current_epoch"])
+        hist = json.loads(restored["loss_history"])
+        if restored.get("history_kind", "loss_history") == "loss_history" \
+                and hasattr(trainer, "loss_history"):
+            trainer.loss_history = hist
+        else:
+            trainer.history = hist
+        trainer.rng = jnp.asarray(restored["trainer_rng"])
+        if hasattr(trainer, "aux_opt_state") and "aux_opt_state" in restored:
+            trainer.aux_opt_state = _to_device(
+                _remap_state(trainer.aux_opt_state, restored["aux_opt_state"]))
+
+
+def save_checkpoint(path: str, model, trainer=None,
+                    backend: str = "msgpack") -> None:
+    """Serialize the full training state (see module docstring)."""
+    payload = _build_payload(model, trainer)
     if backend == "orbax":
-        _load_orbax(path, model, trainer)
+        _save_orbax(path, payload)
         return
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    model.params = _to_device(payload["params"])
-    if payload.get("rng") is not None:
-        model.rng = jnp.asarray(payload["rng"])
-    if trainer is not None and "opt_state" in payload:
-        trainer.opt_state = jax.tree_util.tree_map(
-            lambda tmpl, new: jnp.asarray(new), trainer.opt_state,
-            payload["opt_state"])
-        trainer.current_epoch = payload["current_epoch"]
-        hist = payload.get("loss_history")
-        if hist is not None:
-            if hasattr(trainer, "loss_history"):
-                trainer.loss_history = hist
-            else:
-                trainer.history = hist
-        trainer.rng = jnp.asarray(payload["trainer_rng"])
-        if hasattr(trainer, "aux_opt_state") and "aux_opt_state" in payload:
-            trainer.aux_opt_state = _to_device(payload["aux_opt_state"])
+    import flax.serialization
+    # to_bytes dict-ifies tuples/NamedTuples (optimizer states) before
+    # msgpack, which cannot encode them natively
+    blob = flax.serialization.to_bytes(payload)
+    with open(path, "wb") as f:
+        np.savez(f, payload=np.frombuffer(blob, np.uint8))
+
+
+def load_checkpoint(path: str, model, trainer=None, backend: str = "msgpack",
+                    mesh=None) -> None:
+    """Restore state saved by :func:`save_checkpoint` in place.
+
+    Pass ``mesh=`` to restore onto a live device mesh: parameters get their
+    SAVED PartitionSpecs back (tensor-parallel layouts survive the
+    round-trip instead of silently coming back fully replicated).
+    """
+    if backend == "orbax":
+        restored = _load_orbax(path)
+    else:
+        import flax.serialization
+        with np.load(path, allow_pickle=False) as archive:
+            restored = flax.serialization.msgpack_restore(
+                archive["payload"].tobytes())
+    _restore_into(restored, model, trainer, mesh)
 
 
 # ---------------------------------------------------------------------------
 # orbax backend (atomic directory checkpoints)
 # ---------------------------------------------------------------------------
 
-def _orbax_payload(model, trainer):
-    payload = {"params": _to_host(model.params)}
-    if model.rng is not None:
-        payload["rng"] = np.asarray(jax.device_get(model.rng))
-    if trainer is not None:
-        payload["opt_state"] = _to_host(trainer.opt_state)
-        payload["trainer_rng"] = np.asarray(jax.device_get(trainer.rng))
-        payload["current_epoch"] = np.asarray(trainer.current_epoch)
-    return payload
-
-
-def _save_orbax(path: str, model, trainer) -> None:
+def _save_orbax(path: str, payload) -> None:
     import os
 
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(path), _orbax_payload(model, trainer), force=True)
+    ckptr.save(os.path.abspath(path), payload, force=True)
 
 
-def _load_orbax(path: str, model, trainer) -> None:
+def _load_orbax(path: str):
     import os
 
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path),
-                             item=_orbax_payload(model, trainer))
-    model.params = _to_device(restored["params"])
-    if "rng" in restored:
-        model.rng = jnp.asarray(restored["rng"])
-    if trainer is not None and "opt_state" in restored:
-        trainer.opt_state = _to_device(restored["opt_state"])
-        trainer.rng = jnp.asarray(restored["trainer_rng"])
-        trainer.current_epoch = int(restored["current_epoch"])
+    return ckptr.restore(os.path.abspath(path))

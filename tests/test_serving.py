@@ -26,6 +26,95 @@ def test_export_and_serve_roundtrip(tmp_path):
                                np.asarray(ref_dec).reshape(3, -1), atol=1e-5)
 
 
+def test_export_posed_decode(tmp_path):
+    """Spatial exports take pose arguments at serve time and match the
+    model's fixed-transform generation path (base.py:145-171)."""
+    model = iVAE((8, 8), latent_dim=2, invariances=["r", "t", "s"])
+    path = str(tmp_path / "posed.pvtx")
+    export_model(model, path, batch_size=4)
+    served = ServedModel(path)
+    z = np.random.default_rng(1).normal(size=(4, 2)).astype(np.float32)
+    for pose in ({}, {"angle": 0.7}, {"angle": -0.3, "shift": 0.2},
+                 {"scale": 1.3}, {"angle": 1.1, "shift": -0.1, "scale": 0.8}):
+        out = served.decode(z, **pose)
+        ref = model.decode(z, **pose)
+        np.testing.assert_allclose(np.asarray(out).reshape(4, -1),
+                                   np.asarray(ref).reshape(4, -1), atol=1e-5)
+    # nonzero pose must actually change the output
+    assert not np.allclose(np.asarray(served.decode(z)),
+                           np.asarray(served.decode(z, angle=0.7)))
+
+
+def test_export_multi_platform(tmp_path):
+    """platforms=['cpu','tpu'] lowers once for both; the artifact loads and
+    runs on the current (CPU) platform."""
+    model = iVAE((8, 8), latent_dim=2, invariances=["r"])
+    path = str(tmp_path / "multi.pvtx")
+    export_model(model, path, batch_size=4, platforms=["cpu", "tpu"])
+    served = ServedModel(path)
+    assert served.platforms == ["cpu", "tpu"]
+    x = np.random.default_rng(0).uniform(0, 1, (4, 8, 8)).astype(np.float32)
+    z_loc, _ = served.encode(x)
+    ref_loc, _ = model.encode(x)
+    np.testing.assert_allclose(np.asarray(z_loc), np.asarray(ref_loc),
+                               atol=1e-5)
+
+
+def test_export_classifier_head(tmp_path):
+    from pyroved_tpu.models import ssiVAE
+    model = ssiVAE((8, 8), latent_dim=2, num_classes=3, invariances=["r"])
+    path = str(tmp_path / "ss.pvtx")
+    export_model(model, path, batch_size=4)
+    served = ServedModel(path)
+    x = np.random.default_rng(0).uniform(0, 1, (7, 8, 8)).astype(np.float32)
+    probs = served.classify(x)
+    assert np.asarray(probs).shape == (7, 3)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(probs).argmax(-1),
+                                  np.asarray(model.classifier(x)))
+    # label-free encode composes the classifier exactly like model.encode
+    z_loc, z_scale = served.encode(x)
+    ref_loc, ref_scale, _ = model.encode(x)
+    np.testing.assert_allclose(np.asarray(z_loc), np.asarray(ref_loc),
+                               atol=1e-5)
+
+
+def test_export_conditional_encoder(tmp_path):
+    model = iVAE((8, 8), latent_dim=2, invariances=["r"], c_dim=3)
+    path = str(tmp_path / "cond.pvtx")
+    export_model(model, path, batch_size=4)
+    served = ServedModel(path)
+    x = np.random.default_rng(0).uniform(0, 1, (6, 8, 8)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[np.random.default_rng(1).integers(0, 3, 6)]
+    z_loc, _ = served.encode(x, y)
+    ref_loc, _ = model.encode(x, y)
+    np.testing.assert_allclose(np.asarray(z_loc), np.asarray(ref_loc),
+                               atol=1e-5)
+    import pytest
+    with pytest.raises(ValueError, match="conditional"):
+        served.encode(x)
+
+
+def test_export_regressor_head(tmp_path):
+    from pyroved_tpu.models import ss_reg_iVAE
+    model = ss_reg_iVAE((8, 8), latent_dim=2, reg_dim=2)
+    path = str(tmp_path / "ssreg.pvtx")
+    export_model(model, path, batch_size=4)
+    served = ServedModel(path)
+    x = np.random.default_rng(0).uniform(0, 1, (5, 8, 8)).astype(np.float32)
+    pred = served.regress(x)
+    np.testing.assert_allclose(np.asarray(pred),
+                               np.asarray(model.regressor(x)), atol=1e-5)
+
+
+def test_export_is_pickle_free(tmp_path):
+    model = iVAE((8, 8), latent_dim=2, invariances=["r"])
+    path = str(tmp_path / "npf.pvtx")
+    export_model(model, path, batch_size=4)
+    with np.load(path, allow_pickle=False) as archive:  # must not raise
+        assert "manifest" in archive
+
+
 def test_export_vanilla_decoder(tmp_path):
     model = iVAE((8, 8), latent_dim=2, invariances=None)
     path = str(tmp_path / "vanilla.pvtx")
