@@ -181,8 +181,13 @@ class ServedModel:
                      jnp.broadcast_to(jnp.asarray(shift, jnp.float32),
                                       (self.grid_dim,)).astype(jnp.float32),
                      jnp.asarray(scale, jnp.float32).reshape(()))
-            return self._run_batched("decode", (z,), extra)
-        return self._run_batched("decode", (z,))
+            out = self._run_batched("decode", (z,), extra)
+        else:
+            out = self._run_batched("decode", (z,))
+        # match the model API's signal-space shape
+        if int(np.prod(out.shape[1:])) == int(np.prod(self.data_dim)):
+            out = out.reshape((out.shape[0],) + self.data_dim)
+        return out
 
     def classify(self, x):
         return self._run_batched("classify", (jnp.asarray(x, jnp.float32),))
