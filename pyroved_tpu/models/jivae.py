@@ -106,6 +106,42 @@ class jiVAE(baseVAE):
         ``beta`` is ``[beta_cont, beta_disc]``."""
         return self._particle_loss(self._loss_single, params, rng, batch, beta)
 
+    def _enum_decode(self, params, z: Array, fused: bool):
+        """Shared K-enumeration decode for the loss and the trace: split the
+        transform latents, broadcast the content latents over the K one-hot
+        codes, and decode all branches in one batched call. Returns
+        ``((phi, dx, sc), coords, loc[K, B, N])`` — transform parts and
+        coords are None for invariance-free models (and coords is None on
+        the fused path, which never materializes the warped grid)."""
+        K = self.discrete_dim
+        B = z.shape[0]
+        eye = jnp.eye(K, dtype=z.dtype)
+        phi = dx = sc = coords = None
+        if self.coord > 0:
+            phi, dx, sc, zc = self.split_latent_full(z)
+        else:
+            zc = z
+        zc_k = jnp.concatenate([
+            jnp.broadcast_to(zc, (K,) + zc.shape),
+            jnp.broadcast_to(eye[:, None, :], (K, B, K)),
+        ], axis=-1)  # [K, B, latent+K]
+        if self.coord > 0 and fused:
+            from ..ops.spatial_decoder import apply_fused_sdecoder
+            loc = apply_fused_sdecoder(
+                params["decoder"], self.grid,
+                jnp.broadcast_to(phi, (K, B)),
+                jnp.broadcast_to(dx, (K,) + dx.shape),
+                jnp.broadcast_to(sc, (K, B)), zc_k,
+                self._dec_act, self._dec_sig)
+        elif self.coord > 0:
+            coords, _ = self.transformed_grid(z)  # [B, N, D]
+            coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
+            loc = self.decoder_net.apply({"params": params["decoder"]},
+                                         coords_k, zc_k)
+        else:
+            loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
+        return (phi, dx, sc), coords, loc
+
     def _loss_single(self, params, rng: Array, batch: Tuple[Array, ...],
                      beta: Array) -> Array:
         x = batch[0]
@@ -119,31 +155,7 @@ class jiVAE(baseVAE):
         log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
         disc_term = beta[1] * jnp.sum(alpha * (-math.log(K) - log_alpha), axis=-1)
 
-        eye = jnp.eye(K, dtype=z.dtype)
-        if self.coord > 0 and self._fused:
-            from ..ops.spatial_decoder import apply_fused_sdecoder
-            phi, dx, sc, zc = self.split_latent_full(z)
-            zc_k = jnp.concatenate([
-                jnp.broadcast_to(zc, (K,) + zc.shape),
-                jnp.broadcast_to(eye[:, None, :], (K, B, K)),
-            ], axis=-1)
-            loc = apply_fused_sdecoder(
-                params["decoder"], self.grid,
-                jnp.broadcast_to(phi, (K, B)),
-                jnp.broadcast_to(dx, (K,) + dx.shape),
-                jnp.broadcast_to(sc, (K, B)), zc_k,
-                self._dec_act, self._dec_sig)
-        else:
-            coords, zc = self.transformed_grid(z)  # [B,N,2], [B,latent]
-            zc_k = jnp.concatenate([
-                jnp.broadcast_to(zc, (K,) + zc.shape),
-                jnp.broadcast_to(eye[:, None, :], (K, B, K)),
-            ], axis=-1)  # [K,B,latent+K]
-            if coords is not None:
-                coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
-                loc = self.decoder_net.apply({"params": params["decoder"]}, coords_k, zc_k)
-            else:
-                loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
+        _, _, loc = self._enum_decode(params, z, self._fused)
         recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
         recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
         return -(recon + latent_term + disc_term)
@@ -171,20 +183,7 @@ class jiVAE(baseVAE):
             alpha * (-math.log(K) - log_alpha), axis=-1)
         eye = jnp.eye(K, dtype=xf.dtype)
         enumerated = jnp.broadcast_to(eye[:, None, :], (K, B, K))
-        phi = dx = sc = coords = None
-        if self.coord > 0:
-            phi, dx, sc, zc = self.split_latent_full(z)
-            coords, _ = self.transformed_grid(z)
-        else:
-            zc = z
-        zc_k = jnp.concatenate(
-            [jnp.broadcast_to(zc, (K,) + zc.shape), enumerated], axis=-1)
-        if coords is not None:
-            coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
-            loc = self.decoder_net.apply({"params": params["decoder"]},
-                                         coords_k, zc_k)
-        else:
-            loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
+        (phi, dx, sc), coords, loc = self._enum_decode(params, z, False)
         recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))
         return {
             "latent_cont": {"loc": mu, "scale": sig, "value": z},

@@ -189,35 +189,47 @@ class auxSVItrainer:
         aux_opt_state = self.aux_opt_state
         sup_iter = iter(loader_sup)
         losses, count, bs_u, bs_s = [], 0, None, None
-        for i, batch in enumerate(loader_unsup):
-            x = jnp.asarray(batch[0] if isinstance(batch, (tuple, list)) else batch)
-            bs_u = bs_u or x.shape[0]
-            if x.shape[0] > bs_u:
-                raise ValueError(
-                    f"Streaming batch {i} has {x.shape[0]} examples, larger "
-                    f"than the first batch ({bs_u}); use a fixed batch size.")
-            count += x.shape[0]
-            (x,), w = SVItrainer._pad_batch((x,), bs_u)
-            rng_u = jax.random.fold_in(epoch_rng, 2 * i)
-            params, opt_state, loss = self._step_unsup(
-                params, opt_state, rng_u, x, w, beta)
-            losses.append(loss)  # device-side; one sync at epoch end
-            if sup_now(i):
-                try:
-                    sup_batch = next(sup_iter)
-                except StopIteration:  # cycle the (smaller) labeled loader
-                    sup_iter = iter(loader_sup)
-                    sup_batch = next(sup_iter)
-                sup_batch = tuple(jnp.asarray(b) for b in sup_batch)
-                bs_s = bs_s or sup_batch[0].shape[0]
-                sup_batch, sw = SVItrainer._pad_batch(sup_batch, bs_s)
-                rng_s = jax.random.fold_in(epoch_rng, 2 * i + 1)
-                params, opt_state, aux_opt_state, _ = self._step_sup(
-                    params, opt_state, aux_opt_state, rng_s,
-                    sup_batch[0], sup_batch[1], sw, beta, aux_mult)
-        self.model.params = params
-        self.opt_state = opt_state
-        self.aux_opt_state = aux_opt_state
+        try:
+            for i, batch in enumerate(loader_unsup):
+                x = jnp.asarray(batch[0] if isinstance(batch, (tuple, list))
+                                else batch)
+                bs_u = bs_u or x.shape[0]
+                if x.shape[0] > bs_u:
+                    raise ValueError(
+                        f"Streaming batch {i} has {x.shape[0]} examples, "
+                        f"larger than the first batch ({bs_u}); use a fixed "
+                        "batch size.")
+                count += x.shape[0]
+                (x,), w = SVItrainer._pad_batch((x,), bs_u)
+                rng_u = jax.random.fold_in(epoch_rng, 2 * i)
+                params, opt_state, loss = self._step_unsup(
+                    params, opt_state, rng_u, x, w, beta)
+                losses.append(loss)  # device-side; one sync at epoch end
+                if sup_now(i):
+                    try:
+                        sup_batch = next(sup_iter)
+                    except StopIteration:  # cycle the (smaller) labeled loader
+                        sup_iter = iter(loader_sup)
+                        sup_batch = next(sup_iter)
+                    sup_batch = tuple(jnp.asarray(b) for b in sup_batch)
+                    bs_s = bs_s or sup_batch[0].shape[0]
+                    if sup_batch[0].shape[0] > bs_s:
+                        raise ValueError(
+                            f"Labeled streaming batch has "
+                            f"{sup_batch[0].shape[0]} examples, larger than "
+                            f"the first labeled batch ({bs_s}); use a fixed "
+                            "batch size.")
+                    sup_batch, sw = SVItrainer._pad_batch(sup_batch, bs_s)
+                    rng_s = jax.random.fold_in(epoch_rng, 2 * i + 1)
+                    params, opt_state, aux_opt_state, _ = self._step_sup(
+                        params, opt_state, aux_opt_state, rng_s,
+                        sup_batch[0], sup_batch[1], sw, beta, aux_mult)
+        finally:
+            # jitted steps donate their inputs: always hand the LATEST live
+            # buffers back so a mid-epoch error leaves the model usable
+            self.model.params = params
+            self.opt_state = opt_state
+            self.aux_opt_state = aux_opt_state
         return float(sum(float(l) for l in losses)) / max(count, 1)
 
     def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,

@@ -201,22 +201,28 @@ class SVItrainer:
         self.rng, epoch_rng = jax.random.split(self.rng)
         params, opt_state = self.model.params, self.opt_state
         losses, count, bs = [], 0, None
-        for i, batch in enumerate(loader):
-            batch = tuple(jnp.asarray(b) for b in batch)
-            bs = bs or batch[0].shape[0]
-            if batch[0].shape[0] > bs:
-                raise ValueError(
-                    f"Streaming batch {i} has {batch[0].shape[0]} examples, "
-                    f"larger than the first batch ({bs}); yield batches of a "
-                    "fixed size (a short FINAL batch is fine — it is padded).")
-            count += batch[0].shape[0]
-            batch, weights = self._pad_batch(batch, bs)
-            step_rng = jax.random.fold_in(epoch_rng, i)
-            params, opt_state, loss = self._train_step_jit(
-                params, opt_state, step_rng, batch, weights, beta)
-            losses.append(loss)  # stays on device; sync once per epoch
-        self.model.params = params
-        self.opt_state = opt_state
+        try:
+            for i, batch in enumerate(loader):
+                batch = tuple(jnp.asarray(b) for b in batch)
+                bs = bs or batch[0].shape[0]
+                if batch[0].shape[0] > bs:
+                    raise ValueError(
+                        f"Streaming batch {i} has {batch[0].shape[0]} "
+                        f"examples, larger than the first batch ({bs}); "
+                        "yield batches of a fixed size (a short FINAL batch "
+                        "is fine — it is padded).")
+                count += batch[0].shape[0]
+                batch, weights = self._pad_batch(batch, bs)
+                step_rng = jax.random.fold_in(epoch_rng, i)
+                params, opt_state, loss = self._train_step_jit(
+                    params, opt_state, step_rng, batch, weights, beta)
+                losses.append(loss)  # stays on device; sync once per epoch
+        finally:
+            # the jitted step donates its inputs: always hand the LATEST
+            # live buffers back, so a mid-epoch error (bad batch) leaves the
+            # model usable instead of pointing at deleted arrays
+            self.model.params = params
+            self.opt_state = opt_state
         return float(sum(losses)) / max(count, 1)
 
     # ------------------------------------------------------------------
@@ -249,9 +255,17 @@ class SVItrainer:
         loaders only; streaming loaders fall back to per-epoch training.
         """
         beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
+        if int(epochs) <= 0:
+            return []
         if not (isinstance(train_loader, DataLoader)
                 and train_loader.device_resident):
-            return [self.train(train_loader, **kwargs) for _ in range(epochs)]
+            # per-epoch fallback, with the same bookkeeping as the fused path
+            per_epoch = []
+            for _ in range(int(epochs)):
+                per_epoch.append(self.train(train_loader, **kwargs))
+                self.loss_history["training_loss"].append(per_epoch[-1])
+                self.current_epoch += 1
+            return per_epoch
         if self._train_epoch_jit is None:
             self._build_epoch_fns()
         idx_list, w_list, keys = [], [], []

@@ -32,7 +32,9 @@ def _to_device(tree):
 
 def _param_specs(params):
     """JSON-encodable list of per-leaf PartitionSpecs (None = replicated /
-    unsharded), in tree_leaves order."""
+    unsharded), in tree_leaves order. A dim entry may itself be a TUPLE of
+    axis names (a dim sharded over several mesh axes) — encoded as a JSON
+    list-of-lists, while a single axis name stays a plain string."""
     specs = []
     for leaf in jax.tree_util.tree_leaves(params):
         sharding = getattr(leaf, "sharding", None)
@@ -40,7 +42,10 @@ def _param_specs(params):
         if spec is None or all(s is None for s in spec):
             specs.append(None)
         else:
-            specs.append([s if s is None else str(s) for s in spec])
+            specs.append([
+                [str(a) for a in s] if isinstance(s, tuple)
+                else (None if s is None else str(s))
+                for s in spec])
     return specs
 
 
@@ -50,7 +55,11 @@ def _apply_specs(params, specs, mesh):
     leaves, treedef = jax.tree_util.tree_flatten(params)
     placed = []
     for leaf, spec in zip(leaves, specs):
-        p = PartitionSpec() if spec is None else PartitionSpec(*spec)
+        if spec is None:
+            p = PartitionSpec()
+        else:
+            p = PartitionSpec(*[tuple(s) if isinstance(s, list) else s
+                                for s in spec])
         placed.append(jax.device_put(leaf, NamedSharding(mesh, p)))
     return jax.tree_util.tree_unflatten(treedef, placed)
 
@@ -121,9 +130,24 @@ def _restore_into(restored, model, trainer, mesh):
                 _remap_state(trainer.aux_opt_state, restored["aux_opt_state"]))
 
 
+def _check_backend(backend: str) -> None:
+    if backend == "pickle":
+        raise ValueError(
+            "The 'pickle' checkpoint backend was removed (loading pickles "
+            "can execute arbitrary code). Checkpoints are now pickle-free "
+            "msgpack archives (backend='msgpack', the default) or orbax "
+            "directories (backend='orbax'). Old pickle checkpoints must be "
+            "re-saved: load them in the revision that wrote them, then "
+            "save_checkpoint() here.")
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(f"Unknown checkpoint backend {backend!r}; choose "
+                         "'msgpack' or 'orbax'")
+
+
 def save_checkpoint(path: str, model, trainer=None,
                     backend: str = "msgpack") -> None:
     """Serialize the full training state (see module docstring)."""
+    _check_backend(backend)
     payload = _build_payload(model, trainer)
     if backend == "orbax":
         _save_orbax(path, payload)
@@ -144,6 +168,7 @@ def load_checkpoint(path: str, model, trainer=None, backend: str = "msgpack",
     SAVED PartitionSpecs back (tensor-parallel layouts survive the
     round-trip instead of silently coming back fully replicated).
     """
+    _check_backend(backend)
     if backend == "orbax":
         restored = _load_orbax(path)
     else:

@@ -180,6 +180,35 @@ def test_checkpoint_restore_onto_mesh_preserves_shardings(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_checkpoint_multi_axis_spec_roundtrip(tmp_path):
+    """A dim sharded over SEVERAL mesh axes (tuple PartitionSpec entry)
+    survives the save/restore encoding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pyroved_tpu.parallel import create_mesh
+    from pyroved_tpu.utils.checkpoint import _apply_specs, _param_specs
+    mesh = create_mesh({"data": 4, "model": 2})
+    leaf = jax.device_put(jnp.zeros((8, 16)),
+                          NamedSharding(mesh, P(("data", "model"), None)))
+    params = {"w": leaf, "b": jnp.zeros(3)}
+    specs = _param_specs(params)
+    import json
+    specs = json.loads(json.dumps(specs))  # the exact wire format
+    restored = _apply_specs(
+        {"w": np.zeros((8, 16), np.float32), "b": np.zeros(3, np.float32)},
+        specs, mesh)
+    assert restored["w"].sharding.spec == P(("data", "model"), None)
+    assert restored["b"].sharding.is_fully_replicated
+
+
+def test_checkpoint_pickle_backend_rejected(tmp_path):
+    from pyroved_tpu.utils.checkpoint import load_checkpoint
+    model = iVAE(DATA, latent_dim=2)
+    with pytest.raises(ValueError, match="pickle.*removed"):
+        save_checkpoint(str(tmp_path / "x"), model, backend="pickle")
+    with pytest.raises(ValueError, match="Unknown checkpoint backend"):
+        load_checkpoint(str(tmp_path / "x"), model, backend="zarr")
+
+
 def test_checkpoint_file_is_pickle_free(tmp_path):
     model = iVAE(DATA, latent_dim=2, invariances=["r"])
     trainer = SVItrainer(model)

@@ -169,6 +169,25 @@ def test_aux_trainer_streaming_matches_resident_scale():
     assert abs(l_res - l_str) / abs(l_res) < 0.05
 
 
+def test_aux_streaming_oversized_batches_error_and_recover():
+    """Both loaders reject growing batches with a clear error, and the error
+    leaves the model usable (donated buffers handed back)."""
+    rng = np.random.default_rng(0)
+    model = ssiVAE(DATA, latent_dim=2, num_classes=3)
+    trainer = auxSVItrainer(model)
+    x4, x8 = _data(4, rng), _data(8, rng)
+    y4 = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 4)]
+    y8 = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 8)]
+    with pytest.raises(ValueError, match="larger than the first"):
+        trainer.train(iter([(x4,), (x8,)]), [(x4, y4)], sup_period=1)
+    with pytest.raises(ValueError, match="Labeled streaming batch"):
+        trainer.train(iter([(x4,), (x4,)]), iter([(x4, y4), (x8, y8)]),
+                      sup_period=1)
+    # model still trains after both failures
+    loss = trainer.train(iter([(x4,), (x4,)]), [(x4, y4)], sup_period=1)
+    assert np.isfinite(loss)
+
+
 def test_aux_trainer_generic_iterable_needs_sup_period():
     rng = np.random.default_rng(0)
     model = ssiVAE(DATA, latent_dim=2, num_classes=3)

@@ -224,6 +224,25 @@ def test_run_streaming_fallback():
                              device_resident=False)
     losses = trainer.run(loader, 2)
     assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+    # the fallback must keep run()'s bookkeeping contract
+    assert trainer.loss_history["training_loss"] == losses
+    assert trainer.current_epoch == 2
+    assert trainer.run(loader, 0) == []  # no-op, no crash
+
+
+def test_streaming_error_leaves_model_usable():
+    """The jitted step donates params; an oversized-batch error mid-epoch
+    must NOT leave the model pointing at deleted buffers."""
+    model = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    trainer = SVItrainer(model)
+    good = (np.zeros((4,) + DATA_2D, np.float32),)
+    bad = (np.zeros((8,) + DATA_2D, np.float32),)
+    with pytest.raises(ValueError, match="larger than the first"):
+        trainer.train(iter([good, bad]))
+    # params are live (the good step's result), and training continues
+    assert np.isfinite(float(jax.tree_util.tree_leaves(model.params)[0].sum()))
+    loss = trainer.train(iter([good, good]))
+    assert np.isfinite(loss)
 
 
 def test_full_training_determinism():
