@@ -98,3 +98,127 @@ void pvt_u8_to_f32(const uint8_t* src, int64_t n, float scale, float* dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Epoch batch pipeline: a background producer thread that shuffles the epoch
+// and pre-gathers upcoming batches into a ring of host buffers, so batch
+// assembly (shuffle + gather) overlaps the device step instead of sitting on
+// the critical path. This is the native replacement for a Python-thread
+// prefetch loop: the producer never touches the GIL.
+// ---------------------------------------------------------------------------
+#include <condition_variable>
+#include <mutex>
+
+namespace {
+
+struct Pipeline {
+  const float* src = nullptr;
+  int64_t n_rows = 0;
+  int64_t row_elems = 0;
+  int64_t batch = 0;
+  uint64_t seed = 0;
+  int num_threads = 1;
+
+  int depth = 0;                    // ring capacity (in batches)
+  std::vector<std::vector<float>> ring;
+  std::vector<int64_t> ring_rows;   // valid rows per slot (short final batch)
+  int64_t head = 0, tail = 0;       // producer writes head, consumer reads tail
+
+  std::vector<int32_t> perm;
+  uint64_t epoch = 0;
+  int64_t cursor = 0;               // next row within the current epoch
+
+  std::mutex mu;
+  std::condition_variable cv_prod, cv_cons;
+  std::atomic<bool> stop{false};
+  std::thread worker;
+
+  int64_t batches_per_epoch() const {
+    return (n_rows + batch - 1) / batch;
+  }
+
+  void reshuffle() {
+    pvt_shuffle_indices(n_rows, seed, epoch, perm.data());
+    cursor = 0;
+  }
+
+  void produce_one(std::vector<float>& buf, int64_t& rows_out) {
+    int64_t rows = n_rows - cursor < batch ? n_rows - cursor : batch;
+    pvt_gather_f32(src, perm.data() + cursor, rows, row_elems, buf.data(),
+                   num_threads);
+    rows_out = rows;
+    cursor += rows;
+    if (cursor >= n_rows) {
+      ++epoch;
+      reshuffle();
+    }
+  }
+
+  void run() {
+    while (true) {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_prod.wait(lk, [&] { return stop.load() || head - tail < depth; });
+      if (stop.load()) return;
+      int slot = static_cast<int>(head % depth);
+      lk.unlock();
+      produce_one(ring[slot], ring_rows[slot]);   // gather outside the lock
+      lk.lock();
+      ++head;
+      cv_cons.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pvt_pipeline_create(const float* src, int64_t n_rows, int64_t row_elems,
+                          int64_t batch, uint64_t seed, int depth,
+                          int num_threads) {
+  auto* p = new Pipeline();
+  p->src = src;
+  p->n_rows = n_rows;
+  p->row_elems = row_elems;
+  p->batch = batch;
+  p->seed = seed;
+  p->num_threads = num_threads > 0 ? num_threads : 1;
+  p->depth = depth > 0 ? depth : 2;
+  p->ring.resize(p->depth);
+  p->ring_rows.assign(p->depth, 0);
+  for (auto& b : p->ring)
+    b.resize(static_cast<size_t>(batch) * static_cast<size_t>(row_elems));
+  p->perm.resize(n_rows);
+  p->reshuffle();
+  p->worker = std::thread(&Pipeline::run, p);
+  return p;
+}
+
+// Blocks until the next batch is ready; copies it into dst (capacity
+// batch*row_elems floats) and returns the number of valid rows.
+int64_t pvt_pipeline_next(void* handle, float* dst) {
+  auto* p = static_cast<Pipeline*>(handle);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_cons.wait(lk, [&] { return p->head > p->tail; });
+  int slot = static_cast<int>(p->tail % p->depth);
+  int64_t rows = p->ring_rows[slot];
+  std::memcpy(dst, p->ring[slot].data(),
+              sizeof(float) * static_cast<size_t>(rows) *
+                  static_cast<size_t>(p->row_elems));
+  ++p->tail;
+  p->cv_prod.notify_one();
+  return rows;
+}
+
+void pvt_pipeline_destroy(void* handle) {
+  auto* p = static_cast<Pipeline*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop.store(true);
+  }
+  p->cv_prod.notify_all();
+  p->worker.join();
+  delete p;
+}
+
+}  // extern "C"

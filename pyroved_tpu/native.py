@@ -54,6 +54,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.pvt_u8_to_f32.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.pvt_pipeline_create.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+        lib.pvt_pipeline_create.restype = ctypes.c_void_p
+        lib.pvt_pipeline_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.pvt_pipeline_next.restype = ctypes.c_int64
+        lib.pvt_pipeline_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -105,3 +113,80 @@ def u8_to_f32(src: np.ndarray, scale: float = 1.0 / 255.0,
         src.size, scale,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nt)
     return dst
+
+
+class BatchPipeline:
+    """Ring-buffered native batch producer (``pvt_pipeline_*`` in
+    ``native/pvt_native.cpp``): a C++ worker thread shuffles each epoch
+    (same (seed, epoch)-keyed Fisher-Yates as :func:`shuffle_indices`, so
+    batches are IDENTICAL to the plain streaming path) and pre-gathers
+    upcoming batches into a ring of host buffers, overlapping batch
+    assembly with the device step without touching the GIL.
+
+    Falls back to a synchronous numpy producer when the native library is
+    unavailable. Only single float32 source arrays are supported; the
+    generic multi-array path stays on :class:`~pyroved_tpu.utils.data.DataLoader`'s
+    Python iteration.
+    """
+
+    def __init__(self, src: np.ndarray, batch_size: int, seed: int = 0,
+                 depth: int = 2, num_threads: int = 0):
+        self._src = np.ascontiguousarray(src, np.float32)  # keep alive
+        self.n_rows = int(self._src.shape[0])
+        self.row_shape = self._src.shape[1:]
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
+        self.num_batches = -(-self.n_rows // self.batch_size)
+        self._row_elems = int(np.prod(self.row_shape)) if self.row_shape else 1
+        self._buf = np.empty((self.batch_size, self._row_elems), np.float32)
+        self._lib = get_lib()
+        self._handle = None
+        if self._lib is not None:
+            self._handle = self._lib.pvt_pipeline_create(
+                self._src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.n_rows, self._row_elems, self.batch_size, self.seed,
+                int(depth), num_threads or min(8, os.cpu_count() or 1))
+        self._epoch = 0
+        self._cursor = 0
+        self._perm = shuffle_indices(self.n_rows, self.seed, 0)
+
+    def next(self) -> np.ndarray:
+        """The next batch ([rows, *row_shape]; the epoch-final batch may be
+        short). Blocks until the producer has it ready."""
+        if self._handle is not None:
+            rows = self._lib.pvt_pipeline_next(
+                self._handle,
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            return self._buf[:rows].reshape((rows,) + self.row_shape).copy()
+        # synchronous fallback with the identical shuffle sequence
+        rows = min(self.batch_size, self.n_rows - self._cursor)
+        out = self._src[self._perm[self._cursor:self._cursor + rows]]
+        self._cursor += rows
+        if self._cursor >= self.n_rows:
+            self._epoch += 1
+            self._perm = shuffle_indices(self.n_rows, self.seed, self._epoch)
+            self._cursor = 0
+        return out
+
+    def epoch_batches(self):
+        """Yield one epoch's worth of batches (as 1-tuples, DataLoader
+        convention)."""
+        for _ in range(self.num_batches):
+            yield (self.next(),)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.pvt_pipeline_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -89,3 +89,39 @@ def test_trainer_jsonl_logging(tmp_path):
     assert len(records) == 2
     assert records[1]["epoch"] == 2
     assert "training_loss" in records[0] and "epoch_seconds" in records[0]
+
+
+def test_batch_pipeline_matches_streaming_loader():
+    """The native ring pipeline must produce the EXACT batch sequence of the
+    plain streaming DataLoader (same (seed, epoch)-keyed shuffle)."""
+    from pyroved_tpu.native import BatchPipeline
+    from pyroved_tpu.utils import init_dataloader
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(53, 6)).astype(np.float32)  # short final batch
+    loader = init_dataloader(X, batch_size=8, seed=4, device_resident=False)
+    with BatchPipeline(X, batch_size=8, seed=4) as pipe:
+        for epoch in range(2):
+            for (ref,) in loader:
+                got = pipe.next()
+                np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_batch_pipeline_trains():
+    from pyroved_tpu.native import BatchPipeline
+    from pyroved_tpu.models import iVAE
+    from pyroved_tpu.trainers import SVItrainer
+    X = np.random.default_rng(0).uniform(0, 1, (48, 8, 8)).astype(np.float32)
+    model = iVAE((8, 8), latent_dim=2, invariances=None)
+    trainer = SVItrainer(model)
+    with BatchPipeline(X, batch_size=16, seed=1) as pipe:
+        loss1 = trainer.train(pipe.epoch_batches())
+        loss2 = trainer.train(pipe.epoch_batches())
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+
+
+def test_batch_pipeline_close_idempotent():
+    from pyroved_tpu.native import BatchPipeline
+    pipe = BatchPipeline(np.zeros((10, 3), np.float32), batch_size=4)
+    pipe.next()
+    pipe.close()
+    pipe.close()  # no crash
