@@ -1,92 +1,106 @@
 """Round-2 perf evidence script (run on one TPU v5e chip).
 
-1. VPU op-throughput microbench (fused chains): shows tanh evaluates at
-   ~elementwise-op cost (hardware transcendental units), killing the
-   round-1 "transcendental-bound" hypothesis.
-2. Flagship steps/s with exact vs 7/6-Pade approximate tanh (the approx
-   path measured SLOWER -- negative result kept for the record).
-3. jax.profiler trace of one steady-state epoch ->
-   benchmarks/profiles/r02_flagship.
+MEASUREMENT TRAP (this environment): the chip is reached through a tunnel
+with ~26 ms RPC round-trip latency, and ``block_until_ready`` does NOT
+actually block — naive per-dispatch timings measure host dispatch cost,
+not device time. Every measurement here therefore runs as a long
+``lax.scan`` with ONE forced scalar readback, latency-subtracted.
+
+1. VPU op-cost ratios (512-iteration scan chains): tanh costs ~1.4x a
+   multiply (hardware transcendental support), the 7/6-Pade rational
+   approximation ~6x — killing the round-1 "transcendental-bound"
+   hypothesis and ruling out polynomial tanh on TPU.
+2. Fused-kernel grad device cost (300-step scan): ~811 us/step, which
+   independently confirms the jax.profiler attribution (fwd 0.169 ms +
+   bwd 0.637 ms); ablating the backward's per-batch pixel reductions
+   saves only ~1% -> the kernels are matmul-bound.
+3. Flagship steps/s with exact vs approx tanh (end-to-end, real epoch
+   readbacks): approx measured 0.74x — negative result kept on record.
 
 Results recorded in docs/PERFORMANCE.md.
 """
-import sys, time, os
+import os
+import sys
+import time
+
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import numpy as np, jax, jax.numpy as jnp
-import pyroved_tpu as pv
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import pyroved_tpu as pv  # noqa: E402
+
 pv.utils.profiling.enable_compilation_cache()
-dev = jax.devices()[0]
-print("platform:", dev.platform, flush=True)
 
-# ---- 1. VPU transcendental throughput microbench ----
-# chain of K activations on a VMEM-sized array; XLA fuses the chain so the
-# measurement is compute throughput, not HBM bandwidth.
-SHAPE = (512, 4096)   # 8 MiB f32
-K = 64
-x = jnp.asarray(np.random.default_rng(0).normal(size=SHAPE), jnp.float32)
 
-def chain(f):
-    def g(x):
-        for _ in range(K):
-            x = f(x)
-        return x
-    return jax.jit(g)
+def timed(f, *a, reps=3):
+    """Best-of-reps wall time with a forced scalar readback (the only
+    reliable completion barrier over the tunnel)."""
+    float(jnp.sum(f(*a)))  # warm / compile
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(*a)))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
-def pade(x):
-    x = jnp.clip(x, -4.97, 4.97)
-    x2 = x * x
-    num = x * (135135.0 + x2 * (17325.0 + x2 * (378.0 + x2)))
-    den = 135135.0 + x2 * (62370.0 + x2 * (3150.0 + 28.0 * x2))
+
+def pade_tanh(v):
+    v = jnp.clip(v, -4.97, 4.97)
+    v2 = v * v
+    num = v * (135135.0 + v2 * (17325.0 + v2 * (378.0 + v2)))
+    den = 135135.0 + v2 * (62370.0 + v2 * (3150.0 + 28.0 * v2))
     return num / den
 
-def time_fn(fn, x, reps=20):
-    fn(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = fn(x)
-    y.block_until_ready()
-    return (time.perf_counter() - t0) / reps
 
-n_elem = SHAPE[0] * SHAPE[1] * K
-for name, f in [("mul(x*1.0001)", lambda v: v * 1.0001),
-                ("tanh", jnp.tanh),
-                ("pade_tanh", pade),
-                ("sigmoid", jax.nn.sigmoid),
-                ("exp", jnp.exp)]:
-    dt = time_fn(chain(f), x)
-    print(f"microbench {name}: {n_elem/dt/1e9:.1f} Gop/s ({dt*1e3:.3f} ms)", flush=True)
+def main():
+    print("platform:", jax.devices()[0].platform,
+          jax.devices()[0].device_kind, flush=True)
+    lat = timed(jax.jit(lambda x: x * 2.0), jnp.ones((8, 128)))
+    print(f"RPC round-trip latency: {lat * 1e3:.1f} ms", flush=True)
 
-# ---- 2. flagship steps/s: exact vs approx tanh ----
-BATCH, N_DATA = 200, 10000
-rng = np.random.default_rng(0)
-yy, xx = np.meshgrid(np.linspace(-1,1,28), np.linspace(-1,1,28), indexing="ij")
-cx = rng.uniform(-0.4,0.4,N_DATA)[:,None,None]; cy = rng.uniform(-0.4,0.4,N_DATA)[:,None,None]
-s = rng.uniform(0.05,0.2,N_DATA)[:,None,None]
-data = np.exp(-((xx-cx)**2 + (yy-cy)**2)/s).astype(np.float32)
+    # ---- 1. VPU op-cost ratios ----
+    SHAPE, K = (512, 4096), 512
+    x = jnp.asarray(np.random.default_rng(0).normal(size=SHAPE), jnp.float32)
 
-def steps_per_sec(**kw):
-    model = pv.models.iVAE((28,28), latent_dim=2, invariances=["r"], **kw)
-    loader = pv.utils.init_dataloader(data, batch_size=BATCH)
-    trainer = pv.trainers.SVItrainer(model)
-    trainer.step(loader)  # compile + warm epoch
-    t0 = time.perf_counter()
-    for _ in range(5):
-        trainer.step(loader)
-    dt = time.perf_counter() - t0
-    return 5 * loader.num_batches / dt, trainer.loss_history["training_loss"][-1]
+    def chain(f):
+        return jax.jit(lambda x: jax.lax.scan(
+            lambda c, _: (f(c), None), x, None, length=K)[0])
 
-sps_exact, loss_exact = steps_per_sec()
-print(f"flagship exact tanh: {sps_exact:.1f} steps/s, loss {loss_exact:.4f}", flush=True)
-sps_approx, loss_approx = steps_per_sec(approx_tanh=True)
-print(f"flagship approx tanh: {sps_approx:.1f} steps/s, loss {loss_approx:.4f}", flush=True)
-print(f"speedup: {sps_approx/sps_exact:.3f}x, loss reldiff {abs(loss_approx-loss_exact)/abs(loss_exact):.2e}", flush=True)
+    times = {}
+    for name, f in [("mul", lambda v: v * 1.000001), ("tanh", jnp.tanh),
+                    ("exp", lambda v: jnp.exp(v) * 1e-9),
+                    ("sigmoid", jax.nn.sigmoid), ("pade_tanh", pade_tanh)]:
+        times[name] = timed(chain(f), x) - lat
+        print(f"op-chain {name}: {times[name] * 1e3:.2f} ms / {K} iters "
+              f"({times[name] / times['mul']:.1f}x mul)", flush=True)
 
-# ---- 3. profiler trace of the steady-state exact-tanh step ----
-model = pv.models.iVAE((28,28), latent_dim=2, invariances=["r"])
-loader = pv.utils.init_dataloader(data, batch_size=BATCH)
-trainer = pv.trainers.SVItrainer(model)
-trainer.step(loader)  # warm
-os.makedirs("/root/repo/benchmarks/profiles", exist_ok=True)
-with jax.profiler.trace("/root/repo/benchmarks/profiles/r02_flagship"):
-    trainer.step(loader)
-print("PERF_R02_DONE", flush=True)
+    # ---- 2. fused-kernel grad device cost ----
+    import pyroved_tpu.ops.spatial_decoder as sd
+    rng = np.random.default_rng(0)
+    B, N, H, L, nl = 200, 784, 128, 2, 2
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32)
+    args = [mk(N, 2), jnp.asarray(rng.normal(size=(B,)), jnp.float32),
+            mk(B, 2), jnp.asarray(1 + 0.1 * rng.normal(size=(B,)), jnp.float32),
+            mk(B, L), mk(2, H), mk(H), mk(L, H), mk(nl, H, H), mk(nl, H),
+            mk(H, 1), jnp.float32(0.05)]
+    gfn = jax.grad(lambda a: jnp.sum(sd.fused_spatial_decoder(*a) ** 2))
+    STEPS = 300
+
+    @jax.jit
+    def many(args):
+        def body(c, _):
+            g = gfn(c)
+            c2 = [ci - 1e-6 * gi for ci, gi in zip(c, g)]
+            c2[0] = c[0]  # grid is non-differentiable / constant
+            return c2, None
+        return jax.lax.scan(body, args, None, length=STEPS)[0][4]
+
+    dt = timed(many, args) - lat
+    print(f"fused-kernel fwd+bwd grad: {dt / STEPS * 1e6:.0f} us/step "
+          f"({STEPS} scanned steps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

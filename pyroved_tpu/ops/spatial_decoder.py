@@ -465,6 +465,48 @@ def _bwd(act, sigmoid_out, res, g):
             dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
 
 
+# Forward routing: XLA's own fusion BEATS the handwritten forward kernel for
+# small pixel counts (measured with the scan harness at B=200, N=784:
+# XLA 95 us vs Pallas 170 us — at this size every intermediate fits XLA's
+# fusion windows), while the VMEM-resident kernel wins once the [B, N, H]
+# activation traffic dominates (N=65536, B=32: Pallas 1.69 ms vs XLA
+# 2.02 ms). The custom Pallas BACKWARD always wins (~1.6-2.8x XLA autodiff)
+# because it rematerializes tiles instead of saving activations to HBM. So
+# the VJP routes the forward by element count and keeps the Pallas backward
+# unconditionally. Crossover set between the two measured points.
+XLA_FWD_MAX_BN = 1 << 19  # use the XLA forward when B * N <= this
+
+
+def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                 act, sigmoid_out):
+    """Pure-XLA forward with the kernel's activation/head variants (the
+    generalized form of :func:`spatial_decoder_reference`)."""
+    D = grid.shape[-1]
+    if D == 2:
+        c = jnp.cos(phi)[:, None]
+        s = jnp.sin(phi)[:, None]
+        gx, gy = grid[:, 0], grid[:, 1]
+        cx = (gx[None] * c - gy[None] * s) * sc[:, None] + dx[:, 0:1]
+        cy = (gx[None] * s + gy[None] * c) * sc[:, None] + dx[:, 1:2]
+        coords = jnp.stack([cx, cy], -1)  # [B, N, 2]
+    else:
+        coords = grid[None] + dx[:, None, :]
+    h = _h0_act(act, coords @ Wc + bc + (z @ Wz)[:, None, :])
+    for i in range(hw.shape[0]):
+        h = _act(act, h @ hw[i] + hb[i])
+    out = (h @ wout + bout)[..., 0]
+    return jax.nn.sigmoid(out) if sigmoid_out else out
+
+
+def _forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+             act, sigmoid_out):
+    if z.shape[0] * grid.shape[0] <= XLA_FWD_MAX_BN:
+        return _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout,
+                            bout, act, sigmoid_out)
+    return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                act, sigmoid_out)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
 def fused_spatial_decoder(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
                           act="tanh", sigmoid_out=True):
@@ -479,14 +521,14 @@ def fused_spatial_decoder(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
         hw [n_layers,H,H], hb [n_layers,H]: hidden tanh layers.
         wout [H,1], bout []: sigmoid output head.
     """
-    return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
-                act, sigmoid_out)
+    return _forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                    act, sigmoid_out)
 
 
 def _fwd_rule(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
               act, sigmoid_out):
-    out = _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
-               act, sigmoid_out)
+    out = _forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                   act, sigmoid_out)
     return out, (grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout)
 
 

@@ -25,6 +25,9 @@ def interpret_mode(monkeypatch):
     # bit-level comparison against the f32 XLA reference
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
     monkeypatch.setattr(sd, "ACT_DTYPE", jnp.float32)
+    # force the PALLAS forward (the size-based router would send these small
+    # test shapes to the XLA forward, leaving the kernel untested)
+    monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 0)
 
 
 def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0):
@@ -292,6 +295,43 @@ def test_approx_tanh_training_loss_close():
 
     l_exact, l_approx = run("tanh"), run("tanh_approx")
     assert abs(l_approx - l_exact) / abs(l_exact) < 1e-3
+
+
+def test_forward_routing_by_size(monkeypatch):
+    """Below the crossover the VJP forward is the XLA path (bitwise equal to
+    the generalized reference); above it the Pallas kernel runs. Gradients
+    always come from the Pallas backward."""
+    args = _make(2, B=4, N=128, seed=21)
+    monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 1 << 30)
+    out_xla_routed = sd.fused_spatial_decoder(*args)
+    np.testing.assert_array_equal(
+        np.asarray(out_xla_routed),
+        np.asarray(sd._xla_forward(*args, "tanh", True)))
+    monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 0)
+    out_pallas = sd.fused_spatial_decoder(*args)
+    np.testing.assert_allclose(np.asarray(out_pallas),
+                               np.asarray(out_xla_routed), atol=1e-5)
+    # gradients agree across routings (same Pallas backward)
+    grid, rest = args[0], args[1:]
+    g_pallas = jax.grad(lambda r: jnp.sum(sd.fused_spatial_decoder(grid, *r) ** 2))(rest)
+    monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 1 << 30)
+    g_xla = jax.grad(lambda r: jnp.sum(sd.fused_spatial_decoder(grid, *r) ** 2))(rest)
+    for a, b in zip(jax.tree_util.tree_leaves(g_xla),
+                    jax.tree_util.tree_leaves(g_pallas)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_xla_forward_act_variants():
+    """The generalized XLA forward matches the kernel for every supported
+    activation/head combination."""
+    for act in ("tanh", "relu", "tanh_approx"):
+        for sig in (True, False):
+            args = _make(2, B=3, N=192, seed=31)
+            out_k = sd.fused_spatial_decoder(*args, act, sig)  # pallas (fixture)
+            out_x = sd._xla_forward(*args, act, sig)
+            np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_k),
+                                       atol=1e-5)
 
 
 def test_fusion_work_gate():
