@@ -1,0 +1,120 @@
+"""Config-driven training CLI.
+
+The reference is notebook-driven with no entry point (SURVEY.md section 1:
+"no CLI"); production TPU training wants a reproducible, file-driven run:
+
+    python -m pyroved_tpu.train job.json
+
+``job.json``::
+
+    {
+      "model": "iVAE",                      # iVAE|jiVAE|ssiVAE|ss_reg_iVAE|VED
+      "model_config": {"data_dim": [28, 28], "latent_dim": 2,
+                        "invariances": ["r"]},
+      "train": {"epochs": 100, "batch_size": 200, "lr": 1e-3,
+                 "scale_factor": 1.0, "seed": 1},
+      "data": "X.npy",                      # [N, *data_dim]
+      "labels": "y.npy",                    # optional (cVAE / VED targets)
+      "unsup_data": "...", "sup_data": [...], "val_data": [...],
+                                            # semi-supervised alternative
+      "checkpoint_path": "ckpt.npz",        # optional auto-checkpoint
+      "log_file": "train.jsonl",            # optional per-epoch JSONL
+      "save_weights": "model",              # optional .pvt weight dump
+      "export_path": "model.pvtx"           # optional serving export
+    }
+
+Fully-specified epochs with no per-epoch host work run through the fused
+multi-epoch ``run()`` path automatically (one device dispatch).
+"""
+import json
+import sys
+
+import numpy as np
+
+from . import config as cfgmod
+from . import models, serving, trainers
+from .utils import init_dataloader, init_ssvae_dataloaders
+
+_CONFIGS = {
+    "iVAE": cfgmod.iVAEConfig,
+    "jiVAE": cfgmod.jiVAEConfig,
+    "ssiVAE": cfgmod.ssiVAEConfig,
+    "ss_reg_iVAE": cfgmod.ssRegiVAEConfig,
+    "VED": cfgmod.VEDConfig,
+}
+
+
+def _tupled(d: dict) -> dict:
+    """JSON lists -> tuples for the frozen dataclass fields."""
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+
+def run_job(job: dict) -> dict:
+    """Execute one training job dict (see module docstring); returns a
+    summary dict (final losses / metric, paths written)."""
+    name = job["model"]
+    if name not in _CONFIGS:
+        raise ValueError(f"model must be one of {sorted(_CONFIGS)}, got {name!r}")
+    model = _CONFIGS[name](**_tupled(job.get("model_config", {}))).build()
+    tr = job.get("train", {})
+    tc = cfgmod.TrainConfig(**{k: tr[k] for k in
+                               ("lr", "epochs", "batch_size", "scale_factor",
+                                "seed") if k in tr})
+
+    summary = {"model": name}
+    semi = isinstance(model, (models.ssiVAE, models.ss_reg_iVAE))
+    if semi:
+        loaders = init_ssvae_dataloaders(
+            np.load(job["unsup_data"]),
+            tuple(np.load(p) for p in job["sup_data"]),
+            tuple(np.load(p) for p in job["val_data"]),
+            batch_size=tc.batch_size)
+        trainer = trainers.auxSVItrainer(
+            model, lr=tc.lr, seed=tc.seed,
+            checkpoint_path=job.get("checkpoint_path"),
+            log_file=job.get("log_file"))
+        for _ in range(tc.epochs):
+            trainer.step(*loaders, scale_factor=tc.scale_factor)
+        summary["training_loss"] = trainer.history["training_loss"][-1]
+        summary["val_metric"] = trainer.history["test"][-1]
+    else:
+        arrays = (np.load(job["data"]),)
+        if job.get("labels"):
+            arrays = arrays + (np.load(job["labels"]),)
+        loader = init_dataloader(*arrays, batch_size=tc.batch_size)
+        trainer = trainers.SVItrainer(
+            model, lr=tc.lr, seed=tc.seed,
+            checkpoint_path=job.get("checkpoint_path"),
+            log_file=job.get("log_file"))
+        if trainer.checkpoint_path or trainer.log_file:
+            for _ in range(tc.epochs):
+                trainer.step(loader, scale_factor=tc.scale_factor)
+        else:
+            trainer.run(loader, tc.epochs, scale_factor=tc.scale_factor)
+        summary["training_loss"] = trainer.loss_history["training_loss"][-1]
+
+    if job.get("save_weights"):
+        model.save_weights(job["save_weights"])
+        summary["weights"] = job["save_weights"] + ".pvt"
+    if job.get("export_path"):
+        serving.export_model(model, job["export_path"],
+                             batch_size=tc.batch_size)
+        summary["export"] = job["export_path"]
+    summary["epochs"] = tc.epochs
+    return summary
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1:
+        print(__doc__)
+        return 2
+    with open(argv[0]) as f:
+        job = json.load(f)
+    summary = run_job(job)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

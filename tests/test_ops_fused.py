@@ -405,6 +405,57 @@ def test_padded_one_pass_recon_loss():
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
 
 
+def test_kernel_fuzz_random_configs():
+    """Seeded fuzz across random (B, N, hidden widths, layers, act, head)
+    configurations: kernel forward and every gradient must match the padded
+    XLA reference. Catches tile/padding edge cases the enumerated tests
+    miss."""
+    from pyroved_tpu.nets.fc import sDecoderNet
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        B = int(rng.integers(1, 12))
+        N = int(rng.integers(3, 400))
+        nl = int(rng.integers(1, 4))
+        widths = tuple(int(rng.integers(16, 200)) for _ in range(nl))
+        if not sd._fusion_work_ok(widths):
+            continue
+        act = ["tanh", "relu"][int(rng.integers(0, 2))]
+        sig = bool(rng.integers(0, 2))
+        net = sDecoderNet((8, 8), hidden_dim=widths, activation=act,
+                          sigmoid_out=sig)
+        grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
+        z = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+        phi = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+        dx = jnp.asarray(rng.normal(size=(B, 2)) * 0.1, jnp.float32)
+        sc = jnp.asarray(1 + 0.1 * rng.normal(size=(B,)), jnp.float32)
+        coords0 = jnp.broadcast_to(grid, (B, N, 2))
+        params = net.init(jax.random.PRNGKey(trial), coords0, z)["params"]
+
+        from pyroved_tpu.utils.coord import transform_coordinates
+        def f_module(p, zz):
+            coords = transform_coordinates(
+                jnp.broadcast_to(grid, (B,) + grid.shape),
+                phi, dx[:, None, :], sc)
+            return net.apply({"params": p}, coords, zz)
+
+        def f_fused(p, zz):
+            return sd.apply_fused_sdecoder(p, grid, phi, dx, sc, zz, act, sig)
+
+        np.testing.assert_allclose(
+            np.asarray(f_fused(params, z)), np.asarray(f_module(params, z)),
+            atol=1e-4, err_msg=f"trial {trial}: B={B} N={N} w={widths} "
+                               f"act={act} sig={sig}")
+        gm = jax.grad(lambda p, zz: jnp.sum(jnp.sin(3 * f_module(p, zz))),
+                      argnums=(0, 1))(params, z)
+        gf = jax.grad(lambda p, zz: jnp.sum(jnp.sin(3 * f_fused(p, zz))),
+                      argnums=(0, 1))(params, z)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gm)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3,
+                err_msg=f"trial {trial}: B={B} N={N} w={widths}")
+
+
 def test_model_ctor_wires_padded_gate(monkeypatch):
     """iVAE's fusion decision must follow the padding-aware gate."""
     import types

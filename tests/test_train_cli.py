@@ -1,0 +1,72 @@
+"""Config-driven training CLI (`python -m pyroved_tpu.train job.json`)."""
+import json
+
+import numpy as np
+import pytest
+
+from pyroved_tpu import train as cli
+
+
+def _write(tmp_path, name, arr):
+    p = str(tmp_path / name)
+    np.save(p, arr)
+    return p + ".npy"
+
+
+def test_cli_trains_ivae_and_exports(tmp_path):
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (48, 8, 8)).astype(np.float32)
+    job = {
+        "model": "iVAE",
+        "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                         "invariances": ["r"]},
+        "train": {"epochs": 3, "batch_size": 16},
+        "data": _write(tmp_path, "X", X),
+        "save_weights": str(tmp_path / "w"),
+        "export_path": str(tmp_path / "m.pvtx"),
+    }
+    summary = cli.run_job(job)
+    assert np.isfinite(summary["training_loss"])
+    assert (tmp_path / "w.pvt").exists()
+    assert (tmp_path / "m.pvtx").exists()
+    from pyroved_tpu.serving import ServedModel
+    served = ServedModel(str(tmp_path / "m.pvtx"))
+    assert served.encode(X[:4])[0].shape == (4, 3)
+
+
+def test_cli_semi_supervised(tmp_path):
+    rng = np.random.default_rng(0)
+    Xu = rng.uniform(0, 1, (24, 8, 8)).astype(np.float32)
+    Xs = rng.uniform(0, 1, (8, 8, 8)).astype(np.float32)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 8)]
+    job = {
+        "model": "ssiVAE",
+        "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                         "num_classes": 3},
+        "train": {"epochs": 2, "batch_size": 8},
+        "unsup_data": _write(tmp_path, "Xu", Xu),
+        "sup_data": [_write(tmp_path, "Xs", Xs), _write(tmp_path, "ys", ys)],
+        "val_data": [_write(tmp_path, "Xv", Xs), _write(tmp_path, "yv", ys)],
+    }
+    summary = cli.run_job(job)
+    assert np.isfinite(summary["training_loss"])
+    assert 0.0 <= summary["val_metric"] <= 1.0
+
+
+def test_cli_main_and_validation(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (16, 8, 8)).astype(np.float32)
+    job = {"model": "iVAE",
+           "model_config": {"data_dim": [8, 8]},
+           "train": {"epochs": 1, "batch_size": 8},
+           "data": _write(tmp_path, "X", X),
+           "log_file": str(tmp_path / "log.jsonl")}
+    path = tmp_path / "job.json"
+    path.write_text(json.dumps(job))
+    assert cli.main([str(path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["model"] == "iVAE" and out["epochs"] == 1
+    assert (tmp_path / "log.jsonl").exists()  # hooks force the step() path
+    with pytest.raises(ValueError, match="model must be one of"):
+        cli.run_job({"model": "GAN"})
+    assert cli.main([]) == 2  # usage
