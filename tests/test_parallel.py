@@ -177,6 +177,35 @@ def test_tp_sharded_decoder_auto_disables_fusion(fused_interpret):
     assert np.isfinite(loss)
 
 
+def test_run_multi_epoch_under_dp_mesh():
+    """The fused multi-epoch run() composes with DP mesh sharding: same
+    numerics as sequential single-device epochs."""
+    x = _imgs(32)
+    m1 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    t1 = SVItrainer(m1, seed=3)
+    l1 = init_dataloader(x, batch_size=8, seed=6)
+    seq = [t1.train(l1) for _ in range(2)]
+
+    mesh = data_parallel_mesh()
+    m2 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    m2.params = replicate_params(m2.params, mesh)
+    t2 = SVItrainer(m2, seed=3, mesh=mesh)
+    fused = t2.run(init_dataloader(x, batch_size=8, seed=6), 2)
+    np.testing.assert_allclose(seq, fused, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_jivae_run_with_beta_pair():
+    from pyroved_tpu.models import jiVAE
+    m = jiVAE(DATA, latent_dim=2, discrete_dim=3, invariances=["r"])
+    t = SVItrainer(m)
+    losses = t.run(init_dataloader(_imgs(32), batch_size=16), 2,
+                   scale_factor=[2.0, 0.5])
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+
+
 def test_shard_map_spmd_step():
     """Explicit shard_map+psum step trains and reduces gradients correctly:
     loss decreases and matches the replicated-update invariant (params stay
