@@ -195,11 +195,13 @@ void* pvt_pipeline_create(const float* src, int64_t n_rows, int64_t row_elems,
 }
 
 // Blocks until the next batch is ready; copies it into dst (capacity
-// batch*row_elems floats) and returns the number of valid rows.
+// batch*row_elems floats) and returns the number of valid rows, or -1 if
+// the pipeline was shut down while (or before) waiting.
 int64_t pvt_pipeline_next(void* handle, float* dst) {
   auto* p = static_cast<Pipeline*>(handle);
   std::unique_lock<std::mutex> lk(p->mu);
-  p->cv_cons.wait(lk, [&] { return p->head > p->tail; });
+  p->cv_cons.wait(lk, [&] { return p->stop.load() || p->head > p->tail; });
+  if (p->stop.load()) return -1;
   int slot = static_cast<int>(p->tail % p->depth);
   int64_t rows = p->ring_rows[slot];
   std::memcpy(dst, p->ring[slot].data(),
@@ -216,7 +218,10 @@ void pvt_pipeline_destroy(void* handle) {
     std::lock_guard<std::mutex> lk(p->mu);
     p->stop.store(true);
   }
+  // wake BOTH sides: the worker (to exit) and any consumer blocked in
+  // pvt_pipeline_next (it returns -1 instead of waiting on freed state)
   p->cv_prod.notify_all();
+  p->cv_cons.notify_all();
   p->worker.join();
   delete p;
 }

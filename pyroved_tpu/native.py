@@ -141,24 +141,33 @@ class BatchPipeline:
         self._buf = np.empty((self.batch_size, self._row_elems), np.float32)
         self._lib = get_lib()
         self._handle = None
+        self._closed = False
         if self._lib is not None:
             self._handle = self._lib.pvt_pipeline_create(
                 self._src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 self.n_rows, self._row_elems, self.batch_size, self.seed,
                 int(depth), num_threads or min(8, os.cpu_count() or 1))
+        # synchronous-fallback cursor state, built lazily on first use (the
+        # native path never reads it — no point shuffling 10M rows up front)
         self._epoch = 0
         self._cursor = 0
-        self._perm = shuffle_indices(self.n_rows, self.seed, 0)
+        self._perm = None
 
     def next(self) -> np.ndarray:
         """The next batch ([rows, *row_shape]; the epoch-final batch may be
         short). Blocks until the producer has it ready."""
+        if self._closed:
+            raise RuntimeError("BatchPipeline is closed")
         if self._handle is not None:
             rows = self._lib.pvt_pipeline_next(
                 self._handle,
                 self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if rows < 0:
+                raise RuntimeError("BatchPipeline is closed")
             return self._buf[:rows].reshape((rows,) + self.row_shape).copy()
         # synchronous fallback with the identical shuffle sequence
+        if self._perm is None:
+            self._perm = shuffle_indices(self.n_rows, self.seed, self._epoch)
         rows = min(self.batch_size, self.n_rows - self._cursor)
         out = self._src[self._perm[self._cursor:self._cursor + rows]]
         self._cursor += rows
@@ -175,6 +184,10 @@ class BatchPipeline:
             yield (self.next(),)
 
     def close(self) -> None:
+        """Shut the producer down. Not safe to call concurrently with an
+        in-flight :meth:`next` from another thread (single-consumer class);
+        subsequent :meth:`next` calls raise."""
+        self._closed = True
         if self._handle is not None:
             self._lib.pvt_pipeline_destroy(self._handle)
             self._handle = None

@@ -138,21 +138,12 @@ def _act_grad_from_post(name, h):
 
 def spatial_decoder_reference(grid, phi, dx, sc, z, Wc, bc, Wz, hidden, wout, bout):
     """Pure-jnp spatial decode: grid [N,D], phi/sc [B] (or None), dx [B,D],
-    z [B,L]; hidden = sequence of (W [H,H], b [H]). Returns [B, N]."""
-    D = grid.shape[-1]
-    if D == 2:
-        c = jnp.cos(phi)[:, None]
-        s = jnp.sin(phi)[:, None]
-        gx, gy = grid[:, 0], grid[:, 1]
-        cx = (gx[None] * c - gy[None] * s) * sc[:, None] + dx[:, 0:1]
-        cy = (gx[None] * s + gy[None] * c) * sc[:, None] + dx[:, 1:2]
-        coords = jnp.stack([cx, cy], -1)  # [B, N, 2]
-    else:
-        coords = grid[None] + dx[:, None, :]
-    h = jnp.tanh(coords @ Wc + bc + (z @ Wz)[:, None, :])
-    for W, b in hidden:
-        h = jnp.tanh(h @ W + b)
-    return jax.nn.sigmoid(h @ wout + bout)[..., 0]
+    z [B,L]; hidden = sequence of (W [H,H], b [H]). Returns [B, N].
+    The act='tanh', sigmoid head special case of :func:`_xla_forward`."""
+    hw = jnp.stack([W for W, _ in hidden])
+    hb = jnp.stack([b for _, b in hidden])
+    return _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
+                        "tanh", True)
 
 
 # ---------------------------------------------------------------------------

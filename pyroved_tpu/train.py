@@ -49,17 +49,30 @@ def _tupled(d: dict) -> dict:
     return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
 
 
+_JOB_KEYS = {"model", "model_config", "train", "data", "labels",
+             "unsup_data", "sup_data", "val_data", "checkpoint_path",
+             "checkpoint_every", "log_file", "save_weights", "export_path"}
+_TRAIN_KEYS = {"lr", "epochs", "batch_size", "scale_factor", "seed"}
+
+
 def run_job(job: dict) -> dict:
     """Execute one training job dict (see module docstring); returns a
-    summary dict (final losses / metric, paths written)."""
+    summary dict (final losses / metric, paths written). Unknown keys are
+    REJECTED (a typo must not silently train with defaults)."""
+    unknown = set(job) - _JOB_KEYS
+    if unknown:
+        raise ValueError(f"Unknown job keys {sorted(unknown)}; "
+                         f"valid keys: {sorted(_JOB_KEYS)}")
     name = job["model"]
     if name not in _CONFIGS:
         raise ValueError(f"model must be one of {sorted(_CONFIGS)}, got {name!r}")
     model = _CONFIGS[name](**_tupled(job.get("model_config", {}))).build()
     tr = job.get("train", {})
-    tc = cfgmod.TrainConfig(**{k: tr[k] for k in
-                               ("lr", "epochs", "batch_size", "scale_factor",
-                                "seed") if k in tr})
+    unknown = set(tr) - _TRAIN_KEYS
+    if unknown:
+        raise ValueError(f"Unknown train keys {sorted(unknown)}; "
+                         f"valid keys: {sorted(_TRAIN_KEYS)}")
+    tc = cfgmod.TrainConfig(**tr)
 
     summary = {"model": name}
     semi = isinstance(model, (models.ssiVAE, models.ss_reg_iVAE))
@@ -72,6 +85,7 @@ def run_job(job: dict) -> dict:
         trainer = trainers.auxSVItrainer(
             model, lr=tc.lr, seed=tc.seed,
             checkpoint_path=job.get("checkpoint_path"),
+            checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))
         for _ in range(tc.epochs):
             trainer.step(*loaders, scale_factor=tc.scale_factor)
@@ -85,6 +99,7 @@ def run_job(job: dict) -> dict:
         trainer = trainers.SVItrainer(
             model, lr=tc.lr, seed=tc.seed,
             checkpoint_path=job.get("checkpoint_path"),
+            checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))
         if trainer.checkpoint_path or trainer.log_file:
             for _ in range(tc.epochs):
@@ -92,6 +107,12 @@ def run_job(job: dict) -> dict:
         else:
             trainer.run(loader, tc.epochs, scale_factor=tc.scale_factor)
         summary["training_loss"] = trainer.loss_history["training_loss"][-1]
+
+    if job.get("checkpoint_path"):
+        # always leave a FINAL checkpoint, whatever the epoch cadence
+        from .utils.checkpoint import save_checkpoint
+        save_checkpoint(job["checkpoint_path"], model, trainer)
+        summary["checkpoint"] = job["checkpoint_path"]
 
     if job.get("save_weights"):
         model.save_weights(job["save_weights"])

@@ -125,3 +125,13 @@ def test_batch_pipeline_close_idempotent():
     pipe.next()
     pipe.close()
     pipe.close()  # no crash
+
+
+def test_batch_pipeline_next_after_close_raises():
+    from pyroved_tpu.native import BatchPipeline
+    pipe = BatchPipeline(np.zeros((10, 3), np.float32), batch_size=4)
+    pipe.next()
+    pipe.close()
+    import pytest
+    with pytest.raises(RuntimeError, match="closed"):
+        pipe.next()

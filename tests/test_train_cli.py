@@ -70,3 +70,34 @@ def test_cli_main_and_validation(tmp_path, capsys):
     with pytest.raises(ValueError, match="model must be one of"):
         cli.run_job({"model": "GAN"})
     assert cli.main([]) == 2  # usage
+
+def test_cli_rejects_unknown_keys(tmp_path):
+    rng = np.random.default_rng(0)
+    X = _write(tmp_path, "X", rng.uniform(0, 1, (8, 8, 8)).astype(np.float32))
+    base = {"model": "iVAE", "model_config": {"data_dim": [8, 8]},
+            "train": {"epochs": 1, "batch_size": 8}, "data": X}
+    with pytest.raises(ValueError, match="Unknown job keys.*'export'"):
+        cli.run_job({**base, "export": "typo.pvtx"})
+    with pytest.raises(ValueError, match="Unknown train keys.*'epoch'"):
+        cli.run_job({**base, "train": {"epoch": 5, "batch_size": 8}})
+
+
+def test_cli_final_checkpoint_always_written(tmp_path):
+    """checkpoint_path must yield a checkpoint even when epochs < the
+    auto-checkpoint cadence."""
+    rng = np.random.default_rng(0)
+    X = _write(tmp_path, "X", rng.uniform(0, 1, (16, 8, 8)).astype(np.float32))
+    ck = str(tmp_path / "ck.npz")
+    summary = cli.run_job({"model": "iVAE",
+                           "model_config": {"data_dim": [8, 8]},
+                           "train": {"epochs": 2, "batch_size": 8},
+                           "data": X, "checkpoint_path": ck})
+    assert summary["checkpoint"] == ck
+    import os
+    assert os.path.exists(ck)
+    # and it resumes
+    from pyroved_tpu.models import iVAE
+    from pyroved_tpu.trainers import SVItrainer
+    m = iVAE((8, 8))
+    t = SVItrainer(m, checkpoint_path=ck)
+    assert t.resume() == 2
