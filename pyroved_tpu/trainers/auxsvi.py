@@ -162,6 +162,39 @@ class auxSVItrainer:
 
         self._epoch_jit = jax.jit(epoch, donate_argnums=(0, 1, 2))
 
+        # Multi-epoch fused path (mirrors SVItrainer.run): ONE lax.scan over
+        # every interleaved step of every epoch, one device dispatch total.
+        def run_epochs(params, opt_state, aux_opt_state, xu, sup_arrays,
+                       idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within,
+                       beta, aux_mult):
+            def body(carry, inp):
+                params, opt_state, aux_opt_state = carry
+                bidx, bw, sb, sw, do_sup, key, wstep = inp
+                x = jnp.take(xu, bidx, axis=0)
+                rng_u = jax.random.fold_in(key, 2 * wstep)
+                params, opt_state, loss = unsup_step(
+                    params, opt_state, rng_u, x, bw, beta)
+                sup_batch = tuple(jnp.take(a, sb, axis=0) for a in sup_arrays)
+                rng_s = jax.random.fold_in(key, 2 * wstep + 1)
+
+                def with_sup(args):
+                    p, o, a = args
+                    p, o, a, _ = sup_step(p, o, a, rng_s, sup_batch[0],
+                                          sup_batch[1], sw, beta, aux_mult)
+                    return p, o, a
+
+                params, opt_state, aux_opt_state = jax.lax.cond(
+                    do_sup, with_sup, lambda args: args,
+                    (params, opt_state, aux_opt_state))
+                return (params, opt_state, aux_opt_state), loss
+
+            carry, losses = jax.lax.scan(
+                body, (params, opt_state, aux_opt_state),
+                (idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within))
+            return carry[0], carry[1], carry[2], losses
+
+        self._run_jit = jax.jit(run_epochs, donate_argnums=(0, 1, 2))
+
     # ------------------------------------------------------------------
     def _train_streaming(self, loader_unsup, loader_sup, beta, aux_mult,
                          sup_period: Optional[int] = None) -> float:
@@ -232,6 +265,89 @@ class auxSVItrainer:
             self.aux_opt_state = aux_opt_state
         return float(sum(float(l) for l in losses)) / max(count, 1)
 
+    @staticmethod
+    def _schedule(loader_unsup, loader_sup, nb: int, n_sup_rows: int):
+        """Static interleave schedule for one epoch: one labeled step every
+        ``p = (n_sup + n_unsup) // n_sup`` unlabeled iterations, reference
+        cadence ``i % p == 1`` (``auxsvi.py:110-128``). The reference's
+        cadence never fires when p == 1 (labeled batches >= unlabeled) —
+        labels would silently never train; deviate by supervising every
+        iteration there (docs/DEVIATIONS.md). Returns (mask [nb] bool,
+        labeled-batch row index per step [nb] int32)."""
+        p = (len(loader_sup) + len(loader_unsup)) // max(len(loader_sup), 1)
+        p = max(p, 1)
+        sup_now = (lambda i: True) if p == 1 else (lambda i: i % p == 1)
+        sup_mask = np.asarray([sup_now(i) for i in range(nb)], bool)
+        sup_j = np.zeros(nb, np.int32)
+        j = 0
+        for i in range(nb):
+            if sup_mask[i]:
+                sup_j[i] = j % n_sup_rows
+                j += 1
+        return sup_mask, sup_j
+
+    def run(self, loader_unsup: DataLoader, loader_sup: DataLoader,
+            epochs: int, **kwargs) -> list:
+        """Train ``epochs`` semi-supervised epochs in ONE device dispatch
+        (the aux analogue of :meth:`SVItrainer.run`): the interleaved
+        unlabeled/labeled schedule for every epoch is precomputed and the
+        whole run is a single ``lax.scan`` — parameter-trajectory bitwise
+        identical to sequential :meth:`train` calls. Appends to ``history``
+        and returns per-epoch losses. Device-resident loaders only;
+        streaming loaders fall back to per-epoch training."""
+        if self._step_unsup is None:
+            self._build_steps()
+        beta = jnp.asarray(kwargs.get("scale_factor", 1.0), jnp.float32)
+        aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
+                               jnp.float32)
+        if int(epochs) <= 0:
+            return []
+        resident = (isinstance(loader_unsup, DataLoader)
+                    and loader_unsup.device_resident
+                    and isinstance(loader_sup, DataLoader)
+                    and loader_sup.device_resident)
+        if not resident:
+            per_epoch = []
+            for _ in range(int(epochs)):
+                per_epoch.append(self.train(loader_unsup, loader_sup, **kwargs))
+                self.history["training_loss"].append(per_epoch[-1])
+                self.current_epoch += 1
+            return per_epoch
+
+        (xu,) = loader_unsup.device_arrays
+        sup_arrays = loader_sup.device_arrays
+        cols = {k: [] for k in ("iu", "wu", "si", "sw", "m")}
+        keys = []
+        nb = None
+        unsup_count = None
+        for _ in range(int(epochs)):
+            idx_u, w_u = loader_unsup.epoch_indices()
+            idx_s, w_s = loader_sup.epoch_indices()
+            nb = idx_u.shape[0]
+            unsup_count = float(w_u.sum())
+            mask, sup_j = self._schedule(loader_unsup, loader_sup, nb,
+                                         idx_s.shape[0])
+            cols["iu"].append(idx_u)
+            cols["wu"].append(w_u)
+            cols["si"].append(idx_s[sup_j])
+            cols["sw"].append(w_s[sup_j])
+            cols["m"].append(mask)
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            keys.append(epoch_rng)
+        cat = {k: jnp.asarray(np.concatenate(v)) for k, v in cols.items()}
+        keys_rep = jnp.repeat(jnp.stack(keys), nb, axis=0)
+        within = jnp.tile(jnp.arange(nb), int(epochs))
+        params, self.opt_state, self.aux_opt_state, losses = self._run_jit(
+            self.model.params, self.opt_state, self.aux_opt_state, xu,
+            sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"], cat["m"],
+            keys_rep, within, beta, aux_mult)
+        self.model.params = params
+        per_epoch = (np.asarray(losses).reshape(int(epochs), nb).sum(1)
+                     / max(unsup_count, 1.0)).tolist()
+        self.history["training_loss"].extend(per_epoch)
+        self.current_epoch += int(epochs)
+        return per_epoch
+
     def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,
               **kwargs) -> float:
         """One epoch over the unlabeled loader, interleaving labeled batches
@@ -255,23 +371,9 @@ class auxSVItrainer:
         (xu,) = loader_unsup.device_arrays
         sup_arrays = loader_sup.device_arrays
 
-        p = (len(loader_sup) + len(loader_unsup)) // max(len(loader_sup), 1)
-        p = max(p, 1)
-        # The reference's `i % p == 1` cadence never fires when p == 1
-        # (labeled batches >= unlabeled) — labels would silently never train.
-        # Deviate: supervise every iteration in that regime (docs/DEVIATIONS.md).
-        sup_now = (lambda i: True) if p == 1 else (lambda i: i % p == 1)
         self.rng, epoch_rng = jax.random.split(self.rng)
-
-        # static interleave schedule for this epoch
-        nb = idx_u.shape[0]
-        sup_mask = np.asarray([sup_now(i) for i in range(nb)], bool)
-        sup_j = np.zeros(nb, np.int32)
-        j = 0
-        for i in range(nb):
-            if sup_mask[i]:
-                sup_j[i] = j % idx_s.shape[0]
-                j += 1
+        sup_mask, sup_j = self._schedule(loader_unsup, loader_sup,
+                                         idx_u.shape[0], idx_s.shape[0])
         unsup_count = float(w_u.sum())
 
         params, opt_state, self.aux_opt_state, total = self._epoch_jit(

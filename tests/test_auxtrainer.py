@@ -201,6 +201,52 @@ def test_aux_trainer_generic_iterable_needs_sup_period():
     assert np.isfinite(loss)
 
 
+def test_aux_run_multi_epoch_matches_sequential():
+    """auxSVItrainer.run(E) (one fused dispatch of the whole interleaved
+    schedule) must reproduce E sequential train() calls bitwise."""
+    def setup(seed):
+        rng = np.random.default_rng(0)
+        Xu = _data(48, rng)
+        Xs = _data(16, rng)
+        ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+        from pyroved_tpu.utils import init_dataloader
+        lu = init_dataloader(Xu, batch_size=8, seed=5)
+        ls = init_dataloader(Xs, ys, batch_size=8, seed=7)
+        m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+                   seed=2)
+        return m, auxSVItrainer(m, seed=seed), lu, ls
+
+    m1, t1, lu1, ls1 = setup(9)
+    seq = [t1.train(lu1, ls1) for _ in range(3)]
+
+    m2, t2, lu2, ls2 = setup(9)
+    fused = t2.run(lu2, ls2, 3)
+    np.testing.assert_allclose(seq, fused, rtol=1e-6)
+    assert t2.history["training_loss"] == fused
+    assert t2.current_epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(t1.aux_opt_state),
+                    jax.tree_util.tree_leaves(t2.aux_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t2.run(lu2, ls2, 0) == []
+
+
+def test_aux_run_streaming_fallback():
+    rng = np.random.default_rng(0)
+    from pyroved_tpu.utils import init_dataloader
+    lu = init_dataloader(_data(24, rng), batch_size=8, device_resident=False)
+    ls = init_dataloader(_data(8, rng),
+                         np.eye(3, dtype=np.float32)[rng.integers(0, 3, 8)],
+                         batch_size=8, device_resident=False)
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3)
+    t = auxSVItrainer(m)
+    losses = t.run(lu, ls, 2)
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+    assert t.history["training_loss"] == losses and t.current_epoch == 2
+
+
 def test_aux_trainer_checkpoint_and_log(tmp_path):
     loaders = _cls_setup()
     log = tmp_path / "aux_log.jsonl"
