@@ -153,15 +153,17 @@ class SVItrainer:
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        def run_epochs(params, opt_state, arrays, idx, w, keys, within, beta):
+        def run_epochs(params, opt_state, arrays, idx, w, keys, within, betas):
             # Multi-epoch fused path: ONE lax.scan over every step of every
             # epoch — a single device dispatch and a single host sync for
             # the whole run. Profiling shows the per-epoch dispatch + sync
             # costs ~45% of wall time on this epoch size (42 ms device vs
-            # 75 ms wall), so fusing epochs recovers most of it.
+            # 75 ms wall), so fusing epochs recovers most of it. `betas` is
+            # per-STEP (the per-epoch scale_schedule repeated), so KL
+            # annealing runs inside the fused scan too.
             def body(carry, inp):
                 params, opt_state = carry
-                bidx, bw, key, wstep = inp
+                bidx, bw, key, wstep, beta = inp
                 batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
                 batch = self._constrain(batch)
                 bw = self._constrain(bw)
@@ -173,7 +175,7 @@ class SVItrainer:
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (idx, w, keys, within))
+                body, (params, opt_state), (idx, w, keys, within, betas))
             return params, opt_state, losses
 
         self._train_epoch_jit = jax.jit(train_epoch, donate_argnums=(0, 1))
@@ -253,16 +255,34 @@ class SVItrainer:
         to ``loss_history`` and returns the per-epoch losses. Compiles once
         per (dataset shape, batch size, epoch count). Device-resident
         loaders only; streaming loaders fall back to per-epoch training.
+
+        Keyword Args:
+            scale_factor: KL scale beta applied to every epoch.
+            scale_schedule: per-epoch beta sequence (length ``epochs``) for
+                KL annealing — the fused-run equivalent of calling
+                ``step(loader, scale_factor=f(epoch))`` each epoch.
         """
-        beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
+        schedule = kwargs.get("scale_schedule")
+        if schedule is not None:
+            if len(schedule) != int(epochs):
+                raise ValueError(
+                    f"scale_schedule has {len(schedule)} entries for "
+                    f"{epochs} epochs")
+            epoch_betas = [_prep_beta(self.model, s) for s in schedule]
+        else:
+            epoch_betas = [_prep_beta(self.model,
+                                      kwargs.get("scale_factor", 1.0))
+                           ] * int(epochs)
         if int(epochs) <= 0:
             return []
         if not (isinstance(train_loader, DataLoader)
                 and train_loader.device_resident):
             # per-epoch fallback, with the same bookkeeping as the fused path
             per_epoch = []
-            for _ in range(int(epochs)):
-                per_epoch.append(self.train(train_loader, **kwargs))
+            for e in range(int(epochs)):
+                sf = (schedule[e] if schedule is not None
+                      else kwargs.get("scale_factor", 1.0))
+                per_epoch.append(self.train(train_loader, scale_factor=sf))
                 self.loss_history["training_loss"].append(per_epoch[-1])
                 self.current_epoch += 1
             return per_epoch
@@ -280,9 +300,10 @@ class SVItrainer:
         w = jnp.asarray(jnp.concatenate([jnp.asarray(x) for x in w_list]))
         keys_rep = jnp.repeat(jnp.stack(keys), nb, axis=0)   # [E*nb, key]
         within = jnp.tile(jnp.arange(nb), int(epochs))        # step-in-epoch
+        betas = jnp.repeat(jnp.stack(epoch_betas), nb, axis=0)  # per step
         params, self.opt_state, losses = self._run_epochs_jit(
             self.model.params, self.opt_state, train_loader.device_arrays,
-            idx, w, keys_rep, within, beta)
+            idx, w, keys_rep, within, betas)
         self.model.params = params
         per_epoch = (np.asarray(losses).reshape(int(epochs), nb).sum(1)
                      / train_loader.dataset_size).tolist()

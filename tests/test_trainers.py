@@ -217,6 +217,29 @@ def test_run_multi_epoch_matches_sequential():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_run_scale_schedule_matches_sequential_annealing():
+    """run(scale_schedule=[...]) (KL annealing inside the fused scan) must
+    reproduce sequential train(scale_factor=f(epoch)) calls bitwise."""
+    x = _rand_imgs(48)
+    schedule = [0.1, 0.5, 1.0]
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    l1 = init_dataloader(x, batch_size=16, seed=3)
+    seq = [t1.train(l1, scale_factor=s) for s in schedule]
+
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9)
+    l2 = init_dataloader(x, batch_size=16, seed=3)
+    fused = t2.run(l2, 3, scale_schedule=schedule)
+    np.testing.assert_allclose(seq, fused, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="scale_schedule has 3"):
+        t2.run(l2, 5, scale_schedule=schedule)
+
+
 def test_run_streaming_fallback():
     model = iVAE(DATA_2D, latent_dim=2, invariances=None)
     trainer = SVItrainer(model)
