@@ -94,18 +94,13 @@ def export_model(model, path: str, batch_size: int = 256,
                 jnp.zeros((D,), jnp.float32), jnp.ones((), jnp.float32))
         arts["decode"] = _exported(dec, pose, platforms).serialize()
 
-    if "encoder_y" in params and hasattr(model, "num_classes"):
-        def classify(x):
+    if "encoder_y" in params:
+        def head(x):
             return model.encoder_y_net.apply({"params": params["encoder_y"]},
-                                         x.reshape(batch_size, -1))
+                                             x.reshape(batch_size, -1))
 
-        arts["classify"] = _exported(classify, (x_spec,), platforms).serialize()
-    elif "encoder_y" in params and hasattr(model, "reg_dim"):
-        def regress(x):
-            return model.encoder_y_net.apply({"params": params["encoder_y"]},
-                                         x.reshape(batch_size, -1))
-
-        arts["regress"] = _exported(regress, (x_spec,), platforms).serialize()
+        head_name = "classify" if hasattr(model, "num_classes") else "regress"
+        arts[head_name] = _exported(head, (x_spec,), platforms).serialize()
 
     manifest = {"batch_size": batch_size,
                 "data_dim": list(model.data_dim),

@@ -296,8 +296,8 @@ class SVItrainer:
             self.rng, epoch_rng = jax.random.split(self.rng)
             keys.append(epoch_rng)
         nb = idx_list[0].shape[0]
-        idx = jnp.asarray(jnp.concatenate([jnp.asarray(i) for i in idx_list]))
-        w = jnp.asarray(jnp.concatenate([jnp.asarray(x) for x in w_list]))
+        idx = jnp.asarray(np.concatenate(idx_list))
+        w = jnp.asarray(np.concatenate(w_list))
         keys_rep = jnp.repeat(jnp.stack(keys), nb, axis=0)   # [E*nb, key]
         within = jnp.tile(jnp.arange(nb), int(epochs))        # step-in-epoch
         betas = jnp.repeat(jnp.stack(epoch_betas), nb, axis=0)  # per step
