@@ -535,12 +535,16 @@ def _fusion_work_ok(hidden) -> bool:
     layer to ``Hmax = round_up(max(hidden), 128)`` (see
     :func:`_padded_sdecoder_weights`). Worth it only while the padded
     multiply-accumulate work stays within 2x the exact work, and while the
-    stacked [n, Hmax, Hmax] weights still fit comfortably in VMEM."""
+    kernel actually beats XLA at that width: measured on v5e, Hmax=128 wins
+    1.3-1.4x and Hmax=256 wins 1.44x end-to-end, but at Hmax=512 the
+    shrunken pixel tiles and VMEM pressure make the kernel a 1.35x
+    PESSIMIZATION (27.5 vs 37.1 steps/s, 28x28 bs=200) — so wide hidden
+    stacks route to XLA."""
     hmax = _round_up(max(hidden), 128)
     if hmax == 128:  # padding to the minimum lane width is always cheap
         return True
     exact = sum(a * b for a, b in zip((hidden[0],) + tuple(hidden[:-1]), hidden))
-    return hmax <= 1024 and len(hidden) * hmax * hmax <= 2 * exact
+    return hmax <= 256 and len(hidden) * hmax * hmax <= 2 * exact
 
 
 def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,

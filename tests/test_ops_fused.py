@@ -344,7 +344,9 @@ def test_fusion_work_gate():
     assert sd._fusion_work_ok((100, 60))
     # heavy padding (128 -> 512 everywhere): rejected
     assert not sd._fusion_work_ok((128, 512))
-    # VMEM cap on very wide stacks
+    # wide hidden stacks rejected outright: XLA measured FASTER at H=512
+    # (37.1 vs 27.5 steps/s on v5e), so the gate routes them to XLA
+    assert not sd._fusion_work_ok((512, 512))
     assert not sd._fusion_work_ok((2048, 2048))
 
 
