@@ -7,8 +7,8 @@ regression VAEs, and im2spec/spec2im encoder-decoder models — designed
 for TPU from the ground up (jit-compiled epoch loops, MXU-shaped matmuls,
 fused Pallas decoder kernels, mesh-sharded data parallelism).
 """
-from . import config, infer, models, nets, ops, parallel, serving, trainers, utils
+from . import config, infer, interop, models, nets, ops, parallel, serving, trainers, utils
 from .__version__ import __version__
 
-__all__ = ["config", "infer", "models", "nets", "ops", "parallel",
+__all__ = ["config", "infer", "interop", "models", "nets", "ops", "parallel",
            "serving", "trainers", "utils", "__version__"]

@@ -367,6 +367,13 @@ class baseVAE:
             if "rng" in payload:
                 self.rng = jnp.asarray(payload["rng"])
 
+    def load_torch_weights(self, source, strict: bool = True):
+        """Loads weights trained with the reference pyroVED (a ``.pt`` file
+        from its ``save_weights``, or a torch ``state_dict``), converting
+        torch layouts to this framework's (see :mod:`pyroved_tpu.interop`)."""
+        from ..interop import load_torch_weights
+        return load_torch_weights(self, source, strict=strict)
+
     # Convenience used by several public APIs
     @staticmethod
     def _as_f32(x) -> Array:
