@@ -223,6 +223,14 @@ def _assert_tree_equal(a, b, path=""):
     lambda: pv.models.ss_reg_iVAE((8, 8), latent_dim=2, reg_dim=1),
     lambda: pv.models.VED((8, 8), (16,), latent_dim=2),
     lambda: pv.models.iVAE((24,), latent_dim=2, invariances=["t"]),
+    # non-default architectures
+    lambda: pv.models.iVAE((8, 8), latent_dim=3, invariances=["r"],
+                           hidden_dim_e=(96, 64, 32), hidden_dim_d=(64, 64)),
+    lambda: pv.models.VED((8, 8), (16, 16), latent_dim=2,
+                          hidden_dim_e=((16,), (32, 32)),
+                          hidden_dim_d=((32,), (16, 16))),
+    lambda: pv.models.VED((8, 8, 8), (16,), latent_dim=2,
+                          hidden_dim_e=((8,), (16,))),
 ])
 def test_round_trip(make):
     model = make()
