@@ -157,7 +157,7 @@ def _conv_stack_leaves(prefix: str, path: Tuple[str, ...], ndim: int,
                             "conv", ndim=ndim))
         leaves.append(_Leaf(f"{torch_base}.bias", our + ("bias",), "copy"))
 
-    for block in filters:
+    for b_i, block in enumerate(filters):
         for _ch in block:
             _conv(f"{prefix}{idx}", path + (f"Conv_{conv_i}",))
             idx += 1
@@ -181,8 +181,22 @@ def _conv_stack_leaves(prefix: str, path: Tuple[str, ...], ndim: int,
             idx += 1
             ub_i += 1
         else:
-            # reference maxpool placement (nets/conv.py:188-192)
-            if done + 1 < total or pool_last:
+            # Reference maxpool placement counts CONVS (nets/conv.py:188-192:
+            # pool iff >= 2 convs remain), our FeatureExtractor counts BLOCKS
+            # (nets/conv.py:92). The two agree for every config the reference
+            # can actually train (its features2latent sizing is block-based,
+            # so conv-count-divergent configs crash the reference forward) —
+            # refuse them rather than emit a self-inconsistent mapping.
+            ref_pool = done + 1 < total or bool(pool_last)
+            block_pool = b_i + 1 < len(filters) or bool(pool_last)
+            if ref_pool != block_pool:
+                raise ValueError(
+                    f"conv filter config {tuple(tuple(b) for b in filters)} "
+                    "places maxpools differently in the reference "
+                    "(conv-counted, nets/conv.py:188) and here "
+                    "(block-counted); the reference cannot train this "
+                    "config, so torch interop is undefined for it")
+            if ref_pool:
                 idx += 1
     if upsampler:  # final 1x1 conv to output_channels (nets/conv.py:244-245)
         _conv(f"{prefix}{idx}", path + (f"Conv_{conv_i}",))
@@ -305,7 +319,7 @@ def torch_to_params(model, state_dict: Mapping[str, Any], strict: bool = True
         ``batch_stats`` is ``{}`` unless the reference nets used batchnorm.
     """
     mapping = _model_mapping(model)
-    params = jax_tree_to_mutable(model.params)
+    params = _tree_copy(model.params)
     stats: Dict = {}
     missing = []
     consumed = set()
@@ -316,15 +330,17 @@ def torch_to_params(model, state_dict: Mapping[str, Any], strict: bool = True
         consumed.add(leaf.torch_key)
         val = leaf.fwd(_np(state_dict[leaf.torch_key]).astype(np.float32))
         if leaf.collection == "params":
-            cur = _get(params, leaf.path)
-            if tuple(cur.shape) != tuple(val.shape):
-                raise ValueError(
-                    f"{leaf.torch_key} -> {'/'.join(leaf.path)}: shape "
-                    f"{tuple(val.shape)} does not match target "
-                    f"{tuple(cur.shape)} — architecture mismatch")
-            _set(params, leaf.path, jnp.asarray(val))
+            expected = tuple(_get(params, leaf.path).shape)
         else:
-            _set(stats, leaf.path, jnp.asarray(val))
+            # running stats are 1-D of the BatchNorm width (scale's shape)
+            expected = tuple(_get(params, leaf.path[:-1] + ("scale",)).shape)
+        if expected != tuple(val.shape):
+            raise ValueError(
+                f"{leaf.torch_key} -> {'/'.join(leaf.path)}: shape "
+                f"{tuple(val.shape)} does not match target "
+                f"{expected} — architecture mismatch")
+        _set(params if leaf.collection == "params" else stats,
+             leaf.path, jnp.asarray(val))
     extra = [k for k in state_dict
              if k not in consumed and not k.endswith("num_batches_tracked")]
     if strict and (missing or extra):
@@ -368,7 +384,11 @@ def load_torch_weights(model, source, strict: bool = True):
 
     ``source`` may be a path to a ``.pt`` file saved by the reference's
     ``save_weights`` (loaded with ``torch.load(weights_only=True)``), or a
-    state_dict-like mapping. Returns the model."""
+    state_dict-like mapping. When the state_dict carries BatchNorm running
+    statistics, they are installed in ``model.state`` and the model is
+    switched to running-average normalization at inference
+    (``use_running_stats``), matching the reference's ``eval()`` behavior.
+    Returns the model."""
     if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
         import torch
         source = torch.load(source, map_location="cpu", weights_only=True)
@@ -379,11 +399,13 @@ def load_torch_weights(model, source, strict: bool = True):
             raise ValueError("model does not track batch_stats but the "
                              "state_dict contains BatchNorm running stats")
         model.state = stats
+        model.use_running_stats = True
     return model
 
 
-def jax_tree_to_mutable(tree):
-    """Deep-copy a nested param mapping into plain mutable dicts."""
+def _tree_copy(tree):
+    """Copy the dict spine of a nested param mapping into plain mutable
+    dicts (array leaves are shared, not copied)."""
     if isinstance(tree, Mapping):
-        return {k: jax_tree_to_mutable(v) for k, v in tree.items()}
+        return {k: _tree_copy(v) for k, v in tree.items()}
     return tree

@@ -72,6 +72,10 @@ class VED(baseVAE):
         dec_vars = self.decoder_net.init(self.next_rng(), z0)
         self.params = {"encoder_z": enc_vars["params"], "decoder": dec_vars["params"]}
         self.state = {}
+        # False = stateless batchnorm (batch statistics at train AND eval);
+        # torch-weight import flips this to normalize with the imported
+        # running averages at inference (interop.load_torch_weights).
+        self.use_running_stats = False
         for name, v in (("encoder_z", enc_vars), ("decoder", dec_vars)):
             if "batch_stats" in v:
                 self.state[name] = v["batch_stats"]
@@ -82,26 +86,32 @@ class VED(baseVAE):
             return x[..., None]
         return x
 
+    def _apply_bn_net(self, net, top, variables, x, train):
+        """Batchnorm dispatch. Default is stateless batchnorm: normalize
+        with the current batch's statistics (train=True) and discard the
+        running-average update — no mutable state threads through the
+        jitted epoch scan (docs/DEVIATIONS.md). When running statistics
+        were installed (torch-weight import sets ``use_running_stats``),
+        inference normalizes with them instead, matching the reference's
+        ``eval()`` forward."""
+        variables["batch_stats"] = self.state[top]
+        if not train and getattr(self, "use_running_stats", False):
+            return net.apply(variables, x, False)
+        out, _ = net.apply(variables, x, True, mutable=["batch_stats"])
+        return out
+
     def _apply_encoder(self, params, x, train=False):
         variables = {"params": params["encoder_z"]}
         if self.batchnorm:
-            # Stateless batchnorm: always normalize with the current batch's
-            # statistics (train=True) and discard the running-average update.
-            # See docs/DEVIATIONS.md — no mutable state threads through the
-            # jitted epoch scan.
-            variables["batch_stats"] = self.state["encoder_z"]
-            out, _ = self.encoder_net.apply(
-                variables, x, True, mutable=["batch_stats"])
-            return out
+            return self._apply_bn_net(self.encoder_net, "encoder_z",
+                                      variables, x, train)
         return self.encoder_net.apply(variables, x, train)
 
     def _apply_decoder(self, params, z, train=False):
         variables = {"params": params["decoder"]}
         if self.batchnorm:
-            variables["batch_stats"] = self.state["decoder"]
-            out, _ = self.decoder_net.apply(
-                variables, z, True, mutable=["batch_stats"])
-            return out
+            return self._apply_bn_net(self.decoder_net, "decoder",
+                                      variables, z, train)
         return self.decoder_net.apply(variables, z, train)
 
     # ------------------------------------------------------------------

@@ -230,7 +230,7 @@ def _assert_tree_equal(a, b, path=""):
                           hidden_dim_e=((16,), (32, 32)),
                           hidden_dim_d=((32,), (16, 16))),
     lambda: pv.models.VED((8, 8, 8), (16,), latent_dim=2,
-                          hidden_dim_e=((8,), (16,))),
+                          hidden_dim_e=((8,), (16, 16))),
 ])
 def test_round_trip(make):
     model = make()
@@ -238,6 +238,17 @@ def test_round_trip(make):
     params, stats = interop.torch_to_params(model, sd)
     _assert_tree_equal(model.params, params)
     assert stats == {}
+
+
+def test_quirk_pool_config_rejected():
+    """Configs where the reference's conv-counted maxpool placement
+    diverges from block-counted placement (last block with a single conv)
+    are untrainable in the reference; interop must refuse them rather than
+    emit a self-inconsistent mapping."""
+    model = pv.models.VED((8, 8), (16,), latent_dim=2,
+                          hidden_dim_e=((8,), (16,)))
+    with pytest.raises(ValueError, match="maxpool"):
+        interop.params_to_torch(model)
 
 
 def test_round_trip_batchnorm_ved():
@@ -249,6 +260,89 @@ def test_round_trip_batchnorm_ved():
     params, stats = interop.torch_to_params(model, sd)
     _assert_tree_equal(model.params, params)
     assert "encoder_z" in stats and "decoder" in stats
+
+
+class TorchBNVED(tnn.Module):
+    """Reference-shaped VED with batchnorm: encoder filters ((8,), (16, 16))
+    on 8x8 input, decoder filters ((16, 16), (8,)) to a 16-point spectrum."""
+
+    def __init__(self):
+        super().__init__()
+        lr = tnn.LeakyReLU
+        self.encoder_z = tnn.Module()
+        self.encoder_z.feature_extractor = tnn.Module()
+        self.encoder_z.feature_extractor.layers = tnn.Sequential(
+            tnn.Conv2d(1, 8, 3, 1, 1), lr(), tnn.BatchNorm2d(8),
+            tnn.MaxPool2d(2, 2),
+            tnn.Conv2d(8, 16, 3, 1, 1), lr(), tnn.BatchNorm2d(16),
+            tnn.Conv2d(16, 16, 3, 1, 1), lr(), tnn.BatchNorm2d(16),
+        )
+        self.encoder_z.features2latent = tnn.Module()
+        self.encoder_z.features2latent.fc_latent = tnn.Linear(16 * 4 * 4, 4)
+        self.decoder = tnn.Module()
+        self.decoder.latent2features = tnn.Module()
+        self.decoder.latent2features.fc = tnn.Linear(2, 16 * 4)
+        self.decoder.upsampler = tnn.Module()
+        self.decoder.upsampler.layers = tnn.Sequential(
+            tnn.Conv1d(16, 16, 3, 1, 1), lr(), tnn.BatchNorm1d(16),
+            tnn.Conv1d(16, 16, 3, 1, 1), lr(), tnn.BatchNorm1d(16),
+            TorchUpBlock1d(16),
+            tnn.Conv1d(16, 8, 3, 1, 1), lr(), tnn.BatchNorm1d(8),
+            TorchUpBlock1d(8),
+            tnn.Conv1d(8, 1, 1, 1, 0),
+        )
+
+    def encode(self, x):
+        f = self.encoder_z.feature_extractor.layers(x)
+        enc = self.encoder_z.features2latent.fc_latent(f.reshape(f.shape[0], -1))
+        mu, sig = enc.split(2, 1)
+        return mu, F.softplus(sig)
+
+    def decode(self, z):
+        x = self.decoder.latent2features.fc(z).reshape(z.shape[0], 16, 4)
+        return torch.sigmoid(self.decoder.upsampler.layers(x))
+
+
+def test_batchnorm_running_stats_forward_parity():
+    """Imported BatchNorm running statistics must drive inference: compare
+    against the torch model in eval() mode after its stats have drifted
+    from their init via a few train-mode forwards."""
+    torch.manual_seed(6)
+    tm = TorchBNVED()
+    rng = np.random.default_rng(2)
+    tm.train()
+    for _ in range(3):  # accumulate nontrivial running stats
+        tm.encode(torch.from_numpy(rng.random((16, 1, 8, 8), np.float32).copy()))
+        tm.decode(torch.from_numpy(rng.normal(size=(16, 2)).astype(np.float32)))
+    tm.eval()
+
+    model = pv.models.VED((8, 8), (16,), latent_dim=2, batchnorm=True,
+                          hidden_dim_e=((8,), (16, 16)),
+                          hidden_dim_d=((16, 16), (8,)))
+    model.load_torch_weights(tm.state_dict())
+    assert model.use_running_stats
+
+    x = rng.random((5, 8, 8), np.float32)
+    with torch.no_grad():
+        mu_t, sig_t = tm.encode(torch.from_numpy(x).unsqueeze(1))
+    z_loc, z_scale = model.encode(x)
+    np.testing.assert_allclose(np.asarray(z_loc), _np(mu_t), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_scale), _np(sig_t), rtol=1e-4, atol=1e-4)
+
+    z = rng.normal(size=(4, 2)).astype(np.float32)
+    with torch.no_grad():
+        dec_t = tm.decode(torch.from_numpy(z))[:, 0, :]
+    dec = model.decode(z)
+    np.testing.assert_allclose(np.asarray(dec), _np(dec_t), rtol=1e-4, atol=1e-4)
+
+
+def test_batchnorm_stats_shape_mismatch_raises():
+    model = pv.models.VED((8, 8), (16,), latent_dim=2, batchnorm=True)
+    sd = interop.params_to_torch(model)
+    key = next(k for k in sd if k.endswith("running_mean"))
+    sd[key] = np.zeros(7, np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        interop.torch_to_params(model, sd)
 
 
 # ---------------------------------------------------------------------------
