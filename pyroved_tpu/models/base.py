@@ -124,6 +124,34 @@ class baseVAE:
             sc = jnp.ones(batch_shape, z.dtype)
         return phi, dx, sc, z
 
+    def _embed_latent_plane(self, z: Array, latent_dim: int,
+                            which_dims=None, z_fixed=None) -> Array:
+        """Embed 2-D latent-grid points ``z [n, 2]`` into the model's
+        ``latent_dim``-D content space for ``manifold2d``.
+
+        The reference only supports ``latent_dim == 2`` (``manifold2d``
+        crashes otherwise, ``ivae.py:277-310``); this extension sweeps the
+        plane over ``which_dims`` (default the first two) with the
+        remaining dimensions pinned to ``z_fixed`` (default zeros)."""
+        if latent_dim == 2 and which_dims is None and z_fixed is None:
+            return z
+        wd = tuple(int(w) for w in (which_dims if which_dims is not None
+                                    else (0, 1)))
+        if (len(wd) != 2 or wd[0] == wd[1]
+                or not all(0 <= w < latent_dim for w in wd)):
+            raise ValueError(
+                f"which_dims must be two distinct indices < {latent_dim}, "
+                f"got {wd}")
+        if z_fixed is None:
+            base = jnp.zeros((latent_dim,), jnp.float32)
+        else:
+            base = self._as_f32(z_fixed).reshape(-1)
+            if base.shape[0] != latent_dim:
+                raise ValueError(
+                    f"z_fixed must have length {latent_dim}, got {base.shape[0]}")
+        full = jnp.broadcast_to(base, (z.shape[0], latent_dim))
+        return full.at[:, wd[0]].set(z[:, 0]).at[:, wd[1]].set(z[:, 1])
+
     def transformed_grid(self, z: Array) -> Tuple[Optional[Array], Array]:
         """Apply the latent-derived affine transform to the coordinate grid.
 

@@ -251,8 +251,12 @@ class iVAE(baseVAE):
 
     def manifold2d(self, d: int, y=None, plot: bool = True, **kwargs) -> Array:
         """Decode a d x d grid over the 2-D latent plane
-        (reference: ``ivae.py:277-310``)."""
+        (reference: ``ivae.py:277-310``). For ``latent_dim > 2`` pass
+        ``which_dims=(i, j)`` (and optionally ``z_fixed``) to pick the
+        swept plane — an extension; the reference crashes there."""
+        which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        z = self._embed_latent_plane(z, self.latent_dim, which, zfix)
         if self.c_dim > 0:
             if y is None:
                 raise ValueError("To generate a manifold pass a conditional vector y")

@@ -224,8 +224,11 @@ class jiVAE(baseVAE):
 
     def manifold2d(self, d: int, disc_idx: int = 0, plot: bool = True, **kwargs) -> Array:
         """Continuous-latent manifold for one discrete class
-        (reference: ``jivae.py:268-294``)."""
+        (reference: ``jivae.py:268-294``). ``which_dims``/``z_fixed``
+        select the swept plane when ``latent_dim > 2``."""
+        which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        z = self._embed_latent_plane(z, self.latent_dim, which, zfix)
         z_disc = to_onehot(jnp.asarray([disc_idx]), self.discrete_dim)
         z_disc = jnp.broadcast_to(z_disc, (z.shape[0], self.discrete_dim))
         loc = self.decode(z, z_disc, **kwargs)

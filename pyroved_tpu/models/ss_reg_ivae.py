@@ -223,8 +223,11 @@ class ss_reg_iVAE(baseVAE):
 
     def manifold2d(self, d: int, y, plot: bool = True, **kwargs) -> Array:
         """Latent manifold conditioned on a continuous vector y
-        (reference: ``ss_reg_ivae.py:749-776``)."""
+        (reference: ``ss_reg_ivae.py:749-776``). ``which_dims``/``z_fixed``
+        select the swept plane when ``latent_dim > 2``."""
+        which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        z = self._embed_latent_plane(z, self.latent_dim, which, zfix)
         y = self._as_f32(y)
         y = y[None] if y.ndim < 2 else y
         y = jnp.broadcast_to(y, (z.shape[0],) + y.shape[1:])

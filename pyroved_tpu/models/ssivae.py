@@ -264,8 +264,11 @@ class ssiVAE(baseVAE):
 
     def manifold2d(self, d: int, plot: bool = True, **kwargs) -> Array:
         """Latent manifold for a class picked via ``label`` kwarg
-        (reference: ``ssivae.py:651-679``)."""
+        (reference: ``ssivae.py:651-679``). ``which_dims``/``z_fixed``
+        select the swept plane when ``latent_dim > 2``."""
+        which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        z = self._embed_latent_plane(z, self.latent_dim, which, zfix)
         cls = jnp.asarray(kwargs.get("label", 0))
         if cls.ndim < 2:
             cls = to_onehot(cls.reshape(1), self.num_classes)

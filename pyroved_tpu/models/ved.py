@@ -181,8 +181,11 @@ class VED(baseVAE):
 
     def manifold2d(self, d: int, plot: bool = True, **kwargs) -> Array:
         """Decoded manifold over the 2-D latent plane
-        (reference: ``ved.py:218-243``)."""
+        (reference: ``ved.py:218-243``). ``which_dims``/``z_fixed``
+        select the swept plane when ``latent_dim > 2``."""
+        which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
+        z = self._embed_latent_plane(z, self.z_dim, which, zfix)
         loc = self.decode(z)
         if plot:
             from ..utils import viz

@@ -121,6 +121,37 @@ def test_manifold2d_shapes():
     assert loc.shape == (9,) + DATA_2D
 
 
+def test_manifold2d_high_latent_dim():
+    """latent_dim > 2 sweeps a selected plane (extension; the reference
+    crashes for any latent_dim != 2)."""
+    m = iVAE(DATA_2D, latent_dim=4, invariances=["r"])
+    loc = m.manifold2d(3, plot=False)  # default plane (0, 1), rest at 0
+    assert loc.shape == (9,) + DATA_2D
+    loc2 = m.manifold2d(3, plot=False, which_dims=(2, 3))
+    assert loc2.shape == (9,) + DATA_2D
+    assert not np.allclose(np.asarray(loc), np.asarray(loc2))
+    zf = np.asarray([0.0, 0.0, 1.5, -1.5], np.float32)
+    loc3 = m.manifold2d(3, plot=False, z_fixed=zf)
+    assert not np.allclose(np.asarray(loc), np.asarray(loc3))
+    with pytest.raises(ValueError):
+        m.manifold2d(3, plot=False, which_dims=(0, 9))
+    with pytest.raises(ValueError):
+        m.manifold2d(3, plot=False, z_fixed=np.zeros(3, np.float32))
+
+
+def test_manifold2d_high_latent_dim_other_models():
+    from pyroved_tpu.models import VED, jiVAE, ss_reg_iVAE, ssiVAE
+    j = jiVAE(DATA_2D, latent_dim=3, discrete_dim=3, invariances=["t"])
+    assert j.manifold2d(2, plot=False, which_dims=(0, 2)).shape == (4,) + DATA_2D
+    s = ssiVAE(DATA_2D, latent_dim=3, num_classes=3)
+    assert s.manifold2d(2, plot=False, which_dims=(1, 2)).shape == (4,) + DATA_2D
+    r = ss_reg_iVAE(DATA_2D, latent_dim=3, reg_dim=1)
+    assert r.manifold2d(2, np.zeros(1, np.float32),
+                        plot=False).shape == (4,) + DATA_2D
+    v = VED(DATA_2D, (16,), latent_dim=3)
+    assert v.manifold2d(2, plot=False, which_dims=(0, 2)).shape == (4, 16)
+
+
 def test_manifold2d_conditional_requires_y():
     m = iVAE(DATA_2D, latent_dim=2, invariances=None, c_dim=4)
     with pytest.raises(ValueError):
