@@ -36,6 +36,13 @@ def _conv(ndim: int, features: int, kernel_size=3, strides=1, name=None):
 
 
 def _max_pool(x: Array, ndim: int) -> Array:
+    # Keep the stock reduce_window / select-and-scatter pair: two measured
+    # alternatives LOSE on TPU (docs/PERFORMANCE.md kernel-experiments
+    # table) — reshape+max (JAX's tie-splitting reduce_max VJP adds
+    # count/divide passes, 66.5 -> 52.5 steps/s on the VED stretch config)
+    # and a custom compare+where mask backward (the 2x upsample broadcasts
+    # materialize as full-tensor copies across tiled-layout reshapes,
+    # 66.5 -> 61.7).
     return nn.max_pool(x, window_shape=(2,) * ndim, strides=(2,) * ndim)
 
 
