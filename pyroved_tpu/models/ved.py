@@ -51,13 +51,23 @@ class VED(baseVAE):
         self.batchnorm = bool(batchnorm)
         self.kl_mode = kwargs.get("kl", "mc")
         self.num_particles = int(kwargs.get("num_particles", 1))
+        # Opt-in mixed precision for the conv towers: params and the
+        # latent/observation heads stay f32; conv activations run in
+        # bfloat16, halving the HBM traffic that bounds large spatial
+        # configs (the 256x256 step is elementwise-bandwidth-bound, not
+        # conv-FLOP-bound — docs/PERFORMANCE.md).
+        cd = kwargs.get("compute_dtype", "float32")
+        if cd not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be float32 or bfloat16, got {cd!r}")
+        self.compute_dtype = cd
+        dtype = jnp.bfloat16 if cd == "bfloat16" else jnp.float32
 
         self.encoder_net = convEncoderNet(
             self.input_dim, latent_dim, hidden_dim_e, batchnorm, activation,
-            softplus_out=True)
+            softplus_out=True, dtype=dtype)
         self.decoder_net = convDecoderNet(
             self.output_dim, latent_dim, output_channels, hidden_dim_d,
-            batchnorm, activation, sigmoid_out=sigmoid_d)
+            batchnorm, activation, sigmoid_out=sigmoid_d, dtype=dtype)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._init_params()

@@ -24,13 +24,15 @@ _torch_conv_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform")  # == torch kaiming_uniform(a=sqrt(5))
 
 
-def _conv(ndim: int, features: int, kernel_size=3, strides=1, name=None):
+def _conv(ndim: int, features: int, kernel_size=3, strides=1, name=None,
+          dtype=jnp.float32):
     return nn.Conv(
         features=features,
         kernel_size=(kernel_size,) * ndim,
         strides=(strides,) * ndim,
         padding="SAME",
         kernel_init=_torch_conv_kernel_init,
+        dtype=dtype,
         name=name,
     )
 
@@ -62,6 +64,7 @@ class UpsampleBlock(nn.Module):
     output_channels: int
     scale_factor: int = 2
     mode: str = "bilinear"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -71,7 +74,8 @@ class UpsampleBlock(nn.Module):
         method = "linear" if mode == "bilinear" else "nearest"
         spatial = tuple(s * self.scale_factor for s in x.shape[1:-1])
         x = jax.image.resize(x, (x.shape[0],) + spatial + (x.shape[-1],), method=method)
-        return _conv(self.ndim, self.output_channels, kernel_size=1)(x)
+        return _conv(self.ndim, self.output_channels, kernel_size=1,
+                     dtype=self.dtype)(x)
 
 
 class FeatureExtractor(nn.Module):
@@ -83,19 +87,22 @@ class FeatureExtractor(nn.Module):
     batchnorm: bool = False
     activation: str = "lrelu"
     pool_last: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         act = get_activation(self.activation)
         filters = _default_enc_filters(self.conv_filters)
         n_blocks = len(filters)
+        x = x.astype(self.dtype)
         for i, block in enumerate(filters):
             for ch in block:
-                x = _conv(self.ndim, ch)(x)
+                x = _conv(self.ndim, ch, dtype=self.dtype)(x)
                 if act is not None:
                     x = act(x)
                 if self.batchnorm:
-                    x = nn.BatchNorm(use_running_average=not train)(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     dtype=self.dtype)(x)
             if i + 1 < n_blocks or self.pool_last:
                 x = _max_pool(x, self.ndim)
         return x
@@ -111,21 +118,26 @@ class Upsampler(nn.Module):
     batchnorm: bool = False
     activation: str = "lrelu"
     upsampling_mode: str = "bilinear"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         act = get_activation(self.activation)
         filters = _default_dec_filters(self.conv_filters)
         ch = None
+        x = x.astype(self.dtype)
         for block in filters:
             for ch in block:
-                x = _conv(self.ndim, ch)(x)
+                x = _conv(self.ndim, ch, dtype=self.dtype)(x)
                 if act is not None:
                     x = act(x)
                 if self.batchnorm:
-                    x = nn.BatchNorm(use_running_average=not train)(x)
-            x = UpsampleBlock(self.ndim, ch, mode=self.upsampling_mode)(x)
-        return _conv(self.ndim, self.output_channels, kernel_size=1)(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     dtype=self.dtype)(x)
+            x = UpsampleBlock(self.ndim, ch, mode=self.upsampling_mode,
+                              dtype=self.dtype)(x)
+        return _conv(self.ndim, self.output_channels, kernel_size=1,
+                     dtype=self.dtype)(x)
 
 
 class convEncoderNet(nn.Module):
@@ -138,13 +150,16 @@ class convEncoderNet(nn.Module):
     activation: str = "lrelu"
     softplus_out: bool = True
     pool_last: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
         filters = _default_enc_filters(self.hidden_dim)
         x = FeatureExtractor(len(self.input_dim), filters, self.batchnorm,
-                             self.activation, self.pool_last)(x, train)
-        x = x.reshape(x.shape[0], -1)
+                             self.activation, self.pool_last,
+                             dtype=self.dtype)(x, train)
+        # latent heads stay f32 regardless of the tower's compute dtype
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         enc = Dense(2 * self.latent_dim, name="features2latent")(x)
         mu, sigma = jnp.split(enc, 2, axis=-1)
         if self.softplus_out:
@@ -163,6 +178,7 @@ class convDecoderNet(nn.Module):
     activation: str = "lrelu"
     sigmoid_out: bool = True
     upsampling_mode: str = "bilinear"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
@@ -172,5 +188,8 @@ class convDecoderNet(nn.Module):
         x = Dense(int(np.prod(in_spatial)) * ch0, name="latent2features")(z)
         x = x.reshape((z.shape[0],) + in_spatial + (ch0,))
         x = Upsampler(len(self.output_dim), filters, self.output_channels,
-                      self.batchnorm, self.activation, self.upsampling_mode)(x, train)
+                      self.batchnorm, self.activation, self.upsampling_mode,
+                      dtype=self.dtype)(x, train)
+        # the observation head is scored in f32 regardless of compute dtype
+        x = x.astype(jnp.float32)
         return jax.nn.sigmoid(x) if self.sigmoid_out else x
