@@ -109,7 +109,17 @@ class VEDConfig:
     seed: int = 1
     decoder_sig: float = 0.5
     kl: str = "mc"
+    compute_dtype: str = "float32"
     extra: Optional[dict] = None
+
+    def __post_init__(self):
+        _validate_choice("activation", self.activation,
+                         ("relu", "lrelu", "tanh", "softplus", "gelu"))
+        _validate_choice("sampler_d", self.sampler_d,
+                         ("bernoulli", "continuous_bernoulli", "gaussian"))
+        _validate_choice("kl", self.kl, ("mc", "analytic"))
+        _validate_choice("compute_dtype", self.compute_dtype,
+                         ("float32", "bfloat16"))
 
     def build(self) -> "models.VED":
         return models.VED(**_clean(self))

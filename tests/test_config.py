@@ -51,3 +51,12 @@ def test_ved_config_channels():
                   output_channels=3, hidden_dim_e=((4,), (8,)),
                   hidden_dim_d=((8,), (4,))).build()
     assert m.input_channels == 2 and m.output_channels == 3
+
+
+def test_ved_config_compute_dtype():
+    m = VEDConfig(input_dim=(16, 16), output_dim=(32,),
+                  hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)),
+                  compute_dtype="bfloat16").build()
+    assert m.compute_dtype == "bfloat16"
+    with pytest.raises(ValueError):
+        VEDConfig(input_dim=(16, 16), output_dim=(32,), compute_dtype="fp8")
