@@ -456,16 +456,23 @@ def _bwd(act, sigmoid_out, res, g):
             dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
 
 
-# Forward routing: XLA's own fusion BEATS the handwritten forward kernel for
-# small pixel counts (measured with the scan harness at B=200, N=784:
-# XLA 95 us vs Pallas 170 us — at this size every intermediate fits XLA's
-# fusion windows), while the VMEM-resident kernel wins once the [B, N, H]
-# activation traffic dominates (N=65536, B=32: Pallas 1.69 ms vs XLA
-# 2.02 ms). The custom Pallas BACKWARD always wins (~1.6-2.8x XLA autodiff)
-# because it rematerializes tiles instead of saving activations to HBM. So
-# the VJP routes the forward by element count and keeps the Pallas backward
-# unconditionally. Crossover set between the two measured points.
-XLA_FWD_MAX_BN = 1 << 19  # use the XLA forward when B * N <= this
+# Forward routing: XLA's own fusion BEATS the handwritten forward kernel
+# below ~0.5M decode elements (B=200, N=784: XLA 95 us vs Pallas 170 us),
+# while the VMEM-resident kernel wins above it ONLY when its tile padding
+# is small — measured sweep (scan harness, us/step):
+#   B*N=262k pad=1.0: XLA 188  / Pallas 220      -> XLA
+#   B*N=512k pad=1.0: XLA 475-490 / Pallas 438   -> Pallas
+#   B*N=784k pad=1.31 (N=784): XLA 691 / Pallas 854   -> XLA
+#   B*N=1.57M pad=1.31 (N=784): XLA 1438 / Pallas 1707 -> XLA
+#   B*N=2.1M pad=1.0 (N=65536): XLA 1997 / Pallas 1747 -> Pallas
+# i.e. the kernel's cost tracks PADDED elements (~0.83 us/k) while XLA's
+# tracks real elements (~0.9 us/k at size) — so Pallas pays off only when
+# round_up(B,B_T)*round_up(N,n_t) stays within ~10% of B*N. The custom
+# Pallas BACKWARD always wins (~1.6-2.8x XLA autodiff) because it
+# rematerializes tiles instead of saving activations to HBM, so the VJP
+# routes only the forward and keeps the Pallas backward unconditionally.
+XLA_FWD_MAX_BN = 1 << 19   # Pallas fwd needs more than this many REAL elements
+PALLAS_FWD_MAX_PAD = 1.1   # ... and at most ~10% tile-padding overhead
 
 
 def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
@@ -491,7 +498,10 @@ def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
 
 def _forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
              act, sigmoid_out):
-    if z.shape[0] * grid.shape[0] <= XLA_FWD_MAX_BN:
+    B, N = z.shape[0], grid.shape[0]
+    n_t = _pixel_tile(Wc.shape[1])
+    padded = _round_up(B, B_T) * _round_up(N, n_t)
+    if B * N <= XLA_FWD_MAX_BN or padded > PALLAS_FWD_MAX_PAD * B * N:
         return _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout,
                             bout, act, sigmoid_out)
     return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,

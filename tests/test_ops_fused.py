@@ -25,9 +25,11 @@ def interpret_mode(monkeypatch):
     # bit-level comparison against the f32 XLA reference
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
     monkeypatch.setattr(sd, "ACT_DTYPE", jnp.float32)
-    # force the PALLAS forward (the size-based router would send these small
-    # test shapes to the XLA forward, leaving the kernel untested)
+    # force the PALLAS forward (the size- and padding-based router would
+    # send these small test shapes to the XLA forward, leaving the kernel
+    # untested)
     monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 0)
+    monkeypatch.setattr(sd, "PALLAS_FWD_MAX_PAD", float("inf"))
 
 
 def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0):
@@ -297,6 +299,36 @@ def test_approx_tanh_training_loss_close():
     assert abs(l_approx - l_exact) / abs(l_exact) < 1e-3
 
 
+def test_forward_routing_by_padding(monkeypatch):
+    """Shapes with heavy tile padding route to the XLA forward even above
+    the element-count crossover (measured: N=784 pads 31% and loses at any
+    batch), while pad-free shapes above it go to the Pallas kernel."""
+    # undo the module fixture's forced-Pallas routing
+    monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 1 << 19)
+    monkeypatch.setattr(sd, "PALLAS_FWD_MAX_PAD", 1.1)
+    calls = []
+    real_xla, real_fwd = sd._xla_forward, sd._fwd
+    monkeypatch.setattr(sd, "_xla_forward",
+                        lambda *a, **k: (calls.append("xla"), real_xla(*a, **k))[1])
+    monkeypatch.setattr(sd, "_fwd",
+                        lambda *a, **k: (calls.append("pallas"), real_fwd(*a, **k))[1])
+    grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout = _make(2, B=8, N=300)
+
+    def fwd(B, N):
+        rng = np.random.default_rng(0)
+        sd._forward(jnp.asarray(rng.normal(size=(N, 2)), jnp.float32),
+                    jnp.zeros(B), jnp.zeros((B, 2)), jnp.ones(B),
+                    jnp.asarray(rng.normal(size=(B, 4)), jnp.float32),
+                    Wc, bc, Wz, hw, hb, wout, bout, "tanh", True)
+
+    fwd(1000, 784)     # 784k real elements but 31% padding -> XLA
+    assert calls[-1] == "xla"
+    fwd(64, 16384)     # 1.05M elements, pad-free -> Pallas
+    assert calls[-1] == "pallas"
+    fwd(200, 784)      # below the crossover -> XLA
+    assert calls[-1] == "xla"
+
+
 def test_forward_routing_by_size(monkeypatch):
     """Below the crossover the VJP forward is the XLA path (bitwise equal to
     the generalized reference); above it the Pallas kernel runs. Gradients
@@ -308,6 +340,7 @@ def test_forward_routing_by_size(monkeypatch):
         np.asarray(out_xla_routed),
         np.asarray(sd._xla_forward(*args, "tanh", True)))
     monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 0)
+    monkeypatch.setattr(sd, "PALLAS_FWD_MAX_PAD", float("inf"))
     out_pallas = sd.fused_spatial_decoder(*args)
     np.testing.assert_allclose(np.asarray(out_pallas),
                                np.asarray(out_xla_routed), atol=1e-5)
