@@ -299,6 +299,33 @@ def test_approx_tanh_training_loss_close():
     assert abs(l_approx - l_exact) / abs(l_exact) < 1e-3
 
 
+def test_select_tiles():
+    """Tile selection minimizes padded work within the VMEM row budget."""
+    # flagship: B_T=40 divides B=200 exactly; pixels pad 784 -> 896
+    assert sd._select_tiles(200, 784, 128, 2) == (40, 128)
+    # large pad-free shapes keep the wide-tile shape
+    assert sd._select_tiles(32, 65536, 128, 2) == (8, 512)
+    # enumerated ssiVAE batch: 40 | 1000
+    assert sd._select_tiles(1000, 784, 128, 2) == (40, 128)
+    # wider hidden stacks shrink the row budget
+    bt, nt = sd._select_tiles(200, 784, 256, 2)
+    assert bt * nt <= sd._VMEM_BUDGET // (6 * 256 * 4)
+    # deeper stacks shrink it further
+    bt2, nt2 = sd._select_tiles(200, 784, 128, 6)
+    assert bt2 * nt2 <= sd._VMEM_BUDGET // (10 * 128 * 4)
+    # every choice respects alignment
+    for B, N, H, L in [(5, 300, 128, 2), (7, 65, 64, 1), (513, 4097, 384, 3)]:
+        bt, nt = sd._select_tiles(B, N, H, L)
+        assert bt % 8 == 0 and nt % 128 == 0
+
+
+def test_select_tiles_override(monkeypatch):
+    monkeypatch.setattr(sd, "B_T", 16)
+    monkeypatch.setattr(sd, "N_T", 256)
+    assert sd._select_tiles(200, 784, 128, 2) == (16, 256)
+    assert sd._select_tiles(200, 784, 256, 2) == (16, 128)  # scaled by H
+
+
 def test_forward_routing_by_padding(monkeypatch):
     """Shapes with heavy tile padding route to the XLA forward even above
     the element-count crossover (measured: N=784 pads 31% and loses at any
