@@ -136,8 +136,10 @@ class Upsampler(nn.Module):
                                      dtype=self.dtype)(x)
             x = UpsampleBlock(self.ndim, ch, mode=self.upsampling_mode,
                               dtype=self.dtype)(x)
+        # the final output conv is the observation head: keep it f32 even
+        # under a bf16 compute dtype (its input is promoted by flax)
         return _conv(self.ndim, self.output_channels, kernel_size=1,
-                     dtype=self.dtype)(x)
+                     dtype=jnp.float32)(x)
 
 
 class convEncoderNet(nn.Module):
@@ -190,6 +192,6 @@ class convDecoderNet(nn.Module):
         x = Upsampler(len(self.output_dim), filters, self.output_channels,
                       self.batchnorm, self.activation, self.upsampling_mode,
                       dtype=self.dtype)(x, train)
-        # the observation head is scored in f32 regardless of compute dtype
-        x = x.astype(jnp.float32)
+        # Upsampler's final output conv already runs f32 (the observation
+        # head stays full precision under a bf16 compute dtype)
         return jax.nn.sigmoid(x) if self.sigmoid_out else x

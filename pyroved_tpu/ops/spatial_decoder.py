@@ -69,7 +69,10 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
     """Choose (B_T, n_t): B_T a multiple of 8 (f32 sublane), n_t a multiple
     of 128 (lanes), minimizing padded work; ties prefer more rows per tile
     (fewer grid steps), then wider pixel tiles (longer contiguous DMAs)."""
-    if B_T is not None and N_T is not None:
+    if (B_T is None) != (N_T is None):
+        raise ValueError("set BOTH B_T and N_T to override tile selection "
+                         "(or neither for the automatic choice)")
+    if B_T is not None:
         return B_T, max(128, (N_T * 128) // int(H))
     Hp = _round_up(int(H), 128)
     rows_max = max(1024, _VMEM_BUDGET // ((int(n_layers) + 4) * Hp * 4))
@@ -223,14 +226,14 @@ def _pad_rows(x: Array, rows: int) -> Array:
 
 
 def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
-         act="tanh", sigmoid_out=True):
+         act="tanh", sigmoid_out=True, tiles=None):
     """Padded pallas_call wrapper. grid [N,D], phi/sc [B], dx [B,D], z [B,L];
     hw [L_layers,H,H], hb [L_layers,H], wout [H,1], bout scalar."""
     B, N = z.shape[0], grid.shape[0]
     D = grid.shape[1]
     H = Wc.shape[1]
     n_layers = hw.shape[0]
-    b_t, n_t = _select_tiles(B, N, H, n_layers)
+    b_t, n_t = tiles or _select_tiles(B, N, H, n_layers)
     Bp, Np = _round_up(B, b_t), _round_up(N, n_t)
 
     grid_p = _pad_rows(grid, Np)
@@ -500,7 +503,8 @@ def _bwd(act, sigmoid_out, res, g):
 # Pallas BACKWARD always wins (~1.6-2.8x XLA autodiff) because it
 # rematerializes tiles instead of saving activations to HBM, so the VJP
 # routes only the forward and keeps the Pallas backward unconditionally.
-XLA_FWD_MAX_BN = 1 << 19   # Pallas fwd needs more than this many REAL elements
+XLA_FWD_MAX_BN = 1 << 19   # Pallas fwd needs at least this many REAL elements
+                           # (512k itself measured Pallas-faster: 438 vs 475 us)
 PALLAS_FWD_MAX_PAD = 1.1   # ... and at most ~10% tile-padding overhead
 
 
@@ -528,13 +532,13 @@ def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
 def _forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
              act, sigmoid_out):
     B, N = z.shape[0], grid.shape[0]
-    b_t, n_t = _select_tiles(B, N, Wc.shape[1], hw.shape[0])
-    padded = _round_up(B, b_t) * _round_up(N, n_t)
-    if B * N <= XLA_FWD_MAX_BN or padded > PALLAS_FWD_MAX_PAD * B * N:
+    tiles = _select_tiles(B, N, Wc.shape[1], hw.shape[0])
+    padded = _round_up(B, tiles[0]) * _round_up(N, tiles[1])
+    if B * N < XLA_FWD_MAX_BN or padded > PALLAS_FWD_MAX_PAD * B * N:
         return _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout,
                             bout, act, sigmoid_out)
     return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
-                act, sigmoid_out)
+                act, sigmoid_out, tiles=tiles)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))

@@ -178,7 +178,7 @@ def test_ved_loss_and_predict(in_dim, out_dim):
 
 
 def test_ved_bf16_compute_mode():
-    """compute_dtype='bfloat16' runs the conv towers in bf16 (1.48x on the
+    """compute_dtype='bfloat16' runs the conv towers in bf16 (1.58x on the
     256x256 stretch config, measured on v5e) while params and the
     latent/obs heads stay f32; training must track the f32 run closely."""
     rng = np.random.default_rng(0)
