@@ -67,8 +67,13 @@ _VMEM_BUDGET = 16 * 1024 * 1024
 
 def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
     """Choose (B_T, n_t): B_T a multiple of 8 (f32 sublane), n_t a multiple
-    of 128 (lanes), minimizing padded work; ties prefer more rows per tile
-    (fewer grid steps), then wider pixel tiles (longer contiguous DMAs)."""
+    of 128 (lanes), minimizing modeled cost within the VMEM row budget.
+
+    Cost model fitted to the v5e backward sweep at B=200/N=784/H=128/nl=2
+    (us per 1k padded elements: 3.54 @ 1024 rows, 3.16 @ 2048, 2.87 @ 3072,
+    2.51 @ 5120): ``padded_elements * (rows + 512) / rows`` — padding is
+    wasted MACs, small tiles pay per-tile overhead. Ties prefer more rows,
+    then wider pixel tiles (longer contiguous DMAs)."""
     if (B_T is None) != (N_T is None):
         raise ValueError("set BOTH B_T and N_T to override tile selection "
                          "(or neither for the automatic choice)")
@@ -79,10 +84,11 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
     best = None
     for n_t in range(128, 1025, 128):
         for bt in range(8, 65, 8):
-            if bt * n_t > rows_max:
+            rows = bt * n_t
+            if rows > rows_max:
                 break
             padded = _round_up(B, bt) * _round_up(N, n_t)
-            key = (padded, -(bt * n_t), -n_t)
+            key = (padded * (rows + 512) / rows, -rows, -n_t)
             if best is None or key < best[0]:
                 best = (key, (bt, n_t))
     return best[1]

@@ -303,8 +303,9 @@ def test_select_tiles():
     """Tile selection minimizes padded work within the VMEM row budget."""
     # flagship: B_T=40 divides B=200 exactly; pixels pad 784 -> 896
     assert sd._select_tiles(200, 784, 128, 2) == (40, 128)
-    # large pad-free shapes keep the wide-tile shape
-    assert sd._select_tiles(32, 65536, 128, 2) == (8, 512)
+    # large N: max-row tile with 0.6% padding beats the exact (8,512)
+    # (measured: backward 5773 vs 6512 us at B=32, N=65536)
+    assert sd._select_tiles(32, 65536, 128, 2) == (8, 640)
     # enumerated ssiVAE batch: 40 | 1000
     assert sd._select_tiles(1000, 784, 128, 2) == (40, 128)
     # wider hidden stacks shrink the row budget
