@@ -61,25 +61,36 @@ class iVAE(baseVAE):
         self.z_dim = self.latent_dim + self.coord
         self.c_dim = int(c_dim)
         self.kl_mode = kwargs.get("kl", "mc")
+        # Multi-channel data: data_dim stays the SPATIAL shape (the
+        # coordinate grid runs over it); channels ride as a trailing axis
+        # ([B, *data_dim, C]). The reference's spatial decoder is
+        # single-channel only (TODO at its nets/fc.py:186); channels > 1 is
+        # an extension here.
+        self.channels = int(kwargs.get("channels", 1))
+        self.out_shape = self.data_dim + (
+            (self.channels,) if self.channels > 1 else ())
         # Pyro Trace_ELBO(num_particles=P) analog: average P reparameterized
         # ELBO estimates per example (all particles decode in one batched call)
         self.num_particles = int(kwargs.get("num_particles", 1))
         self.one_pass_train = bool(kwargs.get("one_pass_train", False))
 
         self.encoder_net = fcEncoderNet(
-            self.data_dim, self.z_dim, c_dim, hidden_dim_e, activation,
+            self.out_shape, self.z_dim, c_dim, hidden_dim_e, activation,
             softplus_out=True)
         # Spatial decoder whenever there are invariance coordinates
         # (reference picks sDecoderNet for 0 < coord < 5, ivae.py:150-154)
         if 0 < self.coord < 5:
             self.decoder_net = sDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d,
+                channels=self.channels)
         else:
             self.decoder_net = fcDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.out_shape, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
+        if self.channels > 1:
+            self._fused = False  # fused kernel head is single-channel
 
         self._init_params()
         self._encode_jit = None
@@ -87,7 +98,7 @@ class iVAE(baseVAE):
 
     # ------------------------------------------------------------------
     def _init_params(self) -> None:
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         x0 = jnp.zeros((1, flat), jnp.float32)
         y0 = jnp.zeros((1, self.c_dim), jnp.float32) if self.c_dim else None
         enc_vars = self.encoder_net.init(self.next_rng(), x0, y0)
@@ -238,7 +249,7 @@ class iVAE(baseVAE):
             z = jnp.concatenate([z, self._as_f32(y).reshape(z.shape[0], -1)], -1)
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_loc(z, coords, **kwargs)
-        return loc.reshape((z.shape[0],) + self.data_dim)
+        return loc.reshape((z.shape[0],) + self.out_shape)
 
     def reconstruct(self, x_new, y=None, **kwargs) -> Array:
         """Encode then decode: the model's reconstruction of the inputs at

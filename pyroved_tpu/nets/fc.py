@@ -156,7 +156,9 @@ class sDecoderNet(nn.Module):
     based on arXiv:1909.11663).
 
     ``coords`` is ``[..., N, coord_dim]``, ``z`` is ``[..., latent(+c)]``;
-    output is ``[..., N]`` (single channel, like the reference). The
+    output is ``[..., N]`` for ``channels == 1`` (like the reference) or
+    ``[..., N, C]`` for multi-channel data — the generalization the
+    reference left as a TODO (``nets/fc.py:186``: single-channel only). The
     coord/latent fusion is h = tanh(coords @ Wc + b + z @ Wz), computed as
     batched matmuls with a broadcast add — no [B*N] flattening loop.
     """
@@ -164,6 +166,7 @@ class sDecoderNet(nn.Module):
     hidden_dim: Optional[Sequence[int]] = None
     activation: str = "tanh"
     sigmoid_out: bool = True
+    channels: int = 1
 
     @nn.compact
     def __call__(self, coords: Array, z: Array) -> Array:
@@ -172,7 +175,9 @@ class sDecoderNet(nn.Module):
         h_z = Dense(hidden[0], use_bias=False, name="fc_latent")(z)  # [..., H]
         h = jnp.tanh(h_x + h_z[..., None, :])
         h = MLP(hidden, self.activation)(h)
-        x = Dense(1, name="out")(h)[..., 0]                        # [..., N]
+        x = Dense(self.channels, name="out")(h)                    # [..., N, C]
+        if self.channels == 1:
+            x = x[..., 0]                                          # [..., N]
         return jax.nn.sigmoid(x) if self.sigmoid_out else x
 
 

@@ -11,17 +11,20 @@ from .nn import as_numpy
 
 
 def make_img_grid(imgdata, nrow: int, padding: int = 2, pad_value: float = 0.0) -> np.ndarray:
-    """Tile a stack of single-channel images [N, H, W] into one 2-D canvas,
-    matching torchvision ``make_grid`` layout (row-major, ``padding`` pixels
-    of ``pad_value`` between tiles and around the border)."""
+    """Tile a stack of images [N, H, W] (or channels-last [N, H, W, C],
+    C in {3, 4} kept as RGB(A)) into one canvas, matching torchvision
+    ``make_grid`` layout (row-major, ``padding`` pixels of ``pad_value``
+    between tiles and around the border)."""
     imgs = as_numpy(imgdata)
-    if imgs.ndim == 4:  # [N, H, W, 1] or [N, 1, H, W]
+    if imgs.ndim == 4 and imgs.shape[-1] not in (3, 4):
+        # [N, H, W, 1] or [N, 1, H, W] -> single channel
         imgs = imgs[..., 0] if imgs.shape[-1] == 1 else imgs[:, 0]
-    n, h, w = imgs.shape
+    n, h, w = imgs.shape[:3]
+    chan = imgs.shape[3:]  # () or (C,)
     ncol = nrow
     nrows = -(-n // ncol)
     canvas = np.full(
-        (padding + nrows * (h + padding), padding + ncol * (w + padding)),
+        (padding + nrows * (h + padding), padding + ncol * (w + padding)) + chan,
         pad_value, imgs.dtype)
     for k in range(n):
         r, c = divmod(k, ncol)

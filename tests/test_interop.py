@@ -231,6 +231,8 @@ def _assert_tree_equal(a, b, path=""):
                           hidden_dim_d=((32,), (16, 16))),
     lambda: pv.models.VED((8, 8, 8), (16,), latent_dim=2,
                           hidden_dim_e=((8,), (16, 16))),
+    lambda: pv.models.iVAE((8, 8), latent_dim=2, invariances=["r"],
+                           channels=3),
 ])
 def test_round_trip(make):
     model = make()

@@ -152,6 +152,43 @@ def test_manifold2d_high_latent_dim_other_models():
     assert v.manifold2d(2, plot=False, which_dims=(0, 2)).shape == (4, 16)
 
 
+def test_multichannel_spatial_2d():
+    """channels>1 with invariances — the generalization the reference left
+    as a TODO (its sDecoderNet is single-channel, nets/fc.py:186)."""
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3)
+    assert not m._fused  # fused kernel head is single-channel
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (6,) + DATA_2D + (3,)).astype(np.float32)
+    loss = m.loss_fn(m.params, jax.random.PRNGKey(0), (jnp.asarray(x),),
+                     jnp.asarray(1.0))
+    assert loss.shape == (6,) and np.isfinite(np.asarray(loss)).all()
+    z_loc, z_scale = m.encode(x)
+    assert z_loc.shape == (6, 3)
+    dec = m.decode(np.zeros((4, 2), np.float32))
+    assert dec.shape == (4,) + DATA_2D + (3,)
+    man = m.manifold2d(3, plot=False)
+    assert man.shape == (9,) + DATA_2D + (3,)
+    rec = m.reconstruct(x)
+    assert rec.shape == x.shape
+    # short training run decreases the loss
+    import pyroved_tpu as pv
+    loader = pv.utils.init_dataloader(x.repeat(20, axis=0), batch_size=40)
+    tr = pv.trainers.SVItrainer(m)
+    tr.run(loader, 4)
+    lh = tr.loss_history["training_loss"]
+    assert lh[-1] < lh[0] and all(np.isfinite(v) for v in lh)
+
+
+def test_multichannel_spatial_1d():
+    m = iVAE((24,), latent_dim=2, invariances=["t"], channels=2)
+    dec = m.decode(np.zeros((4, 2), np.float32))
+    assert dec.shape == (4, 24, 2)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (5, 24, 2)).astype(np.float32)
+    z_loc, _ = m.encode(x)
+    assert z_loc.shape == (5, 3)
+
+
 def test_manifold2d_conditional_requires_y():
     m = iVAE(DATA_2D, latent_dim=2, invariances=None, c_dim=4)
     with pytest.raises(ValueError):

@@ -21,6 +21,15 @@ def test_make_img_grid_layout():
     assert grid[0, 0] == -1  # padding value
 
 
+def test_make_img_grid_rgb():
+    imgs = np.arange(4 * 3 * 3 * 3, dtype=np.float32).reshape(4, 3, 3, 3)
+    grid = make_img_grid(imgs, nrow=2, padding=1, pad_value=0)
+    assert grid.shape == (1 + 2 * 4, 1 + 2 * 4, 3)
+    np.testing.assert_array_equal(grid[1:4, 1:4], imgs[0])
+    # singleton channel still collapses to 2-D
+    assert make_img_grid(imgs[..., :1], nrow=2).ndim == 2
+
+
 def test_plot_functions_smoke(monkeypatch):
     monkeypatch.setattr(plt, "show", lambda: None)
     imgs = np.random.default_rng(0).uniform(0, 1, (9, 8, 8)).astype(np.float32)
