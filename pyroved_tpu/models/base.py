@@ -48,6 +48,14 @@ class baseVAE:
                 coord = coord + 1
         self.coord = coord
         self.invariances = invariances
+        # Multi-channel spatial data (channels= kwarg): data_dim stays the
+        # SPATIAL shape (the coordinate grid runs over it); channels ride
+        # as a trailing axis ([B, *data_dim, C]). The reference's spatial
+        # decoder is single-channel only (its TODO at nets/fc.py:186);
+        # channels > 1 is an extension. VED manages its own channel args.
+        self.channels = int(kwargs.get("channels", 1))
+        self.out_shape = self.data_dim + (
+            (self.channels,) if self.channels > 1 else ())
 
         self.grid = generate_grid(self.data_dim) if self.coord > 0 else None
 
@@ -203,8 +211,10 @@ class baseVAE:
         """Decide whether the fused Pallas transform+decode kernel applies
         (TPU + supported sDecoderNet config; ``fused=False`` opts out)."""
         from ..ops.spatial_decoder import sdecoder_supports_fusion
-        self._fused = bool(kwargs.get("fused", True)) and sdecoder_supports_fusion(
-            hidden_dim_d, activation, sigmoid_d, self.coord)
+        self._fused = (bool(kwargs.get("fused", True))
+                       and getattr(self, "channels", 1) == 1  # kernel head is 1-channel
+                       and sdecoder_supports_fusion(
+                           hidden_dim_d, activation, sigmoid_d, self.coord))
         self._dec_act = activation
         self._dec_sig = bool(sigmoid_d)
         # Opt-in speed lever for the tanh-throughput-bound step: evaluate the

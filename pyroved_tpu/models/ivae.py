@@ -61,14 +61,6 @@ class iVAE(baseVAE):
         self.z_dim = self.latent_dim + self.coord
         self.c_dim = int(c_dim)
         self.kl_mode = kwargs.get("kl", "mc")
-        # Multi-channel data: data_dim stays the SPATIAL shape (the
-        # coordinate grid runs over it); channels ride as a trailing axis
-        # ([B, *data_dim, C]). The reference's spatial decoder is
-        # single-channel only (TODO at its nets/fc.py:186); channels > 1 is
-        # an extension here.
-        self.channels = int(kwargs.get("channels", 1))
-        self.out_shape = self.data_dim + (
-            (self.channels,) if self.channels > 1 else ())
         # Pyro Trace_ELBO(num_particles=P) analog: average P reparameterized
         # ELBO estimates per example (all particles decode in one batched call)
         self.num_particles = int(kwargs.get("num_particles", 1))
@@ -89,8 +81,6 @@ class iVAE(baseVAE):
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
-        if self.channels > 1:
-            self._fused = False  # fused kernel head is single-channel
 
         self._init_params()
         self._encode_jit = None

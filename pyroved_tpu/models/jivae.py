@@ -62,14 +62,15 @@ class jiVAE(baseVAE):
         self.num_particles = int(kwargs.get("num_particles", 1))
 
         self.encoder_net = jfcEncoderNet(
-            self.data_dim, self.z_dim, self.discrete_dim, hidden_dim_e,
+            self.out_shape, self.z_dim, self.discrete_dim, hidden_dim_e,
             activation, softplus_out=True)
         if 0 < self.coord < 5:
             self.decoder_net = sDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d,
+                channels=self.channels)
         else:
             self.decoder_net = fcDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.out_shape, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
@@ -79,7 +80,7 @@ class jiVAE(baseVAE):
         self._decode_jit = None
 
     def _init_params(self) -> None:
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         x0 = jnp.zeros((1, flat), jnp.float32)
         enc_vars = self.encoder_net.init(self.next_rng(), x0)
         zc0 = jnp.zeros((1, self.latent_dim + self.discrete_dim), jnp.float32)
@@ -220,7 +221,7 @@ class jiVAE(baseVAE):
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_loc(z, coords, **kwargs)
-        return loc.reshape((-1,) + self.data_dim)
+        return loc.reshape((-1,) + self.out_shape)
 
     def manifold2d(self, d: int, disc_idx: int = 0, plot: bool = True, **kwargs) -> Array:
         """Continuous-latent manifold for one discrete class

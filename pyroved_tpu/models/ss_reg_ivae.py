@@ -56,16 +56,17 @@ class ss_reg_iVAE(baseVAE):
         self.task = "regression"
 
         self.encoder_net = fcEncoderNet(
-            self.data_dim, self.z_dim, reg_dim, hidden_dim_e, activation,
+            self.out_shape, self.z_dim, reg_dim, hidden_dim_e, activation,
             softplus_out=True)
         self.encoder_y_net = fcRegressorNet(
-            self.data_dim, reg_dim, hidden_dim_reg, activation)
+            self.out_shape, reg_dim, hidden_dim_reg, activation)
         if 0 < self.coord < 5:
             self.decoder_net = sDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d,
+                channels=self.channels)
         else:
             self.decoder_net = fcDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.out_shape, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
@@ -76,7 +77,7 @@ class ss_reg_iVAE(baseVAE):
         self._decode_jit = None
 
     def _init_params(self) -> None:
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         x0 = jnp.zeros((1, flat), jnp.float32)
         y0 = jnp.zeros((1, self.reg_dim), jnp.float32)
         enc_vars = self.encoder_net.init(self.next_rng(), x0, y0)
@@ -183,7 +184,7 @@ class ss_reg_iVAE(baseVAE):
         """Injects a user-defined regressor (reference:
         ``ss_reg_ivae.py:678-682``)."""
         self.encoder_y_net = reg_net
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         reg_vars = reg_net.init(self.next_rng(), jnp.zeros((1, flat), jnp.float32))
         self.params["encoder_y"] = reg_vars["params"]
         self._reg_jit = None
@@ -219,7 +220,7 @@ class ss_reg_iVAE(baseVAE):
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_loc(z, coords, **kwargs)
-        return loc.reshape((-1,) + self.data_dim)
+        return loc.reshape((-1,) + self.out_shape)
 
     def manifold2d(self, d: int, y, plot: bool = True, **kwargs) -> Array:
         """Latent manifold conditioned on a continuous vector y

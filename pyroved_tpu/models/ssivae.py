@@ -57,16 +57,17 @@ class ssiVAE(baseVAE):
         self.task = "classification"
 
         self.encoder_net = fcEncoderNet(
-            self.data_dim, self.z_dim, num_classes, hidden_dim_e, activation,
+            self.out_shape, self.z_dim, num_classes, hidden_dim_e, activation,
             softplus_out=True)
         self.encoder_y_net = fcClassifierNet(
-            self.data_dim, num_classes, hidden_dim_cls, activation)
+            self.out_shape, num_classes, hidden_dim_cls, activation)
         if 0 < self.coord < 5:
             self.decoder_net = sDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d,
+                channels=self.channels)
         else:
             self.decoder_net = fcDecoderNet(
-                self.data_dim, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
+                self.out_shape, hidden_dim_d, activation, sigmoid_out=sigmoid_d)
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._setup_fusion(hidden_dim_d, activation, sigmoid_d, kwargs)
@@ -77,7 +78,7 @@ class ssiVAE(baseVAE):
         self._decode_jit = None
 
     def _init_params(self) -> None:
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         x0 = jnp.zeros((1, flat), jnp.float32)
         y0 = jnp.zeros((1, self.num_classes), jnp.float32)
         enc_vars = self.encoder_net.init(self.next_rng(), x0, y0)
@@ -220,7 +221,7 @@ class ssiVAE(baseVAE):
         """Injects a user-defined classifier module; parameters re-initialized
         (reference: ``ssivae.py:579-583``)."""
         self.encoder_y_net = cls_net
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         cls_vars = cls_net.init(self.next_rng(), jnp.zeros((1, flat), jnp.float32))
         self.params["encoder_y"] = cls_vars["params"]
         self._cls_jit = None
@@ -260,7 +261,7 @@ class ssiVAE(baseVAE):
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_loc(z, coords, **kwargs)
-        return loc.reshape((-1,) + self.data_dim)
+        return loc.reshape((-1,) + self.out_shape)
 
     def manifold2d(self, d: int, plot: bool = True, **kwargs) -> Array:
         """Latent manifold for a class picked via ``label`` kwarg

@@ -154,6 +154,35 @@ def test_ss_reg_default_sigma():
     assert m2.reg_sig == 0.1
 
 
+def test_multichannel_family():
+    """channels= extends to every sDecoder model family."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (4,) + DATA_2D + (3,)), jnp.float32)
+
+    j = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=["r"],
+              channels=3)
+    assert not j._fused
+    loss = j.loss_fn(j.params, RNG, (x,), j.prep_beta(1.0))
+    assert loss.shape == (4,) and np.isfinite(np.asarray(loss)).all()
+    dec = j.decode(np.zeros((2, 2), np.float32), np.eye(3, dtype=np.float32)[:2])
+    assert dec.shape == (2,) + DATA_2D + (3,)
+
+    s = ssiVAE(DATA_2D, latent_dim=2, num_classes=3, invariances=["r"],
+               channels=3)
+    for b in [(x,), (x, jax.nn.one_hot(jnp.asarray([0, 1, 2, 0]), 3))]:
+        loss = s.loss_fn(s.params, RNG, b, jnp.asarray(1.0))
+        assert np.isfinite(np.asarray(loss)).all()
+    assert s.classifier(np.asarray(x)).shape == (4,)
+
+    r = ss_reg_iVAE(DATA_2D, latent_dim=2, reg_dim=1, invariances=["t"],
+                    channels=2)
+    x2 = jnp.asarray(rng.uniform(0, 1, (4,) + DATA_2D + (2,)), jnp.float32)
+    loss = r.loss_fn(r.params, RNG, (x2,), jnp.asarray(1.0))
+    assert np.isfinite(np.asarray(loss)).all()
+    assert r.manifold2d(2, y=np.zeros(1, np.float32),
+                        plot=False).shape == (4,) + DATA_2D + (2,)
+
+
 # ---------------- VED ----------------
 
 @pytest.mark.parametrize("in_dim,out_dim", [
