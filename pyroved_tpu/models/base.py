@@ -351,7 +351,7 @@ class baseVAE:
         """Replace the inference network with a user-defined linen module;
         its parameters are freshly initialized with the model's PRNG."""
         self.encoder_net = encoder_net
-        flat = int(np.prod(self.data_dim))
+        flat = int(np.prod(self.out_shape))
         x0 = jnp.zeros((1, flat), jnp.float32)
         try:
             variables = encoder_net.init(self.next_rng(), x0)

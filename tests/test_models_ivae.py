@@ -179,6 +179,15 @@ def test_multichannel_spatial_2d():
     assert lh[-1] < lh[0] and all(np.isfinite(v) for v in lh)
 
 
+def test_multichannel_set_encoder():
+    from pyroved_tpu.nets.fc import fcEncoderNet
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3)
+    m.set_encoder(fcEncoderNet(DATA_2D + (3,), m.z_dim, softplus_out=True))
+    x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D + (3,)).astype(np.float32)
+    z_loc, _ = m.encode(x)
+    assert z_loc.shape == (4, 3)
+
+
 def test_multichannel_spatial_1d():
     m = iVAE((24,), latent_dim=2, invariances=["t"], channels=2)
     dec = m.decode(np.zeros((4, 2), np.float32))

@@ -5,6 +5,7 @@ matplotlib.use("Agg")
 
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 from pyroved_tpu.utils import (make_img_grid, plot_grid_traversal,  # noqa: E402
                                plot_img_grid, plot_latent_predictions,
@@ -28,6 +29,9 @@ def test_make_img_grid_rgb():
     np.testing.assert_array_equal(grid[1:4, 1:4], imgs[0])
     # singleton channel still collapses to 2-D
     assert make_img_grid(imgs[..., :1], nrow=2).ndim == 2
+    # non-displayable channel counts raise instead of rendering garbage
+    with pytest.raises(ValueError, match="channel"):
+        make_img_grid(imgs[..., :2], nrow=2)
 
 
 def test_plot_functions_smoke(monkeypatch):
