@@ -212,6 +212,31 @@ int64_t pvt_pipeline_next(void* handle, float* dst) {
   return rows;
 }
 
+// Zero-copy variant: blocks until the next batch is ready and returns a
+// POINTER to the ring slot (rows written to *rows_out; nullptr + -1 on
+// shutdown). The slot stays owned by the consumer — the producer will not
+// overwrite it — until pvt_pipeline_release advances the ring. Contract:
+// one acquire, then one release, single consumer.
+const float* pvt_pipeline_acquire(void* handle, int64_t* rows_out) {
+  auto* p = static_cast<Pipeline*>(handle);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_cons.wait(lk, [&] { return p->stop.load() || p->head > p->tail; });
+  if (p->stop.load()) {
+    *rows_out = -1;
+    return nullptr;
+  }
+  int slot = static_cast<int>(p->tail % p->depth);
+  *rows_out = p->ring_rows[slot];
+  return p->ring[slot].data();
+}
+
+void pvt_pipeline_release(void* handle) {
+  auto* p = static_cast<Pipeline*>(handle);
+  std::lock_guard<std::mutex> lk(p->mu);
+  ++p->tail;
+  p->cv_prod.notify_one();
+}
+
 void pvt_pipeline_destroy(void* handle) {
   auto* p = static_cast<Pipeline*>(handle);
   {

@@ -61,6 +61,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.pvt_pipeline_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
         lib.pvt_pipeline_next.restype = ctypes.c_int64
+        lib.pvt_pipeline_acquire.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.pvt_pipeline_acquire.restype = ctypes.POINTER(ctypes.c_float)
+        lib.pvt_pipeline_release.argtypes = [ctypes.c_void_p]
         lib.pvt_pipeline_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -130,7 +134,7 @@ class BatchPipeline:
     """
 
     def __init__(self, src: np.ndarray, batch_size: int, seed: int = 0,
-                 depth: int = 2, num_threads: int = 0):
+                 depth: int = 3, num_threads: int = 0):
         self._src = np.ascontiguousarray(src, np.float32)  # keep alive
         self.n_rows = int(self._src.shape[0])
         self.row_shape = self._src.shape[1:]
@@ -138,10 +142,10 @@ class BatchPipeline:
         self.seed = int(seed)
         self.num_batches = -(-self.n_rows // self.batch_size)
         self._row_elems = int(np.prod(self.row_shape)) if self.row_shape else 1
-        self._buf = np.empty((self.batch_size, self._row_elems), np.float32)
         self._lib = get_lib()
         self._handle = None
         self._closed = False
+        self._pending_release = False
         if self._lib is not None:
             self._handle = self._lib.pvt_pipeline_create(
                 self._src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -153,18 +157,36 @@ class BatchPipeline:
         self._cursor = 0
         self._perm = None
 
-    def next(self) -> np.ndarray:
+    def next(self, copy: bool = True) -> np.ndarray:
         """The next batch ([rows, *row_shape]; the epoch-final batch may be
-        short). Blocks until the producer has it ready."""
+        short). Blocks until the producer has it ready.
+
+        With ``copy=False`` the native path returns a VIEW into the ring
+        slot that is only valid until the next :meth:`next` call — use it
+        when the batch is consumed immediately (e.g. ``device_put``); it
+        removes the last host copy from the consume path."""
         if self._closed:
             raise RuntimeError("BatchPipeline is closed")
         if self._handle is not None:
-            rows = self._lib.pvt_pipeline_next(
-                self._handle,
-                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-            if rows < 0:
+            if self._pending_release:
+                # the previously returned view's slot is given back only
+                # now, so a copy=False view stays valid between next() calls
+                self._lib.pvt_pipeline_release(self._handle)
+                self._pending_release = False
+            rows_out = ctypes.c_int64()
+            ptr = self._lib.pvt_pipeline_acquire(self._handle,
+                                                 ctypes.byref(rows_out))
+            rows = int(rows_out.value)
+            if not ptr or rows < 0:
                 raise RuntimeError("BatchPipeline is closed")
-            return self._buf[:rows].reshape((rows,) + self.row_shape).copy()
+            view = np.ctypeslib.as_array(ptr, shape=(rows, self._row_elems))
+            view = view.reshape((rows,) + self.row_shape)
+            if copy:
+                out = view.copy()
+                self._lib.pvt_pipeline_release(self._handle)
+                return out
+            self._pending_release = True
+            return view
         # synchronous fallback with the identical shuffle sequence
         if self._perm is None:
             self._perm = shuffle_indices(self.n_rows, self.seed, self._epoch)

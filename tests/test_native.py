@@ -135,3 +135,20 @@ def test_batch_pipeline_next_after_close_raises():
     import pytest
     with pytest.raises(RuntimeError, match="closed"):
         pipe.next()
+
+
+def test_batch_pipeline_zero_copy_view():
+    """next(copy=False) returns the SAME data as the copying path; the view
+    stays valid until the following next() call."""
+    from pyroved_tpu.native import BatchPipeline, get_lib
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (40, 5)).astype(np.float32)
+    with BatchPipeline(X, batch_size=8, seed=3) as a, \
+            BatchPipeline(X, batch_size=8, seed=3) as b:
+        for _ in range(10):  # two epochs, identical shuffle streams
+            ref = a.next(copy=True)
+            view = b.next(copy=False)
+            np.testing.assert_array_equal(ref, view)
+            if get_lib() is not None:
+                snapshot = view.copy()
+                np.testing.assert_array_equal(snapshot, ref)
