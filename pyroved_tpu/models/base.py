@@ -212,9 +212,12 @@ class baseVAE:
         (TPU + supported sDecoderNet config; ``fused=False`` opts out)."""
         from ..ops.spatial_decoder import sdecoder_supports_fusion
         self._fused = (bool(kwargs.get("fused", True))
-                       and getattr(self, "channels", 1) == 1  # kernel head is 1-channel
                        and sdecoder_supports_fusion(
-                           hidden_dim_d, activation, sigmoid_d, self.coord))
+                           hidden_dim_d, activation, sigmoid_d, self.coord,
+                           getattr(self, "channels", 1)))
+        hidden = (tuple(hidden_dim_d) if hidden_dim_d is not None
+                  else (128, 128))
+        self._dec_hmax = -(-max(hidden) // 128) * 128
         self._dec_act = activation
         self._dec_sig = bool(sigmoid_d)
         # Opt-in speed lever for the tanh-throughput-bound step: evaluate the
@@ -223,6 +226,18 @@ class baseVAE:
         # unaffected within that tolerance; off by default for strict parity.
         if kwargs.get("approx_tanh") and activation == "tanh" and self._fused:
             self._dec_act = "tanh_approx"
+
+    def _fused_for_batch(self, rows: int) -> bool:
+        """Shape-aware fusion decision for a train-path decode of ``rows``
+        latent rows (batch, incl. particle/enumeration axes): the fused
+        Pallas train path only pays off once the [rows*N, H] activation
+        working set crosses XLA's fusion cliff (``FUSED_MIN_BNH``,
+        measured — below it XLA's own fused autodiff is faster)."""
+        if not getattr(self, "_fused", False):
+            return False
+        from ..ops.spatial_decoder import fused_profitable
+        n = self.grid.shape[0] if self.grid is not None else 0
+        return fused_profitable(int(rows), int(n), self._dec_hmax)
 
     def sync_fusion_gate(self, params=None) -> bool:
         """Re-check the fused-kernel gate against CONCRETE parameters.

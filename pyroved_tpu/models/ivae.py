@@ -123,7 +123,7 @@ class iVAE(baseVAE):
             if y is not None:
                 y = jnp.broadcast_to(y, (P,) + y.shape)
         z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
-        if self.coord > 0 and self._fused:
+        if self.coord > 0 and self._fused_for_batch(np.prod(z.shape[:-1])):
             from ..ops.spatial_decoder import apply_fused_sdecoder
             phi, dx, sc, zc = self.split_latent_full(z)
             if y is not None:
@@ -192,7 +192,9 @@ class iVAE(baseVAE):
         term and ALL its gradients come from the single-pass train-gradient
         kernel; otherwise this weights ``loss_fn``."""
         fast = (getattr(self, "one_pass_train", False)
-                and self.coord > 0 and self._fused and self.num_particles == 1
+                and self.coord > 0 and self.num_particles == 1
+                and self._fused_for_batch(batch[0].shape[0])
+                and self.channels == 1  # one-pass kernel head is 1-channel
                 and self.sampler_d.name == "bernoulli" and self._dec_sig
                 and self._dec_act in ("tanh", "tanh_approx"))
         if not fast:

@@ -156,7 +156,8 @@ class jiVAE(baseVAE):
         log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
         disc_term = beta[1] * jnp.sum(alpha * (-math.log(K) - log_alpha), axis=-1)
 
-        _, _, loc = self._enum_decode(params, z, self._fused)
+        _, _, loc = self._enum_decode(
+            params, z, self._fused_for_batch(K * z.shape[0]))
         recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
         recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
         return -(recon + latent_term + disc_term)

@@ -188,7 +188,7 @@ def spatial_decoder_reference(grid, phi, dx, sc, z, Wc, bc, Wz, hidden, wout, bo
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n_layers, coord_dim, act, sigmoid_out,
+def _fwd_kernel(n_layers, coord_dim, act, sigmoid_out, channels,
                 grid_ref, phi_ref, dx_ref, sc_ref, z_ref,
                 wc_ref, bc_ref, wz_ref, hw_ref, hb_ref, wout_ref, bout_ref,
                 out_ref):
@@ -215,13 +215,18 @@ def _fwd_kernel(n_layers, coord_dim, act, sigmoid_out,
     h = h.reshape(bt * nt, H)
     for l in range(n_layers):
         h = _act(act, (_mxu_dot(h, hw_ref[l]) + hb_ref[l]).astype(ACT_DTYPE))
-    # output head as a VPU lane-reduce (wout passed transposed, [1, H]);
-    # a (BN, H) @ (H, 1) matmul would waste the MXU and trip Mosaic's
-    # lane<->sublane reshape restrictions
-    logit = jnp.sum(h.reshape(bt, nt, H).astype(jnp.float32) * wout_ref[:],
-                    axis=-1)  # [bt, nt] f32
-    logit = logit + bout_ref[0, 0]
-    out_ref[:] = jax.nn.sigmoid(logit) if sigmoid_out else logit
+    # output head as VPU lane-reduces, one per channel, static-unrolled
+    # (wout passed transposed, [C, H]); a (BN, H) @ (H, C) matmul would
+    # waste the MXU and trip Mosaic's lane<->sublane reshape restrictions
+    hf = h.reshape(bt, nt, H).astype(jnp.float32)
+    for ci in range(channels):
+        logit = jnp.sum(hf * wout_ref[ci:ci + 1, :], axis=-1)  # [bt, nt] f32
+        logit = logit + bout_ref[0, ci]
+        val = jax.nn.sigmoid(logit) if sigmoid_out else logit
+        if channels == 1:
+            out_ref[:] = val
+        else:
+            out_ref[ci] = val
 
 
 def _pad_rows(x: Array, rows: int) -> Array:
@@ -234,10 +239,12 @@ def _pad_rows(x: Array, rows: int) -> Array:
 def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
          act="tanh", sigmoid_out=True, tiles=None):
     """Padded pallas_call wrapper. grid [N,D], phi/sc [B], dx [B,D], z [B,L];
-    hw [L_layers,H,H], hb [L_layers,H], wout [H,1], bout scalar."""
+    hw [L_layers,H,H], hb [L_layers,H], wout [H,C], bout scalar or [C].
+    Returns [B, N] for C == 1, else [B, N, C]."""
     B, N = z.shape[0], grid.shape[0]
     D = grid.shape[1]
     H = Wc.shape[1]
+    C = wout.shape[1]
     n_layers = hw.shape[0]
     b_t, n_t = tiles or _select_tiles(B, N, H, n_layers)
     Bp, Np = _round_up(B, b_t), _round_up(N, n_t)
@@ -248,10 +255,18 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
     phi_p = _pad_rows(phi[:, None], Bp)
     sc_p = _pad_rows(sc[:, None], Bp)
     bc2 = bc[None, :]
-    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
+    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, C)
 
     kernel = functools.partial(_fwd_kernel, int(n_layers), int(D), act,
-                               bool(sigmoid_out))
+                               bool(sigmoid_out), int(C))
+    if C == 1:
+        out_spec = pl.BlockSpec((b_t, n_t), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Bp, Np), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((C, b_t, n_t), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, Bp, Np), jnp.float32)
     out = _pallas(
         kernel,
         grid=(Bp // b_t, Np // n_t),
@@ -266,21 +281,23 @@ def _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hidden Ws
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hidden bs
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [1, H])
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [C, H])
+            pl.BlockSpec((1, C), memory_space=pltpu.SMEM),  # bout
         ],
-        out_specs=pl.BlockSpec((b_t, n_t), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
     )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2)
-    return out[:B, :N]
+    if C == 1:
+        return out[:B, :N]
+    return jnp.moveaxis(out, 0, -1)[:B, :N]
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel: recompute activations per tile, accumulate grads.
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, *refs):
+def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, channels,
+                *refs):
     if loss_mode:
         # fused train-gradient mode: forward + Bernoulli loss + backward in
         # ONE pass (no separate forward, no duplicate recompute). The recon
@@ -319,7 +336,8 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, *refs):
         dhw_ref[:] = jnp.zeros_like(dhw_ref)
         dhb_ref[:] = jnp.zeros_like(dhb_ref)
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
-        dbout_ref[0, 0] = 0.0
+        for ci in range(channels):
+            dbout_ref[0, ci] = 0.0
         if loss_mode:
             loss_ref[0, 0] = 0.0
 
@@ -349,33 +367,39 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, *refs):
     for l in range(n_layers):
         hs.append(_act(act, (_mxu_dot(hs[-1], hw_ref[l])
                              + hb_ref[l]).astype(ACT_DTYPE)))
-    logit = jnp.sum(hs[-1].reshape(bt, nt, H).astype(jnp.float32)
-                    * wout_ref[:], axis=-1)  # [bt,nt]
-    logit = logit + bout_ref[0, 0]
+    hf = hs[-1].reshape(bt, nt, H).astype(jnp.float32)
 
     # ---- backprop. Mosaic restriction notes: no lane<->sublane reshapes,
     # no 3-D dots, and no axis-1 reductions of 3-D vectors — everything
     # below stays in 2-D [BN, H] space with full-sublane (axis-0) reduces,
     # using static per-batch row slices where a per-b reduction is needed.
-    if loss_mode:
-        # Bernoulli obs with the sigmoid head folded in:
-        # log p(x | logit) = x*logit - softplus(logit) (stable logits form);
-        # d(-w*logp)/dlogit = w * (sigmoid(logit) - x).
-        x = x_ref[:]
-        wm = wgt_ref[:] * mask_ref[:, 0][None, :]          # [bt, nt]
-        logp = x * logit - jax.nn.softplus(logit)
-        loss_ref[0, 0] += -jnp.sum(wm * logp)
-        dl2 = wm * (jax.nn.sigmoid(logit) - x)
-    elif sigmoid_out:
-        out = jax.nn.sigmoid(logit)
-        dl2 = g_ref[:] * out * (1.0 - out)                 # [bt, nt]
-    else:
-        dl2 = g_ref[:]
-    dbout_ref[0, 0] += jnp.sum(dl2)
-    dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
-    dwout_ref[:] += jnp.sum(hs[-1].astype(jnp.float32) * dl_bn, axis=0,
-                            keepdims=True)
-    dh = dl_bn * wout_ref[:]
+    # Head gradients accumulate per channel (static unroll; C == 1 keeps
+    # the original single-pass shapes).
+    dh = None
+    for ci in range(channels):
+        logit = jnp.sum(hf * wout_ref[ci:ci + 1, :], axis=-1)  # [bt,nt]
+        logit = logit + bout_ref[0, ci]
+        if loss_mode:
+            # Bernoulli obs with the sigmoid head folded in:
+            # log p(x|logit) = x*logit - softplus(logit) (stable form);
+            # d(-w*logp)/dlogit = w * (sigmoid(logit) - x).
+            x = x_ref[:]
+            wm = wgt_ref[:] * mask_ref[:, 0][None, :]          # [bt, nt]
+            logp = x * logit - jax.nn.softplus(logit)
+            loss_ref[0, 0] += -jnp.sum(wm * logp)
+            dl2 = wm * (jax.nn.sigmoid(logit) - x)
+        elif sigmoid_out:
+            out = jax.nn.sigmoid(logit)
+            gci = g_ref[:] if channels == 1 else g_ref[ci]
+            dl2 = gci * out * (1.0 - out)                      # [bt, nt]
+        else:
+            dl2 = g_ref[:] if channels == 1 else g_ref[ci]
+        dbout_ref[0, ci] += jnp.sum(dl2)
+        dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
+        dwout_ref[ci:ci + 1, :] += jnp.sum(hs[-1].astype(jnp.float32) * dl_bn,
+                                           axis=0, keepdims=True)
+        contrib = dl_bn * wout_ref[ci:ci + 1, :]
+        dh = contrib if dh is None else dh + contrib
     for l in range(n_layers - 1, -1, -1):
         d_pre = dh * _act_grad_from_post(act, hs[l + 1]).astype(jnp.float32)
         dhw_ref[l] += _mxu_dot(hs[l].T, d_pre)
@@ -427,6 +451,7 @@ def _bwd(act, sigmoid_out, res, g):
     D = grid.shape[1]
     H = Wc.shape[1]
     L = z.shape[1]
+    C = wout.shape[1]
     n_layers = hw.shape[0]
     b_t, n_t = _select_tiles(B, N, H, n_layers)
     Bp, Np = _round_up(B, b_t), _round_up(N, n_t)
@@ -436,12 +461,20 @@ def _bwd(act, sigmoid_out, res, g):
     dx_p = _pad_rows(dx, Bp)
     phi_p = _pad_rows(phi[:, None], Bp)
     sc_p = _pad_rows(sc[:, None], Bp)
-    g_p = jnp.zeros((Bp, Np), jnp.float32).at[:B, :N].set(g)
+    if C == 1:
+        g_p = jnp.zeros((Bp, Np), jnp.float32).at[:B, :N].set(g)
+        g_spec = pl.BlockSpec((b_t, n_t), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+    else:  # cotangent arrives [B, N, C]; kernel wants channel-major blocks
+        g_p = jnp.zeros((C, Bp, Np), jnp.float32).at[:, :B, :N].set(
+            jnp.moveaxis(g, -1, 0))
+        g_spec = pl.BlockSpec((C, b_t, n_t), lambda i, j: (0, i, j),
+                              memory_space=pltpu.VMEM)
     bc2 = bc[None, :]
-    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
+    bout2 = jnp.asarray(bout, jnp.float32).reshape(1, C)
 
     kernel = functools.partial(_bwd_kernel, int(n_layers), int(D), act,
-                               bool(sigmoid_out), False)
+                               bool(sigmoid_out), False, int(C))
     full = lambda i, j: (0, 0)
     full3 = lambda i, j: (0, 0, 0)
     batch_blk = lambda w: pl.BlockSpec((b_t, w), lambda i, j: (i, 0),
@@ -457,9 +490,9 @@ def _bwd(act, sigmoid_out, res, g):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wz
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hb
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [1, H])
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # bout
-            pl.BlockSpec((b_t, n_t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout (transposed, [C, H])
+            pl.BlockSpec((1, C), memory_space=pltpu.SMEM),  # bout
+            g_spec,
         ],
         out_specs=[
             batch_blk(1),                       # dphi
@@ -471,8 +504,8 @@ def _bwd(act, sigmoid_out, res, g):
             pl.BlockSpec((L, H), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H, H), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),  # dwout^T
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, H), full, memory_space=pltpu.VMEM),  # dwout^T
+            pl.BlockSpec((1, C), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
@@ -484,14 +517,15 @@ def _bwd(act, sigmoid_out, res, g):
             jax.ShapeDtypeStruct((L, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
     )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2, g_p)
     (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwoutT, dbout) = outs
     return (None,                      # grid
             dphi[:B, 0], ddx[:B], dsc[:B, 0], dz[:B],
-            dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
+            dwc, dbc[0], dwz, dhw, dhb, dwoutT.T,
+            dbout.reshape(jnp.shape(bout)))
 
 
 # Forward routing: XLA's own fusion BEATS the handwritten forward kernel
@@ -513,6 +547,22 @@ XLA_FWD_MAX_BN = 1 << 19   # Pallas fwd needs at least this many REAL elements
                            # (512k itself measured Pallas-faster: 438 vs 475 us)
 PALLAS_FWD_MAX_PAD = 1.1   # ... and at most ~10% tile-padding overhead
 
+# Shape-aware gate for the whole fused TRAIN path (Pallas backward): XLA's
+# fully-fused autodiff has a performance cliff once the [B*N, H] activation
+# working set outgrows its fusion window — measured at N=784/H=128 on v5e:
+# XLA fwd+bwd runs 281 us/step at B=128 (12.8M elements) but 1306 us at
+# B=200 (20M). Below the cliff XLA beats the Pallas backward (403 us at
+# B=128 with the best tile); above it the kernel wins 1.3-1.9x. All seven
+# measured (B, N, C) configurations split cleanly on B*N*Hmax at ~13.5M.
+FUSED_MIN_BNH = 13_500_000
+
+
+def fused_profitable(rows: int, n_pixels: int, h_max: int) -> bool:
+    """True when the Pallas train path is expected to beat XLA autodiff
+    for a decode of ``rows`` latent rows over ``n_pixels`` grid points with
+    a (padded) hidden width ``h_max``."""
+    return rows * n_pixels * h_max >= FUSED_MIN_BNH
+
 
 def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
                  act, sigmoid_out):
@@ -531,7 +581,9 @@ def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
     h = _h0_act(act, coords @ Wc + bc + (z @ Wz)[:, None, :])
     for i in range(hw.shape[0]):
         h = _act(act, h @ hw[i] + hb[i])
-    out = (h @ wout + bout)[..., 0]
+    out = h @ wout + bout
+    if wout.shape[1] == 1:
+        out = out[..., 0]
     return jax.nn.sigmoid(out) if sigmoid_out else out
 
 
@@ -597,15 +649,17 @@ def _fusion_work_ok(hidden) -> bool:
 
 
 def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
-                             coord: int) -> bool:
+                             coord: int, channels: int = 1) -> bool:
     """True when an sDecoderNet config maps onto the fused kernel:
-    tanh/relu hidden layers, an active coordinate transform, and hidden
-    widths whose pad-to-max overhead is acceptable (equal 128-aligned widths
-    run unpadded)."""
+    tanh/relu hidden layers, an active coordinate transform, hidden widths
+    whose pad-to-max overhead is acceptable (equal 128-aligned widths run
+    unpadded), and a small channel count (the head is static-unrolled
+    VPU lane-reduces, one per channel)."""
     hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
     del sigmoid_out  # both heads supported
     return (0 < coord < 5
             and activation in ("tanh", "relu")
+            and 1 <= int(channels) <= 4
             and _fusion_work_ok(hidden)
             and jax.devices()[0].platform == "tpu")
 
@@ -628,7 +682,7 @@ def _padded_sdecoder_weights(dec_params):
     bc = dec_params["fc_coord"]["bias"]
     Wz = dec_params["fc_latent"]["kernel"]
     wout = dec_params["out"]["kernel"]
-    bout = dec_params["out"]["bias"].reshape(())
+    bout = dec_params["out"]["bias"].reshape(-1)  # [C]
     widths = {Wc.shape[1], wout.shape[0],
               *(k.shape[0] for k in kernels), *(k.shape[1] for k in kernels)}
     hmax = _round_up(max(widths), 128)
@@ -660,7 +714,8 @@ def apply_fused_sdecoder(dec_params, grid, phi, dx, sc, z,
         Wc, bc, Wz, hw, hb, wout, bout,
         act, sigmoid_out,
     )
-    return out.reshape(batch_shape + (grid.shape[0],))
+    chan = (wout.shape[1],) if wout.shape[1] > 1 else ()
+    return out.reshape(batch_shape + (grid.shape[0],) + chan)
 
 
 # ---------------------------------------------------------------------------
@@ -692,7 +747,7 @@ def _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout,
     bout2 = jnp.asarray(bout, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(_bwd_kernel, int(n_layers), int(D), act,
-                               True, True)
+                               True, True, 1)  # one-pass mode is C == 1 only
     full = lambda i, j: (0, 0)
     full3 = lambda i, j: (0, 0, 0)
     batch_blk = lambda w: pl.BlockSpec((b_t, w), lambda i, j: (i, 0),

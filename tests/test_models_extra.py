@@ -161,7 +161,6 @@ def test_multichannel_family():
 
     j = jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, invariances=["r"],
               channels=3)
-    assert not j._fused
     loss = j.loss_fn(j.params, RNG, (x,), j.prep_beta(1.0))
     assert loss.shape == (4,) and np.isfinite(np.asarray(loss)).all()
     dec = j.decode(np.zeros((2, 2), np.float32), np.eye(3, dtype=np.float32)[:2])

@@ -156,7 +156,6 @@ def test_multichannel_spatial_2d():
     """channels>1 with invariances — the generalization the reference left
     as a TODO (its sDecoderNet is single-channel, nets/fc.py:186)."""
     m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3)
-    assert not m._fused  # fused kernel head is single-channel
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 1, (6,) + DATA_2D + (3,)).astype(np.float32)
     loss = m.loss_fn(m.params, jax.random.PRNGKey(0), (jnp.asarray(x),),
@@ -177,6 +176,29 @@ def test_multichannel_spatial_2d():
     tr.run(loader, 4)
     lh = tr.loss_history["training_loss"]
     assert lh[-1] < lh[0] and all(np.isfinite(v) for v in lh)
+
+
+def test_multichannel_fused_matches_xla(monkeypatch):
+    """With the kernel forced on (interpret mode), a channels=3 model's
+    loss must match the XLA decoder path exactly."""
+    import types
+
+    import pyroved_tpu.ops.spatial_decoder as sd
+    monkeypatch.setattr(sd, "INTERPRET", True)
+    monkeypatch.setattr(sd, "BF16_MATMUL", False)
+    monkeypatch.setattr(sd, "FUSED_MIN_BNH", 0)  # tiny test shapes
+    monkeypatch.setattr(sd.jax, "devices",
+                        lambda: [types.SimpleNamespace(platform="tpu")])
+    x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D + (3,)).astype(np.float32)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3, fused=False)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3)
+    assert not m1._fused and m2._fused
+    m2.params = m1.params
+    l1 = m1.loss_fn(m1.params, jax.random.PRNGKey(0), (jnp.asarray(x),),
+                    jnp.asarray(1.0))
+    l2 = m2.loss_fn(m2.params, jax.random.PRNGKey(0), (jnp.asarray(x),),
+                    jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
 
 
 def test_multichannel_set_encoder():

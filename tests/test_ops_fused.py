@@ -32,7 +32,7 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(sd, "PALLAS_FWD_MAX_PAD", float("inf"))
 
 
-def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0):
+def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0, C=1):
     rng = np.random.default_rng(seed)
     mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32)
     grid = mk(N, coord_dim)
@@ -40,8 +40,10 @@ def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0):
     dx = mk(B, coord_dim)
     sc = jnp.asarray(1 + 0.1 * rng.normal(size=(B,)), jnp.float32)
     z = jnp.asarray(rng.normal(size=(B, L)), jnp.float32)
+    bout = (jnp.float32(0.05) if C == 1
+            else jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32))
     return (grid, phi, dx, sc, z, mk(coord_dim, H), mk(H), mk(L, H),
-            mk(nl, H, H), mk(nl, H), mk(H, 1), jnp.float32(0.05))
+            mk(nl, H, H), mk(nl, H), mk(H, C), bout)
 
 
 def _ref(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout):
@@ -57,6 +59,28 @@ def test_forward_matches_reference(coord_dim):
     ref = _ref(*args)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("C", [2, 3])
+def test_multichannel_forward_and_gradients(C):
+    """C-channel head: forward [B, N, C] and ALL gradients match the XLA
+    reference path."""
+    args = _make(2, B=4, N=200, C=C, seed=11)
+    out = sd.fused_spatial_decoder(*args)
+    ref = sd._xla_forward(*args, "tanh", True)
+    assert out.shape == (4, 200, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    grid, rest = args[0], args[1:]
+    g_fused = jax.grad(lambda r: jnp.sum(
+        jnp.sin(3 * sd.fused_spatial_decoder(grid, *r))))(rest)
+    g_ref = jax.grad(lambda r: jnp.sum(
+        jnp.sin(3 * sd._xla_forward(grid, *r, "tanh", True))))(rest)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_ref)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
 
 
 @pytest.mark.parametrize("coord_dim", [1, 2])
@@ -118,6 +142,8 @@ def test_supports_fusion_gate():
         assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 0)  # no coord
         assert not sd.sdecoder_supports_fusion((128, 128), "gelu", True, 1)  # unsupported act
         assert not sd.sdecoder_supports_fusion((128, 512), "tanh", True, 1)  # heavy padding
+        assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1, channels=3)
+        assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1, channels=5)
     # on a non-TPU platform the gate must reflect the real platform
     expected = jax.devices()[0].platform == "tpu"
     assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1) == expected

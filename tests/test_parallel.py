@@ -111,6 +111,7 @@ def fused_interpret(monkeypatch):
     import pyroved_tpu.ops.spatial_decoder as sd
     monkeypatch.setattr(sd, "INTERPRET", True)
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
+    monkeypatch.setattr(sd, "FUSED_MIN_BNH", 0)  # tiny test shapes
     return sd
 
 
