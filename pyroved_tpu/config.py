@@ -37,6 +37,7 @@ class iVAEConfig:
     decoder_sig: float = 0.5
     kl: str = "mc"
     fused: bool = True
+    channels: int = 1
     extra: Optional[dict] = None
 
     def __post_init__(self):

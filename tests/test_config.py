@@ -53,6 +53,11 @@ def test_ved_config_channels():
     assert m.input_channels == 2 and m.output_channels == 3
 
 
+def test_ivae_config_channels():
+    m = iVAEConfig(data_dim=(8, 8), invariances=("r",), channels=3).build()
+    assert m.channels == 3 and m.out_shape == (8, 8, 3)
+
+
 def test_ved_config_compute_dtype():
     m = VEDConfig(input_dim=(16, 16), output_dim=(32,),
                   hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)),

@@ -516,8 +516,9 @@ def test_kernel_fuzz_random_configs():
             continue
         act = ["tanh", "relu"][int(rng.integers(0, 2))]
         sig = bool(rng.integers(0, 2))
+        C = int(rng.integers(1, 5))
         net = sDecoderNet((8, 8), hidden_dim=widths, activation=act,
-                          sigmoid_out=sig)
+                          sigmoid_out=sig, channels=C)
         grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
         z = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
         phi = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
