@@ -47,6 +47,8 @@ class iVAEConfig:
         _validate_choice("sampler_d", self.sampler_d,
                          ("bernoulli", "continuous_bernoulli", "gaussian"))
         _validate_choice("kl", self.kl, ("mc", "analytic"))
+        if self.channels < 1:
+            raise ValueError(f"channels must be >= 1, got {self.channels}")
 
     def build(self) -> "models.iVAE":
         kw = _clean(self)

@@ -54,6 +54,8 @@ class baseVAE:
         # decoder is single-channel only (its TODO at nets/fc.py:186);
         # channels > 1 is an extension. VED manages its own channel args.
         self.channels = int(kwargs.get("channels", 1))
+        if self.channels < 1:
+            raise ValueError(f"channels must be >= 1, got {self.channels}")
         self.out_shape = self.data_dim + (
             (self.channels,) if self.channels > 1 else ())
 
@@ -215,9 +217,10 @@ class baseVAE:
                        and sdecoder_supports_fusion(
                            hidden_dim_d, activation, sigmoid_d, self.coord,
                            getattr(self, "channels", 1)))
+        from ..ops.spatial_decoder import _round_up
         hidden = (tuple(hidden_dim_d) if hidden_dim_d is not None
-                  else (128, 128))
-        self._dec_hmax = -(-max(hidden) // 128) * 128
+                  else (128, 128))  # sDecoderNet default (nets/fc.py)
+        self._dec_hmax = _round_up(max(hidden), 128)
         self._dec_act = activation
         self._dec_sig = bool(sigmoid_d)
         # Opt-in speed lever for the tanh-throughput-bound step: evaluate the

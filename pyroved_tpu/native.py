@@ -162,9 +162,11 @@ class BatchPipeline:
         short). Blocks until the producer has it ready.
 
         With ``copy=False`` the native path returns a VIEW into the ring
-        slot that is only valid until the next :meth:`next` call — use it
-        when the batch is consumed immediately (e.g. ``device_put``); it
-        removes the last host copy from the consume path."""
+        slot that is only valid until the next :meth:`next` call, a
+        :meth:`close`, or the pipeline object being garbage-collected (the
+        ring is C++-owned memory) — use it when the batch is consumed
+        immediately (e.g. ``device_put``); it removes the last host copy
+        from the consume path."""
         if self._closed:
             raise RuntimeError("BatchPipeline is closed")
         if self._handle is not None:

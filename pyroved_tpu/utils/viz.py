@@ -19,8 +19,10 @@ def make_img_grid(imgdata, nrow: int, padding: int = 2, pad_value: float = 0.0) 
     if imgs.ndim == 4 and imgs.shape[-1] not in (3, 4):
         if imgs.shape[-1] != 1 and imgs.shape[1] != 1:
             raise ValueError(
-                f"cannot render {imgs.shape[-1]}-channel images as a grid; "
-                "slice a channel (e.g. imgs[..., 0]) or use 1/3/4 channels")
+                f"cannot render images of shape {imgs.shape} as a grid: "
+                "expected channels-LAST [N, H, W] / [N, H, W, C] with C in "
+                "{1, 3, 4} — transpose channels-first input, or slice a "
+                "channel (e.g. imgs[..., 0]) for other channel counts")
         # [N, H, W, 1] or [N, 1, H, W] -> single channel
         imgs = imgs[..., 0] if imgs.shape[-1] == 1 else imgs[:, 0]
     n, h, w = imgs.shape[:3]

@@ -25,11 +25,12 @@ def interpret_mode(monkeypatch):
     # bit-level comparison against the f32 XLA reference
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
     monkeypatch.setattr(sd, "ACT_DTYPE", jnp.float32)
-    # force the PALLAS forward (the size- and padding-based router would
-    # send these small test shapes to the XLA forward, leaving the kernel
+    # force the PALLAS forward AND train path (the size- and padding-based
+    # routers would send these small test shapes to XLA, leaving the kernel
     # untested)
     monkeypatch.setattr(sd, "XLA_FWD_MAX_BN", 0)
     monkeypatch.setattr(sd, "PALLAS_FWD_MAX_PAD", float("inf"))
+    monkeypatch.setattr(sd, "FUSED_MIN_BNH", 0)
 
 
 def _make(coord_dim=2, B=5, N=300, H=128, L=4, nl=2, seed=0, C=1):
