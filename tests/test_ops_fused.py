@@ -335,6 +335,11 @@ def test_select_tiles():
     assert sd._select_tiles(32, 65536, 128, 2) == (8, 640)
     # enumerated ssiVAE batch: 40 | 1000
     assert sd._select_tiles(1000, 784, 128, 2) == (40, 128)
+    # near-cost candidates prefer the larger tile (measured: B=256 with 9%
+    # batch pad at (40,128) beats the exact-fit (32,128), 629 vs 682 us)
+    assert sd._select_tiles(256, 784, 128, 2) == (40, 128)
+    # ... and at equal rows the taller batch tile (597 vs 636 us)
+    assert sd._select_tiles(128, 784, 128, 2) == (32, 128)
     # wider hidden stacks shrink the row budget
     bt, nt = sd._select_tiles(200, 784, 256, 2)
     assert bt * nt <= sd._VMEM_BUDGET // (6 * 256 * 4)
