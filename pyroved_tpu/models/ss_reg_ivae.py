@@ -173,7 +173,12 @@ class ss_reg_iVAE(baseVAE):
         yv = np.asarray(yv, np.float32).reshape(len(yv), -1)
         loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
                                          batch_size=batch_size)
-        trainer = trainer or auxSVItrainer(self, lr=lr)
+        # Trainer-level kwargs reach the internal auxSVItrainer (see
+        # ssiVAE.fit); step kwargs pass through to each epoch.
+        tkw = {k: kwargs.pop(k) for k in
+               ("mesh", "checkpoint_path", "checkpoint_every", "log_file",
+                "optimizer", "seed", "task") if k in kwargs}
+        trainer = trainer or auxSVItrainer(self, lr=lr, **tkw)
         for _ in range(int(epochs)):
             trainer.step(*loaders, **kwargs)
             if verbose:

@@ -210,7 +210,13 @@ class ssiVAE(baseVAE):
             yv = to_onehot(yv, self.num_classes)
         loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
                                          batch_size=batch_size)
-        trainer = trainer or auxSVItrainer(self, lr=lr)
+        # Trainer-level kwargs (mesh DP, auto-checkpoint, JSONL logging, …)
+        # reach the internal auxSVItrainer; the rest (scale_factor,
+        # aux_loss_multiplier, sup_period) go to each step.
+        tkw = {k: kwargs.pop(k) for k in
+               ("mesh", "checkpoint_path", "checkpoint_every", "log_file",
+                "optimizer", "seed", "task") if k in kwargs}
+        trainer = trainer or auxSVItrainer(self, lr=lr, **tkw)
         for _ in range(int(epochs)):
             trainer.step(*loaders, **kwargs)
             if verbose:

@@ -36,8 +36,10 @@ h0_pre[b,n] = gx[n]*u_b + gy[n]*v_b + w_b, let d0 = dL/d(h0_pre). Then
 All verified against jax.grad of the unfolded reference to 1e-4
 (tests/test_ops_fused.py).
 """
+import dataclasses
 import functools
-from typing import Tuple
+import warnings
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +65,99 @@ N_T = None
 # Calibrated on v5e: rows=5120 at H=128/nl=2 (15.7 MB) compiles, rows>=6144
 # does not.
 _VMEM_BUDGET = 16 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Per-platform tuning. Every threshold in this module was MEASURED on one
+# chip generation (TPU v5e); on a different generation the routing could
+# silently pick the slower path or the kernel could fail to compile (VMEM
+# differs). Resolution order for each knob, at every call:
+#   1. an explicit module-global override (monkeypatch / experiments /
+#      the multichip dryrun's FUSED_MIN_BNH=0 pin) — any value different
+#      from the import-time default wins;
+#   2. the DEVICE_TUNINGS entry for jax.devices()[0].device_kind;
+#   3. unknown TPU generations: the CONSERVATIVE entry (always-XLA routing,
+#      halved VMEM budget for direct kernel calls) — and the model-level
+#      fusion gate stays CLOSED until `calibrate()` measures the platform
+#      and registers a tuning.
+# Non-TPU platforms keep the v5e defaults: they only ever execute the
+# kernel in interpret mode, where the thresholds are test-controlled.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KernelTuning:
+    """Measured routing thresholds for one TPU generation."""
+    vmem_budget: int          # backward remat working set per tile (bytes)
+    xla_fwd_max_bn: float     # route forward to XLA below this many B*N
+    pallas_fwd_max_pad: float  # ... or above this tile-padding ratio
+    fused_min_bnh: float      # route the whole train path to XLA below this
+    tile_overhead_rows: int = 512  # cost model: padded*(rows+OVH)/rows
+
+
+_V5E_TUNING = KernelTuning(
+    vmem_budget=16 * 1024 * 1024,
+    xla_fwd_max_bn=1 << 19,
+    pallas_fwd_max_pad=1.1,
+    fused_min_bnh=13_500_000,
+)
+
+#: Tunings by ``jax.devices()[0].device_kind``. v5e values are measured
+#: (docs/PERFORMANCE.md); register your own entry (or run
+#: :func:`calibrate`) to enable the fused kernel on other generations.
+DEVICE_TUNINGS: Dict[str, KernelTuning] = {
+    "TPU v5 lite": _V5E_TUNING,   # v5e reports this device_kind
+    "TPU v5e": _V5E_TUNING,
+}
+
+# Unknown TPU generation: direct kernel calls get a halved VMEM budget and
+# never self-select over XLA; models route pure-XLA (gate closed).
+_CONSERVATIVE_TUNING = KernelTuning(
+    vmem_budget=8 * 1024 * 1024,
+    xla_fwd_max_bn=float("inf"),
+    pallas_fwd_max_pad=1.0,
+    fused_min_bnh=float("inf"),
+)
+
+_DEFAULTS = {"_VMEM_BUDGET": _VMEM_BUDGET, "XLA_FWD_MAX_BN": 1 << 19,
+             "PALLAS_FWD_MAX_PAD": 1.1, "FUSED_MIN_BNH": 13_500_000}
+_warned_unknown = False
+
+
+def _device_kind():
+    return getattr(jax.devices()[0], "device_kind", None)
+
+
+def _tuning() -> KernelTuning:
+    """The active tuning (see resolution order in the section comment)."""
+    global _warned_unknown
+    dev = jax.devices()[0]
+    base = DEVICE_TUNINGS.get(_device_kind())
+    if base is None:
+        if dev.platform == "tpu":
+            base = _CONSERVATIVE_TUNING
+            if not _warned_unknown:
+                _warned_unknown = True
+                warnings.warn(
+                    f"no kernel tuning for TPU device kind "
+                    f"{_device_kind()!r}: the spatial decoder routes to XLA "
+                    f"(always correct, possibly slower). Run "
+                    f"pyroved_tpu.ops.spatial_decoder.calibrate() once to "
+                    f"measure this platform and enable the fused kernel.",
+                    stacklevel=3)
+        else:
+            base = _V5E_TUNING  # CPU/interpret: thresholds are test-driven
+
+    def pick(gname, field):
+        g = globals()[gname]
+        return g if g != _DEFAULTS[gname] else getattr(base, field)
+
+    return KernelTuning(
+        vmem_budget=pick("_VMEM_BUDGET", "vmem_budget"),
+        xla_fwd_max_bn=pick("XLA_FWD_MAX_BN", "xla_fwd_max_bn"),
+        pallas_fwd_max_pad=pick("PALLAS_FWD_MAX_PAD", "pallas_fwd_max_pad"),
+        fused_min_bnh=pick("FUSED_MIN_BNH", "fused_min_bnh"),
+        tile_overhead_rows=base.tile_overhead_rows,
+    )
 
 
 def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:

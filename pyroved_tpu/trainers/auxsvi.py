@@ -79,6 +79,20 @@ class auxSVItrainer:
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
+    def _ensure_built(self):
+        """(Re)compile the jitted steps when needed.
+
+        Re-checks the fused-kernel gate on EVERY entry (not only first
+        compile): if the model's parameters were re-sharded after the last
+        build — e.g. tensor-parallel decoder weights — the gate flips and the
+        step functions are rebuilt against the new routing instead of
+        replaying a stale compiled step."""
+        gate = getattr(self.model, "sync_fusion_gate", None)
+        g = gate() if gate is not None else None
+        if self._step_unsup is None or g != getattr(self, "_built_gate", None):
+            self._build_steps()
+            self._built_gate = g
+
     def _build_steps(self):
         gate = getattr(self.model, "sync_fusion_gate", None)
         if gate is not None:
@@ -164,12 +178,14 @@ class auxSVItrainer:
 
         # Multi-epoch fused path (mirrors SVItrainer.run): ONE lax.scan over
         # every interleaved step of every epoch, one device dispatch total.
+        # `betas` is per-STEP (the per-epoch scale_schedule repeated), so KL
+        # annealing runs inside the fused scan, same as SVItrainer.run.
         def run_epochs(params, opt_state, aux_opt_state, xu, sup_arrays,
                        idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within,
-                       beta, aux_mult):
+                       betas, aux_mult):
             def body(carry, inp):
                 params, opt_state, aux_opt_state = carry
-                bidx, bw, sb, sw, do_sup, key, wstep = inp
+                bidx, bw, sb, sw, do_sup, key, wstep, beta = inp
                 x = jnp.take(xu, bidx, axis=0)
                 rng_u = jax.random.fold_in(key, 2 * wstep)
                 params, opt_state, loss = unsup_step(
@@ -190,7 +206,7 @@ class auxSVItrainer:
 
             carry, losses = jax.lax.scan(
                 body, (params, opt_state, aux_opt_state),
-                (idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within))
+                (idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within, betas))
             return carry[0], carry[1], carry[2], losses
 
         self._run_jit = jax.jit(run_epochs, donate_argnums=(0, 1, 2))
@@ -294,10 +310,26 @@ class auxSVItrainer:
         whole run is a single ``lax.scan`` — parameter-trajectory bitwise
         identical to sequential :meth:`train` calls. Appends to ``history``
         and returns per-epoch losses. Device-resident loaders only;
-        streaming loaders fall back to per-epoch training."""
-        if self._step_unsup is None:
-            self._build_steps()
-        beta = jnp.asarray(kwargs.get("scale_factor", 1.0), jnp.float32)
+        streaming loaders fall back to per-epoch training.
+
+        Keyword Args:
+            scale_factor: KL scale beta applied to every epoch.
+            scale_schedule: per-epoch beta sequence (length ``epochs``) for
+                KL annealing inside the fused scan — same contract as
+                :meth:`SVItrainer.run`.
+            aux_loss_multiplier: weight of the auxiliary supervised loss.
+        """
+        self._ensure_built()
+        schedule = kwargs.get("scale_schedule")
+        if schedule is not None and len(schedule) != int(epochs):
+            raise ValueError(
+                f"scale_schedule has {len(schedule)} entries for "
+                f"{epochs} epochs")
+        if schedule is not None:
+            epoch_betas = [jnp.asarray(s, jnp.float32) for s in schedule]
+        else:
+            epoch_betas = [jnp.asarray(kwargs.get("scale_factor", 1.0),
+                                       jnp.float32)] * int(epochs)
         aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
                                jnp.float32)
         if int(epochs) <= 0:
@@ -308,8 +340,12 @@ class auxSVItrainer:
                     and loader_sup.device_resident)
         if not resident:
             per_epoch = []
-            for _ in range(int(epochs)):
-                per_epoch.append(self.train(loader_unsup, loader_sup, **kwargs))
+            step_kwargs = {k: v for k, v in kwargs.items()
+                           if k not in ("scale_factor", "scale_schedule")}
+            for e in range(int(epochs)):
+                per_epoch.append(self.train(
+                    loader_unsup, loader_sup,
+                    scale_factor=float(epoch_betas[e]), **step_kwargs))
                 self.history["training_loss"].append(per_epoch[-1])
                 self.current_epoch += 1
             return per_epoch
@@ -337,10 +373,11 @@ class auxSVItrainer:
         cat = {k: jnp.asarray(np.concatenate(v)) for k, v in cols.items()}
         keys_rep = jnp.repeat(jnp.stack(keys), nb, axis=0)
         within = jnp.tile(jnp.arange(nb), int(epochs))
+        betas = jnp.repeat(jnp.stack(epoch_betas), nb, axis=0)  # per step
         params, self.opt_state, self.aux_opt_state, losses = self._run_jit(
             self.model.params, self.opt_state, self.aux_opt_state, xu,
             sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"], cat["m"],
-            keys_rep, within, beta, aux_mult)
+            keys_rep, within, betas, aux_mult)
         self.model.params = params
         per_epoch = (np.asarray(losses).reshape(int(epochs), nb).sum(1)
                      / max(unsup_count, 1.0)).tolist()
@@ -353,8 +390,7 @@ class auxSVItrainer:
         """One epoch over the unlabeled loader, interleaving labeled batches
         (reference: ``auxsvi.py:102-130``; supervised losses are not added to
         the reported epoch loss, ``auxsvi.py:126``)."""
-        if self._step_unsup is None:
-            self._build_steps()
+        self._ensure_built()
         beta = jnp.asarray(kwargs.get("scale_factor", 1.0), jnp.float32)
         aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20), jnp.float32)
 

@@ -97,6 +97,20 @@ class SVItrainer:
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
+    def _ensure_built(self):
+        """(Re)compile the jitted epoch functions when needed.
+
+        Re-checks the fused-kernel gate on EVERY ``train``/``run``/
+        ``evaluate`` entry (not only first compile): if the model's decoder
+        params were re-sharded after the last build (e.g. TP over a 'model'
+        axis), the gate flips and everything is retraced against the new
+        routing instead of replaying a stale fused step."""
+        gate = getattr(self.model, "sync_fusion_gate", None)
+        g = gate() if gate is not None else None
+        if self._train_epoch_jit is None or g != getattr(self, "_built_gate", None):
+            self._build_epoch_fns()
+            self._built_gate = g
+
     def _build_epoch_fns(self):
         # Re-check the fused-kernel gate against the CONCRETE params about to
         # be compiled: TP-sharded decoder weights auto-fall-back to XLA.
@@ -232,8 +246,7 @@ class SVItrainer:
         """One training epoch; returns loss / dataset_size
         (reference: ``svi.py:95-115``)."""
         beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
-        if self._train_epoch_jit is None:
-            self._build_epoch_fns()
+        self._ensure_built()
         if not (isinstance(train_loader, DataLoader) and train_loader.device_resident):
             return self._train_streaming(train_loader, beta)
         idx, w = train_loader.epoch_indices()
@@ -286,8 +299,7 @@ class SVItrainer:
                 self.loss_history["training_loss"].append(per_epoch[-1])
                 self.current_epoch += 1
             return per_epoch
-        if self._train_epoch_jit is None:
-            self._build_epoch_fns()
+        self._ensure_built()
         idx_list, w_list, keys = [], [], []
         for _ in range(int(epochs)):
             i, w = train_loader.epoch_indices()
@@ -315,8 +327,7 @@ class SVItrainer:
         """Loss over a held-out set with NO parameter updates
         (reference semantics: ``svi.py:117-137``)."""
         beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
-        if self._eval_epoch_jit is None:
-            self._build_epoch_fns()
+        self._ensure_built()
         if not (isinstance(test_loader, DataLoader) and test_loader.device_resident):
             self.rng, epoch_rng = jax.random.split(self.rng)
             total, count, bs = 0.0, 0, None
