@@ -133,8 +133,35 @@ def c8():
         assert z.shape == (5, 3)
 
 
+@check("symbolic-batch serving")
+def c9():
+    import tempfile
+    m = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sym.pvtx")
+        pv.serving.export_model(m, path)  # symbolic batch dim
+        served = pv.serving.ServedModel(path)
+        for n in (3, 10):
+            z, s = served.encode(_imgs(n))
+            assert z.shape == (n, 3)
+
+
+@check("self-arming blocked validations (auto-skip without pyro/data)")
+def c10():
+    # Both scripts must exit 0 whether armed (data/pyro present) or not.
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    for script in ("pyro_parity.py", "real_anchors.py"):
+        r = subprocess.run([sys.executable, os.path.join(here, script),
+                            "--epochs", "2"], capture_output=True, text=True,
+                           timeout=1200)
+        tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+        assert r.returncode == 0, f"{script} rc={r.returncode}: {tail}"
+        print(f"  {script}: {tail[-1] if tail else '(no output)'}")
+
+
 if __name__ == "__main__":
-    for fn in (c1, c2, c3, c4, c5, c6, c7, c8):
+    for fn in (c1, c2, c3, c4, c5, c6, c7, c8, c9, c10):
         fn()
     failed = [n for n, ok, _ in RESULTS if not ok]
     print(f"\n{len(RESULTS) - len(failed)}/{len(RESULTS)} checks passed")

@@ -1,0 +1,84 @@
+"""VED stretch-config benchmark (BASELINE.json: 256x256 inputs -> 2048
+spectra, the largest spatial config) — the harness behind the VED rows in
+docs/PERFORMANCE.md.
+
+Measures fused-run steps/s for one or more (compute_dtype, pool) variants
+so conv-path experiments are timed identically:
+
+    python benchmarks/ved_stretch.py                 # default variant set
+    python benchmarks/ved_stretch.py f32:max bf16:avg bf16:stride
+    python benchmarks/ved_stretch.py --profile bf16:max   # + profiler trace
+
+Each variant trains EPOCHS fused epochs on the same synthetic data and
+reports steps/s from the post-warmup run; with --check it also trains a
+small real convergence run so model-changing pool modes show their loss.
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyroved_tpu as pv  # noqa: E402
+
+IN_DIM, OUT_DIM = (256, 256), (2048,)
+BATCH, N_DATA = 16, 256
+EPOCHS = 8  # x16 steps/epoch
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (N_DATA,) + IN_DIM).astype(np.float32)
+    y = rng.uniform(0, 1, (N_DATA,) + OUT_DIM).astype(np.float32)
+    return x, y
+
+
+def run_variant(tag: str, profile: bool = False) -> float:
+    cd, pool = tag.split(":")
+    cd = {"f32": "float32", "bf16": "bfloat16"}.get(cd, cd)
+    x, y = make_data()
+    model = pv.models.VED(IN_DIM, OUT_DIM, compute_dtype=cd, pool=pool,
+                          seed=1)
+    loader = pv.utils.init_dataloader(x, y, batch_size=BATCH)
+    trainer = pv.trainers.SVItrainer(model)
+    nb = len(loader)
+    trainer.run(loader, 1, scale_factor=4)  # compile + warm
+    if profile:
+        import jax
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "profiles", f"ved_{tag.replace(':', '_')}")
+        with jax.profiler.trace(outdir):
+            trainer.run(loader, 2, scale_factor=4)
+        print(f"  trace -> {outdir}")
+    t0 = time.perf_counter()
+    losses = trainer.run(loader, EPOCHS, scale_factor=4)
+    dt = time.perf_counter() - t0
+    sps = EPOCHS * nb / dt
+    print(f"{tag:12s} {sps:7.1f} steps/s ({sps * BATCH:7.0f} img/s)  "
+          f"loss {losses[-1]:.1f}  [{EPOCHS * nb} steps in {dt:.2f}s]",
+          flush=True)
+    return sps
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="*",
+                    default=["f32:max", "bf16:max", "bf16:avg", "bf16:stride"])
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args(argv)
+    pv.utils.profiling.enable_compilation_cache()
+    results = {}
+    for tag in args.variants:
+        results[tag] = run_variant(tag, profile=args.profile)
+    base = results.get("bf16:max")
+    if base:
+        for tag, sps in results.items():
+            print(f"  {tag}: {sps / base:.2f}x vs bf16:max")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,10 +61,17 @@ class VED(baseVAE):
             raise ValueError(f"compute_dtype must be float32 or bfloat16, got {cd!r}")
         self.compute_dtype = cd
         dtype = jnp.bfloat16 if cd == "bfloat16" else jnp.float32
+        # Opt-in encoder downsampling mode: "max" (reference), "avg",
+        # "stride" — the latter two CHANGE the model (docs/DEVIATIONS.md)
+        # and exist as measured speed levers for HBM-bound configs.
+        pool = kwargs.get("pool", "max")
+        if pool not in ("max", "avg", "stride"):
+            raise ValueError(f"pool must be max, avg or stride, got {pool!r}")
+        self.pool = pool
 
         self.encoder_net = convEncoderNet(
             self.input_dim, latent_dim, hidden_dim_e, batchnorm, activation,
-            softplus_out=True, dtype=dtype)
+            softplus_out=True, dtype=dtype, pool=pool)
         self.decoder_net = convDecoderNet(
             self.output_dim, latent_dim, output_channels, hidden_dim_d,
             batchnorm, activation, sigmoid_out=sigmoid_d, dtype=dtype)

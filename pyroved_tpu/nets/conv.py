@@ -48,6 +48,13 @@ def _max_pool(x: Array, ndim: int) -> Array:
     return nn.max_pool(x, window_shape=(2,) * ndim, strides=(2,) * ndim)
 
 
+def _avg_pool(x: Array, ndim: int) -> Array:
+    # Opt-in alternative (pool="avg"): the backward is a broadcast-scale
+    # instead of maxpool's select-and-scatter — cheaper on HBM-bound
+    # configs, but it CHANGES the model (docs/DEVIATIONS.md round-3 row).
+    return nn.avg_pool(x, window_shape=(2,) * ndim, strides=(2,) * ndim)
+
+
 def _default_enc_filters(f):
     return tuple(tuple(b) for b in f) if f is not None else ((32,), (64, 64), (128, 128))
 
@@ -88,23 +95,36 @@ class FeatureExtractor(nn.Module):
     activation: str = "lrelu"
     pool_last: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Downsampling mode between blocks. "max" is the reference model
+    # (nets/conv.py:170-193). "avg" and "stride" are opt-in MODEL CHANGES
+    # (docs/DEVIATIONS.md): "avg" swaps in average pooling (cheap backward);
+    # "stride" drops the pool and runs the block's LAST conv at stride 2
+    # (one fewer full-resolution activation tensor per block).
+    pool: str = "max"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.pool not in ("max", "avg", "stride"):
+            raise ValueError(
+                f"pool must be 'max', 'avg' or 'stride', got {self.pool!r}")
         act = get_activation(self.activation)
         filters = _default_enc_filters(self.conv_filters)
         n_blocks = len(filters)
         x = x.astype(self.dtype)
         for i, block in enumerate(filters):
-            for ch in block:
-                x = _conv(self.ndim, ch, dtype=self.dtype)(x)
+            downsample = i + 1 < n_blocks or self.pool_last
+            for j, ch in enumerate(block):
+                stride = (2 if (self.pool == "stride" and downsample
+                                and j == len(block) - 1) else 1)
+                x = _conv(self.ndim, ch, strides=stride, dtype=self.dtype)(x)
                 if act is not None:
                     x = act(x)
                 if self.batchnorm:
                     x = nn.BatchNorm(use_running_average=not train,
                                      dtype=self.dtype)(x)
-            if i + 1 < n_blocks or self.pool_last:
-                x = _max_pool(x, self.ndim)
+            if downsample and self.pool != "stride":
+                x = (_max_pool if self.pool == "max" else _avg_pool)(
+                    x, self.ndim)
         return x
 
 
@@ -153,13 +173,14 @@ class convEncoderNet(nn.Module):
     softplus_out: bool = True
     pool_last: bool = False
     dtype: jnp.dtype = jnp.float32
+    pool: str = "max"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
         filters = _default_enc_filters(self.hidden_dim)
         x = FeatureExtractor(len(self.input_dim), filters, self.batchnorm,
                              self.activation, self.pool_last,
-                             dtype=self.dtype)(x, train)
+                             dtype=self.dtype, pool=self.pool)(x, train)
         # latent heads stay f32 regardless of the tower's compute dtype
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         enc = Dense(2 * self.latent_dim, name="features2latent")(x)

@@ -174,8 +174,10 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
                          "(or neither for the automatic choice)")
     if B_T is not None:
         return B_T, max(128, (N_T * 128) // int(H))
+    t = _tuning()
     Hp = _round_up(int(H), 128)
-    rows_max = max(1024, _VMEM_BUDGET // ((int(n_layers) + 4) * Hp * 4))
+    rows_max = max(1024, t.vmem_budget // ((int(n_layers) + 4) * Hp * 4))
+    ovh = t.tile_overhead_rows
     cands = []
     for n_t in range(128, 1025, 128):
         for bt in range(8, 65, 8):
@@ -183,7 +185,7 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
             if rows > rows_max:
                 break
             padded = _round_up(B, bt) * _round_up(N, n_t)
-            cands.append((padded * (rows + 512) / rows, rows, n_t, bt))
+            cands.append((padded * (rows + ovh) / rows, rows, n_t, bt))
     best_cost = min(c[0] for c in cands)
     # Among candidates within 10% modeled cost, the measured tile-shape
     # effects dominate the padding difference: larger tiles win (B=256:
@@ -662,7 +664,136 @@ def fused_profitable(rows: int, n_pixels: int, h_max: int) -> bool:
     """True when the Pallas train path is expected to beat XLA autodiff
     for a decode of ``rows`` latent rows over ``n_pixels`` grid points with
     a (padded) hidden width ``h_max``."""
-    return rows * n_pixels * h_max >= FUSED_MIN_BNH
+    return rows * n_pixels * h_max >= _tuning().fused_min_bnh
+
+
+def calibrate(verbose: bool = False) -> KernelTuning:
+    """Measure THIS TPU generation once and register a tuning for it.
+
+    For device kinds without a ``DEVICE_TUNINGS`` entry the module routes
+    everything to XLA (correct but leaves kernel speedups on the table).
+    This opt-in probe mirrors how the v5e entry was derived, at calibration
+    cost of a handful of compiles (minutes on a cold compile cache):
+
+    1. **VMEM row budget** — the largest backward-tile working set that
+       actually compiles and runs (probed descending from 32 MB).
+    2. **Train-path crossover** (``fused_min_bnh``) — XLA autodiff vs the
+       fused Pallas backward at a below-cliff and an above-cliff shape.
+    3. **Forward crossover** (``xla_fwd_max_bn``) — XLA vs Pallas forward
+       at a large pad-free shape.
+
+    Registers the result under the current ``device_kind`` (which opens the
+    model-level fusion gate, :func:`sdecoder_supports_fusion`) and returns
+    it. Thresholds are coarse on purpose: routing only needs the right side
+    of each crossover, not the exact knee.
+    """
+    import time as _time
+    global B_T, N_T
+    H, nl = 128, 2
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 12)
+
+    def weights(L=2):
+        return (jax.random.normal(ks[0], (2, H)) * 0.1,      # Wc
+                jnp.zeros((H,)),                              # bc
+                jax.random.normal(ks[1], (L, H)) * 0.1,       # Wz
+                jax.random.normal(ks[2], (nl, H, H)) * 0.05,  # hw
+                jnp.zeros((nl, H)),                           # hb
+                jax.random.normal(ks[3], (H, 1)) * 0.1,       # wout
+                jnp.zeros(()))                                # bout
+
+    def batch(B, N):
+        return (jax.random.normal(ks[4], (N, 2)),
+                jax.random.normal(ks[5], (B,)) * 0.1,
+                jax.random.normal(ks[6], (B, 2)) * 0.1,
+                1.0 + jax.random.normal(ks[7], (B,)) * 0.05,
+                jax.random.normal(ks[8], (B, 2)))
+
+    def timed(fn, *args):
+        fn(*args)  # compile + warm
+        t0 = _time.perf_counter()
+        for _ in range(10):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (_time.perf_counter() - t0) / 10
+
+    # 1. VMEM budget: force 8-row tiles of descending widths through the
+    # Pallas backward until one compiles and runs.
+    grid_b, phi_b, dx_b, sc_b, z_b = batch(64, 8192)
+    w = weights()
+    vmem = _CONSERVATIVE_TUNING.vmem_budget
+    pallas_bwd_ok = False
+    for budget in (32, 24, 16, 12, 8):
+        budget_b = budget * 1024 * 1024
+        rows = budget_b // ((nl + 4) * H * 4)
+        n_t = min(1024, max(128, (rows // 8) // 128 * 128))
+        try:
+            B_T, N_T = 8, n_t
+            g = jax.jit(jax.grad(lambda z: jnp.sum(fused_spatial_decoder(
+                grid_b, phi_b, dx_b, sc_b, z, *w))))
+            jax.block_until_ready(g(z_b))
+            vmem, pallas_bwd_ok = budget_b, True
+            break
+        except Exception as e:  # compile/VMEM failure: shrink and retry
+            if verbose:
+                print(f"calibrate: {budget} MB tile failed ({type(e).__name__})")
+        finally:
+            B_T = N_T = None
+    if verbose:
+        print(f"calibrate: vmem_budget = {vmem // (1024*1024)} MB")
+    if not pallas_bwd_ok:  # kernel unusable here: stay conservative
+        t = _CONSERVATIVE_TUNING
+        DEVICE_TUNINGS.pop(_device_kind(), None)
+        warnings.warn("calibrate(): the Pallas backward failed to compile "
+                      "at every probed tile size; keeping pure-XLA routing.")
+        return t
+    trial = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=float("inf"),
+                         pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
+    # Register the trial so _select_tiles sees the probed budget below.
+    DEVICE_TUNINGS[_device_kind()] = trial
+
+    # 2. Train-path crossover at N=784 (the flagship grid): BNH ~ 6.4M
+    # (below the v5e cliff) and ~ 20M (above it).
+    def xla_grad(B, N):
+        grid, phi, dx, sc, z = batch(B, N)
+        f = jax.jit(jax.grad(lambda zz: jnp.sum(_xla_forward(
+            grid, phi, dx, sc, zz, *w, "tanh", True))))
+        return timed(f, z)
+
+    def pallas_grad(B, N):
+        grid, phi, dx, sc, z = batch(B, N)
+        # the custom-VJP op: routed forward + the Pallas backward kernel
+        f = jax.jit(jax.grad(lambda zz: jnp.sum(fused_spatial_decoder(
+            grid, phi, dx, sc, zz, *w))))
+        return timed(f, z)
+
+    lo_bnh, hi_bnh = 64 * 784 * H, 200 * 784 * H
+    pallas_lo = pallas_grad(64, 784) < xla_grad(64, 784)
+    pallas_hi = pallas_grad(200, 784) < xla_grad(200, 784)
+    if pallas_lo and pallas_hi:
+        fused_min = lo_bnh // 2
+    elif pallas_hi:
+        fused_min = int((lo_bnh * hi_bnh) ** 0.5)
+    else:
+        fused_min = float("inf")
+    if verbose:
+        print(f"calibrate: fused_min_bnh = {fused_min}")
+
+    # 3. Forward crossover at a pad-free 512k-element shape.
+    grid_f, phi_f, dx_f, sc_f, z_f = batch(32, 16384)
+    t_xla = timed(jax.jit(lambda z: _xla_forward(
+        grid_f, phi_f, dx_f, sc_f, z, *w, "tanh", True)), z_f)
+    t_pal = timed(jax.jit(lambda z: _fwd(
+        grid_f, phi_f, dx_f, sc_f, z, *w)), z_f)
+    fwd_max = (1 << 19) if t_pal < t_xla else float("inf")
+    if verbose:
+        print(f"calibrate: xla_fwd_max_bn = {fwd_max} "
+              f"(xla {t_xla*1e6:.0f} us vs pallas {t_pal*1e6:.0f} us)")
+
+    t = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=fwd_max,
+                     pallas_fwd_max_pad=1.1, fused_min_bnh=fused_min)
+    DEVICE_TUNINGS[_device_kind()] = t
+    return t
 
 
 def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
@@ -691,9 +822,10 @@ def _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
 def _forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
              act, sigmoid_out):
     B, N = z.shape[0], grid.shape[0]
+    t = _tuning()
     tiles = _select_tiles(B, N, Wc.shape[1], hw.shape[0])
     padded = _round_up(B, tiles[0]) * _round_up(N, tiles[1])
-    if B * N < XLA_FWD_MAX_BN or padded > PALLAS_FWD_MAX_PAD * B * N:
+    if B * N < t.xla_fwd_max_bn or padded > t.pallas_fwd_max_pad * B * N:
         return _xla_forward(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout,
                             bout, act, sigmoid_out)
     return _fwd(grid, phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout,
@@ -762,7 +894,10 @@ def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
             and activation in ("tanh", "relu")
             and 1 <= int(channels) <= 4
             and _fusion_work_ok(hidden)
-            and jax.devices()[0].platform == "tpu")
+            and jax.devices()[0].platform == "tpu"
+            # unknown TPU generations route to XLA until a tuning exists
+            # (register one in DEVICE_TUNINGS or run calibrate())
+            and _device_kind() in DEVICE_TUNINGS)
 
 
 def _padded_sdecoder_weights(dec_params):

@@ -17,7 +17,7 @@ trained parameters baked in as constants.
   bytes) — no pickle, so loading an untrusted file cannot execute code.
 """
 import json
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -25,19 +25,32 @@ import numpy as np
 from jax import export as jexport
 
 
-def _exported(fn, example_args, platforms):
-    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args]
+def _exported(fn, specs, platforms):
+    specs = [a if isinstance(a, jax.ShapeDtypeStruct)
+             else jax.ShapeDtypeStruct(a.shape, a.dtype) for a in specs]
     return jexport.export(jax.jit(fn), platforms=platforms)(*specs)
 
 
-def export_model(model, path: str, batch_size: int = 256,
+def export_model(model, path: str,
+                 batch_size: Union[int, None] = None,
                  platforms: Optional[Sequence[str]] = None) -> None:
-    """Serialize the model's inference functions for serving at a fixed
-    batch size (see module docstring for the exported surface)."""
+    """Serialize the model's inference functions for serving (see module
+    docstring for the exported surface).
+
+    By default the batch dimension is exported SYMBOLIC (``jax.export``
+    shape polymorphism): one artifact serves any batch size, compiling
+    once per distinct concrete size at serve time (:class:`ServedModel`
+    pads to power-of-two buckets to bound that to ~log2(max_batch)
+    compiles). Pass an integer ``batch_size`` for a fixed-shape export —
+    a single ahead-of-time shape, inputs padded/chunked to it."""
     params = model.params
 
     arts = {}
-    x_spec = jnp.zeros((batch_size,) + tuple(model.data_dim), jnp.float32)
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    x_spec = jax.ShapeDtypeStruct((b,) + tuple(model.data_dim), jnp.float32)
     cond_dim = int(getattr(model, "c_dim", 0))
 
     if "encoder_y" in params:
@@ -45,7 +58,7 @@ def export_model(model, path: str, batch_size: int = 256,
         # auto-regress step in, matching model.encode's label-free call
         # (reference ``ssivae.py:282-307``).
         def enc(x):
-            xf = x.reshape(batch_size, -1)
+            xf = x.reshape((x.shape[0], -1))
             y = model.encoder_y_net.apply({"params": params["encoder_y"]}, xf)
             if hasattr(model, "num_classes"):
                 y = jax.nn.one_hot(jnp.argmax(y, -1), model.num_classes,
@@ -57,21 +70,21 @@ def export_model(model, path: str, batch_size: int = 256,
     elif cond_dim > 0:
         def enc(x, y):
             return model.encoder_net.apply({"params": params["encoder_z"]},
-                                           x.reshape(batch_size, -1), y)
+                                           x.reshape((x.shape[0], -1)), y)
 
-        y_spec = jnp.zeros((batch_size, cond_dim), jnp.float32)
+        y_spec = jax.ShapeDtypeStruct((b, cond_dim), jnp.float32)
         arts["encode"] = _exported(enc, (x_spec, y_spec), platforms).serialize()
     else:
         def enc(x):
             return model.encoder_net.apply({"params": params["encoder_z"]},
-                                           x.reshape(batch_size, -1))
+                                           x.reshape((x.shape[0], -1)))
 
         arts["encode"] = _exported(enc, (x_spec,), platforms).serialize()
 
     zdim = getattr(model, "latent_dim", 0) + getattr(model, "c_dim", 0) \
         + getattr(model, "num_classes", 0) + getattr(model, "reg_dim", 0) \
         + getattr(model, "discrete_dim", 0)
-    z_spec = jnp.zeros((batch_size, zdim), jnp.float32)
+    z_spec = jax.ShapeDtypeStruct((b, zdim), jnp.float32)
 
     if getattr(model, "coord", 0) == 0 and hasattr(model, "latent_dim"):
         def dec(z):
@@ -97,7 +110,7 @@ def export_model(model, path: str, batch_size: int = 256,
     if "encoder_y" in params:
         def head(x):
             return model.encoder_y_net.apply({"params": params["encoder_y"]},
-                                             x.reshape(batch_size, -1))
+                                             x.reshape((x.shape[0], -1)))
 
         head_name = "classify" if hasattr(model, "num_classes") else "regress"
         arts[head_name] = _exported(head, (x_spec,), platforms).serialize()
@@ -120,7 +133,11 @@ def export_model(model, path: str, batch_size: int = 256,
 
 class ServedModel:
     """Loads an :func:`export_model` artifact and serves its functions.
-    Inputs are padded/truncated to the exported batch size."""
+
+    Symbolic-batch artifacts (the default export) accept any batch size;
+    inputs are padded up to the next power-of-two bucket (min 8) so serve
+    traffic with ragged sizes triggers at most ~log2(max_batch) compiles.
+    Fixed-batch artifacts are chunked/padded to their exported size."""
 
     def __init__(self, path: str):
         with np.load(path, allow_pickle=False) as archive:
@@ -135,19 +152,31 @@ class ServedModel:
                 archive[f"fn_{name}"].tobytes())
                 for name in manifest["functions"]}
 
+    @staticmethod
+    def _pad_to(chunks, size):
+        pad = size - chunks[0].shape[0]
+        if pad:
+            chunks = [jnp.concatenate(
+                [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
+                for c in chunks]
+        return chunks, pad
+
     def _run_batched(self, name: str, batched, extra=()):
         """Run an exported fn over ``batched`` (tuple of batch-aligned
         arrays, padded per chunk) with trailing non-batched ``extra`` args."""
         fn = self._fns[name]
         n = batched[0].shape[0]
+        if self.batch_size is None:  # symbolic batch: one bucketed call
+            bucket = max(8, 1 << max(n - 1, 0).bit_length())
+            chunks, pad = self._pad_to(list(batched), bucket)
+            res = fn.call(*chunks, *extra)
+            res = res if isinstance(res, tuple) else (res,)
+            out = tuple(r[:n] for r in res)
+            return out if len(out) > 1 else out[0]
         outs = []
         for start in range(0, n, self.batch_size):
             chunks = [b[start:start + self.batch_size] for b in batched]
-            pad = self.batch_size - chunks[0].shape[0]
-            if pad:
-                chunks = [jnp.concatenate(
-                    [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
-                    for c in chunks]
+            chunks, pad = self._pad_to(chunks, self.batch_size)
             res = fn.call(*chunks, *extra)
             res = res if isinstance(res, tuple) else (res,)
             outs.append(tuple(r[: self.batch_size - pad] if pad else r

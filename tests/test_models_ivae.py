@@ -188,7 +188,7 @@ def test_multichannel_fused_matches_xla(monkeypatch):
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
     monkeypatch.setattr(sd, "FUSED_MIN_BNH", 0)  # tiny test shapes
     monkeypatch.setattr(sd.jax, "devices",
-                        lambda: [types.SimpleNamespace(platform="tpu")])
+                        lambda: [types.SimpleNamespace(platform="tpu", device_kind="TPU v5 lite")])
     x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D + (3,)).astype(np.float32)
     m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3, fused=False)
     m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3)

@@ -136,7 +136,8 @@ def test_supports_fusion_gate():
     import types
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(sd.jax, "devices",
-                   lambda: [types.SimpleNamespace(platform="tpu")])
+                   lambda: [types.SimpleNamespace(platform="tpu",
+                                                  device_kind="TPU v5 lite")])
         assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
         assert sd.sdecoder_supports_fusion((128, 64), "tanh", True, 1)  # pads to 128
         assert sd.sdecoder_supports_fusion((128, 128), "relu", True, 1)
@@ -299,7 +300,8 @@ def test_approx_tanh_model_kwarg():
     from pyroved_tpu.models import iVAE
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(sd.jax, "devices",
-                   lambda: [types.SimpleNamespace(platform="tpu")])
+                   lambda: [types.SimpleNamespace(platform="tpu",
+                                                  device_kind="TPU v5 lite")])
         m = iVAE((8, 8), invariances=["r"], approx_tanh=True)
         assert m._fused and m._dec_act == "tanh_approx"
     # CPU: fusion gate off -> approx flag must NOT leak into the XLA path
@@ -562,7 +564,8 @@ def test_model_ctor_wires_padded_gate(monkeypatch):
     """iVAE's fusion decision must follow the padding-aware gate."""
     import types
     monkeypatch.setattr(sd.jax, "devices",
-                        lambda: [types.SimpleNamespace(platform="tpu")])
+                        lambda: [types.SimpleNamespace(platform="tpu",
+                                                       device_kind="TPU v5 lite")])
     from pyroved_tpu.models import iVAE
     assert iVAE((8, 8), invariances=["r"], hidden_dim_d=[256, 128])._fused
     assert iVAE((8, 8), invariances=["r"], hidden_dim_d=[100, 60])._fused
@@ -588,3 +591,64 @@ def test_padded_fusion_enumerated_batch():
                                   jnp.zeros((K, B, 2)), jnp.ones((K, B)), z)
     assert out.shape == (K, B, N)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_unknown_tpu_generation_routes_safely():
+    """On a TPU generation without a DEVICE_TUNINGS entry (VERDICT r2 weak
+    #3): the model-level fusion gate stays closed, routing thresholds fall
+    back to the conservative always-XLA entry, and a registered tuning
+    (what calibrate() produces) opens the gate."""
+    import types
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sd.jax, "devices",
+                   lambda: [types.SimpleNamespace(platform="tpu",
+                                                  device_kind="TPU v99")])
+        mp.setattr(sd, "_warned_unknown", False)
+        for name, val in sd._DEFAULTS.items():  # undo the autouse overrides
+            mp.setattr(sd, name, val)
+        with pytest.warns(UserWarning, match="calibrate"):
+            t = sd._tuning()
+        assert t.fused_min_bnh == float("inf")      # train path -> XLA
+        assert t.xla_fwd_max_bn == float("inf")     # forward -> XLA
+        assert t.vmem_budget == 8 * 1024 * 1024     # halved direct-call budget
+        assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
+        assert not sd.fused_profitable(200, 784, 128)  # above the v5e cliff
+        # a registered tuning (calibrate()'s output) opens the gate
+        mp.setitem(sd.DEVICE_TUNINGS, "TPU v99", sd._V5E_TUNING)
+        assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
+        assert sd.fused_profitable(200, 784, 128)
+
+
+def test_module_global_overrides_beat_platform_table():
+    """Explicit monkeypatches of the module thresholds (tests, dryrun,
+    experiments) must win over the per-platform resolution."""
+    import types
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sd.jax, "devices",
+                   lambda: [types.SimpleNamespace(platform="tpu",
+                                                  device_kind="TPU v99")])
+        mp.setattr(sd, "_warned_unknown", True)
+        mp.setattr(sd, "FUSED_MIN_BNH", 0)
+        assert sd.fused_profitable(1, 1, 1)  # override, not the inf fallback
+        mp.setattr(sd, "_VMEM_BUDGET", 4 * 1024 * 1024)
+        assert sd._tuning().vmem_budget == 4 * 1024 * 1024
+
+
+def test_calibrate_smoke_interpret(monkeypatch):
+    """calibrate() end-to-end in interpret mode on a simulated unknown TPU:
+    must register a tuning for the device kind and open the fusion gate.
+    (Timings are meaningless on CPU; only the control flow is under test.)"""
+    import types
+    monkeypatch.setattr(sd, "INTERPRET", True)
+    monkeypatch.setattr(sd, "BF16_MATMUL", False)
+    monkeypatch.setattr(
+        sd.jax, "devices",
+        lambda: [types.SimpleNamespace(platform="tpu",
+                                       device_kind="TPU fake-gen")])
+    monkeypatch.setattr(sd, "_warned_unknown", True)
+    try:
+        t = sd.calibrate(verbose=False)
+    finally:
+        sd.DEVICE_TUNINGS.pop("TPU fake-gen", None)
+    assert isinstance(t, sd.KernelTuning)
+    assert t.vmem_budget >= 8 * 1024 * 1024
