@@ -1,0 +1,131 @@
+"""Streaming-at-scale benchmark (VERDICT r2 next-step #7): train the
+flagship rVAE from a MEMMAPPED synthetic dataset larger than any sane
+device residency, and measure what the streaming stack actually delivers.
+
+Dataset: float32 [N, 28, 28] written once to a .npy memmap (default
+N=1.4M -> ~4.4 GB; HBM on one v5e is 16 GB but the point is the
+beyond-residency PATH, and the file never fully enters host RAM either).
+
+Variants measured (same model, same batch size, steps/s over one pass):
+
+  resident   device-resident scan-epoch path on a small slice (the upper
+             bound the streaming path is judged against)
+  sync       DataLoader(device_resident=False): gather_rows + upload per
+             step, no overlap
+  prefetch   same + utils.data.prefetch (GIL-releasing producer thread)
+  pipeline   native.BatchPipeline ring buffer, zero-copy consume
+
+Usage: python benchmarks/streaming_scale.py [--rows 1400000]
+       [--steps 2000] [--file /tmp/pvt_stream.npy]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyroved_tpu as pv  # noqa: E402
+
+DATA_DIM = (28, 28)
+BATCH = 200
+
+
+def build_memmap(path: str, rows: int) -> np.ndarray:
+    """Create (or reuse) the on-disk dataset; returns a read-only memmap."""
+    if not os.path.exists(path):
+        print(f"writing {rows} rows (~{rows * 784 * 4 / 1e9:.1f} GB) "
+              f"to {path}", flush=True)
+        out = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.float32, shape=(rows,) + DATA_DIM)
+        rng = np.random.default_rng(0)
+        chunk = 50_000
+        for s in range(0, rows, chunk):
+            e = min(s + chunk, rows)
+            out[s:e] = rng.uniform(0, 1, (e - s,) + DATA_DIM).astype(np.float32)
+        out.flush()
+        del out
+    return np.load(path, mmap_mode="r")
+
+
+def _steps_per_sec(trainer, stream, n_steps):
+    """Drive the trainer's streaming path over ``stream`` for n_steps."""
+    import itertools
+    t0 = time.perf_counter()
+    trainer.train(itertools.islice(stream, n_steps))
+    return n_steps / (time.perf_counter() - t0)
+
+
+def batches_sync(data, n_steps, seed=0):
+    from pyroved_tpu.native import gather_rows
+    from pyroved_tpu.native import shuffle_indices
+    order = shuffle_indices(data.shape[0], seed, 0)
+    for i in range(n_steps):
+        sl = order[i * BATCH:(i + 1) * BATCH]
+        yield (gather_rows(np.asarray(data, copy=False), sl),)
+
+
+def batches_pipeline(pipe, n_steps):
+    for _ in range(n_steps):
+        yield (pipe.next(copy=False),)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_400_000)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--file", default="/tmp/pvt_stream.npy")
+    args = ap.parse_args(argv)
+    pv.utils.profiling.enable_compilation_cache()
+
+    data = build_memmap(args.file, args.rows)
+    results = {}
+
+    # resident reference on a 10k slice (flagship-scale residency)
+    model = pv.models.iVAE(DATA_DIM, latent_dim=2, invariances=["r"], seed=1)
+    small = np.asarray(data[:10_000])
+    loader = pv.utils.init_dataloader(small, batch_size=BATCH)
+    trainer = pv.trainers.SVItrainer(model)
+    trainer.train(loader)  # compile
+    t0 = time.perf_counter()
+    trainer.train(loader)
+    results["resident"] = len(loader) / (time.perf_counter() - t0)
+
+    def fresh():
+        m = pv.models.iVAE(DATA_DIM, latent_dim=2, invariances=["r"], seed=1)
+        return pv.trainers.SVItrainer(m)
+
+    tr = fresh()
+    _steps_per_sec(tr, batches_sync(data, 60), 50)  # compile streaming step
+    results["sync"] = _steps_per_sec(tr, batches_sync(data, args.steps),
+                                     args.steps)
+
+    tr = fresh()
+    stream = pv.utils.data.prefetch(batches_sync(data, args.steps + 60,
+                                                 seed=1), size=4)
+    _steps_per_sec(tr, stream, 50)
+    results["prefetch"] = _steps_per_sec(tr, stream, args.steps)
+
+    pipe = pv.native.BatchPipeline(np.asarray(data, copy=False), BATCH, seed=2)
+    try:
+        tr = fresh()
+        _steps_per_sec(tr, batches_pipeline(pipe, 60), 50)
+        results["pipeline"] = _steps_per_sec(
+            tr, batches_pipeline(pipe, args.steps), args.steps)
+    finally:
+        pipe.close()
+
+    print(f"\nstreaming-at-scale ({args.rows} rows, "
+          f"{args.rows * 784 * 4 / 1e9:.1f} GB memmap, bs={BATCH}, "
+          f"{args.steps} timed steps):")
+    for k, v in results.items():
+        rel = v / results["resident"]
+        print(f"  {k:9s} {v:7.1f} steps/s ({v * BATCH:8.0f} img/s) "
+              f"= {rel:5.1%} of resident")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,13 +45,15 @@ def run_variant(tag: str, profile: bool = False) -> float:
     loader = pv.utils.init_dataloader(x, y, batch_size=BATCH)
     trainer = pv.trainers.SVItrainer(model)
     nb = len(loader)
-    trainer.run(loader, 1, scale_factor=4)  # compile + warm
+    # warm with the SAME epoch count (a fused run compiles per trip count;
+    # tunneled compiles cost minutes, so don't pay for a second shape)
+    trainer.run(loader, EPOCHS, scale_factor=4)
     if profile:
         import jax
         outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "profiles", f"ved_{tag.replace(':', '_')}")
         with jax.profiler.trace(outdir):
-            trainer.run(loader, 2, scale_factor=4)
+            trainer.run(loader, EPOCHS, scale_factor=4)
         print(f"  trace -> {outdir}")
     t0 = time.perf_counter()
     losses = trainer.run(loader, EPOCHS, scale_factor=4)

@@ -311,3 +311,28 @@ def test_fusion_gate_rechecked_on_reshard():
         trainer.train(loader)
     assert model._fused is False
     assert trainer._train_epoch_jit is not built  # retraced, not stale
+
+
+def test_streaming_path_matches_device_resident_exactly():
+    """The streaming (per-batch upload) path must train to the SAME loss
+    and parameters as the device-resident scan path: same shuffle (seed,
+    epoch)-keyed permutation, same per-step RNG chain, and zero-weight
+    padding makes the differing pad rows (zeros vs row 0) gradient-inert
+    (VERDICT r2 next-step #7 regression guard)."""
+    x = _rand_imgs(52)  # deliberately not a multiple of the batch size
+
+    def run(resident):
+        m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+        t = SVItrainer(m, seed=9)
+        loader = init_dataloader(x, batch_size=16, seed=3,
+                                 device_resident=resident)
+        losses = [t.train(loader) for _ in range(3)]
+        return losses, m.params
+
+    l_res, p_res = run(True)
+    l_str, p_str = run(False)
+    np.testing.assert_allclose(l_res, l_str, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_res),
+                    jax.tree_util.tree_leaves(p_str)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6,
+                                   atol=1e-7)
