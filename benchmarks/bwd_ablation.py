@@ -126,7 +126,7 @@ def _variant_kernel(n_layers, mode, *refs):
         dz_ref[:] += jnp.sum(hs[-1])
         return
 
-    # ---- full backprop (modes: full, no_breduce) ----
+    # ---- full backprop (modes: full, full_dg, no_breduce) ----
     logit = jnp.sum(hf * wout_ref[0:1, :], axis=-1) + bout_ref[0, 0]
     out = jax.nn.sigmoid(logit)
     dl2 = g_ref[:] * out * (1.0 - out)
@@ -134,12 +134,33 @@ def _variant_kernel(n_layers, mode, *refs):
     dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
     dwout_ref[0:1, :] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
     dh = dl_bn * wout_ref[0:1, :]
+
+    def mm_at_b(a, b):
+        """a^T @ b without materializing the [H, BN] transpose: contract
+        the sublane (row) axis of both operands directly on the MXU."""
+        if sd.BF16_MATMUL:
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def mm_bt(a, b):
+        """a @ b^T via lane-axis contraction (A B^T MXU form)."""
+        if sd.BF16_MATMUL:
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
     for l in range(n_layers - 1, -1, -1):
         post = hs[l + 1]
         d_pre = dh * (1.0 - post * post)
-        dhw_ref[l] += sd._mxu_dot(hs[l].T, d_pre)
-        dhb_ref[l] += jnp.sum(d_pre, axis=0)
-        dh = sd._mxu_dot(d_pre, hw_ref[l].T)
+        if mode == "full_dg":
+            dhw_ref[l] += mm_at_b(hs[l], d_pre)
+            dhb_ref[l] += jnp.sum(d_pre, axis=0)
+            dh = mm_bt(d_pre, hw_ref[l])
+        else:
+            dhw_ref[l] += sd._mxu_dot(hs[l].T, d_pre)
+            dhb_ref[l] += jnp.sum(d_pre, axis=0)
+            dh = sd._mxu_dot(d_pre, hw_ref[l].T)
     h0f = hs[0]
     d0 = dh * (1.0 - h0f * h0f)
 
@@ -290,7 +311,8 @@ def main(argv=None):
     print(f"backward ablation at B={args.B} N={args.N} H={args.H} "
           f"nl={args.layers} (chain {CHAIN_LEN}):")
     t = {}
-    for mode in ("dma_floor", "fwd_noact", "fwd_remat", "no_breduce", "full"):
+    for mode in ("dma_floor", "fwd_noact", "fwd_remat", "no_breduce", "full",
+                 "full_dg"):
         t[mode] = time_variant(mode, args.B, args.N, args.H,
                                n_layers=args.layers)
     print("\nattribution:")
@@ -299,6 +321,8 @@ def main(argv=None):
           f"(tanh part {t['fwd_remat'] - t['fwd_noact']:+.1f})")
     print(f"  backprop half             : {t['full'] - t['fwd_remat']:8.1f} us")
     print(f"  per-batch reduce loop     : {t['full'] - t['no_breduce']:8.1f} us")
+    print(f"  transpose-free dot_general: {t['full_dg']:8.1f} us "
+          f"({t['full'] - t['full_dg']:+.1f} vs full)")
     # MXU-bound reference: fwd 3 matmul-equivalents, bwd ~2x fwd
     return 0
 

@@ -65,11 +65,40 @@ def run_variant(tag: str, profile: bool = False) -> float:
     return sps
 
 
+def convergence_check(epochs=60):
+    """The model-changing pool modes must LEARN comparably, not just run
+    fast: train each on structured synthetic im2spec data (gaussian-blob
+    images whose position parameterizes a peaked spectrum) and report the
+    converged loss side by side."""
+    rng = np.random.default_rng(3)
+    n, d, L = 600, 64, 512
+    cy, cx = rng.uniform(0.2, 0.8, (2, n))
+    yy, xx = np.mgrid[0:d, 0:d] / d
+    imgs = np.exp(-(((yy[None] - cy[:, None, None]) ** 2
+                     + (xx[None] - cx[:, None, None]) ** 2) / 0.01))
+    t = np.arange(L) / L
+    spec = np.exp(-((t[None] - cx[:, None]) ** 2) / (0.002 + 0.01 * cy[:, None] ** 2))
+    imgs, spec = imgs.astype(np.float32), spec.astype(np.float32)
+    finals = {}
+    for pool in ("max", "avg", "stride"):
+        m = pv.models.VED((d, d), (L,), compute_dtype="bfloat16", pool=pool,
+                          seed=1)
+        loader = pv.utils.init_dataloader(imgs, spec, batch_size=50)
+        tr = pv.trainers.SVItrainer(m)
+        losses = tr.run(loader, epochs, scale_factor=4)
+        finals[pool] = (losses[0], losses[-1])
+        print(f"  pool={pool:6s} loss {losses[0]:.2f} -> {losses[-1]:.2f}",
+              flush=True)
+    return finals
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("variants", nargs="*",
                     default=["f32:max", "bf16:max", "bf16:avg", "bf16:stride"])
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="also run the pool-mode convergence comparison")
     args = ap.parse_args(argv)
     pv.utils.profiling.enable_compilation_cache()
     results = {}
@@ -79,6 +108,9 @@ def main(argv=None):
     if base:
         for tag, sps in results.items():
             print(f"  {tag}: {sps / base:.2f}x vs bf16:max")
+    if args.check:
+        print("convergence (structured synthetic im2spec, 64x64 -> 512):")
+        convergence_check()
     return 0
 
 

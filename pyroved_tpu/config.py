@@ -113,6 +113,7 @@ class VEDConfig:
     decoder_sig: float = 0.5
     kl: str = "mc"
     compute_dtype: str = "float32"
+    pool: str = "max"
     extra: Optional[dict] = None
 
     def __post_init__(self):
@@ -123,6 +124,7 @@ class VEDConfig:
         _validate_choice("kl", self.kl, ("mc", "analytic"))
         _validate_choice("compute_dtype", self.compute_dtype,
                          ("float32", "bfloat16"))
+        _validate_choice("pool", self.pool, ("max", "avg", "stride"))
 
     def build(self) -> "models.VED":
         return models.VED(**_clean(self))

@@ -230,6 +230,14 @@ def _mxu_dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+# NOTE on the backward's transposed matmuls (hs.T @ d_pre, d_pre @ hw.T):
+# a transpose-free dot_general formulation (contracting sublane/lane axes
+# directly, MXU A^T B / A B^T forms) measured -4% on the isolated ablation
+# harness (benchmarks/bwd_ablation.py, full_dg) but REGRESSED the flagship
+# end-to-end by ~7% (1380 -> 1288 steps/s) — Mosaic schedules the explicit
+# .T better inside the full epoch-scan pipeline. Dropped; keep the .T form.
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -753,19 +761,29 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     DEVICE_TUNINGS[_device_kind()] = trial
 
     # 2. Train-path crossover at N=784 (the flagship grid): BNH ~ 6.4M
-    # (below the v5e cliff) and ~ 20M (above it).
+    # (below the v5e cliff) and ~ 20M (above it). The probe loss is shaped
+    # like the real train objective — Bernoulli reconstruction with
+    # gradients for EVERY weight (the expensive dhw accumulations), not a
+    # sum-of-output toy — so the crossover reflects the production path.
+    def _recon(out, x):
+        eps = 1e-7
+        return -jnp.sum(x * jnp.log(out + eps)
+                        + (1 - x) * jnp.log(1 - out + eps))
+
     def xla_grad(B, N):
         grid, phi, dx, sc, z = batch(B, N)
-        f = jax.jit(jax.grad(lambda zz: jnp.sum(_xla_forward(
-            grid, phi, dx, sc, zz, *w, "tanh", True))))
-        return timed(f, z)
+        x = jax.random.uniform(ks[9], (B, N))
+        f = jax.jit(jax.grad(lambda args: _recon(_xla_forward(
+            grid, phi, dx, sc, args[0], *args[1], "tanh", True), x)))
+        return timed(f, (z, w))
 
     def pallas_grad(B, N):
         grid, phi, dx, sc, z = batch(B, N)
+        x = jax.random.uniform(ks[9], (B, N))
         # the custom-VJP op: routed forward + the Pallas backward kernel
-        f = jax.jit(jax.grad(lambda zz: jnp.sum(fused_spatial_decoder(
-            grid, phi, dx, sc, zz, *w))))
-        return timed(f, z)
+        f = jax.jit(jax.grad(lambda args: _recon(fused_spatial_decoder(
+            grid, phi, dx, sc, args[0], *args[1]), x)))
+        return timed(f, (z, w))
 
     lo_bnh, hi_bnh = 64 * 784 * H, 200 * 784 * H
     pallas_lo = pallas_grad(64, 784) < xla_grad(64, 784)

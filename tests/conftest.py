@@ -5,16 +5,42 @@ Note: the axon TPU plugin registers itself via sitecustomize and overrides
 the JAX_PLATFORMS env var, so the platform must be forced through
 jax.config (before any device is touched). A persistent compilation cache
 keeps repeat test runs fast.
+
+Set ``PVT_TEST_PLATFORM=tpu`` to run the suite against the real TPU chip
+instead (VERDICT r3 task #10): no platform forcing, no virtual-device
+flag — tests that need multi-device sharding self-skip when fewer devices
+exist, and the platform-simulation tests monkeypatch their own devices.
 """
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+_ON_TPU = os.environ.get("PVT_TEST_PLATFORM", "").lower() == "tpu"
+
+if not _ON_TPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/pvt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def pytest_collection_modifyitems(config, items):
+    """On the real chip (1 device), skip tests that require the 8-device
+    mesh; everything else runs on TPU as-is."""
+    if not _ON_TPU or len(jax.devices()) >= 8:
+        return
+    import pytest
+    skip = pytest.mark.skip(
+        reason="needs >= 8 devices (virtual CPU mesh); single real chip")
+    needles = ("mesh", "multichip", "parallel", "dp_", "_dp", "shard",
+               "tensor_parallel", "spatial_sharding")
+    for item in items:
+        name = item.nodeid.lower()
+        if any(n in name for n in needles):
+            item.add_marker(skip)

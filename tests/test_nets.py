@@ -178,3 +178,36 @@ def test_dim_registries():
     assert get_bnorm(3) is not None
     with _pytest.raises(KeyError):
         get_conv(4)
+
+
+def test_feature_extractor_pool_modes():
+    """pool='avg'/'stride' (opt-in model changes) must downsample exactly
+    like the reference maxpool tower and reject unknown modes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from pyroved_tpu.nets.conv import FeatureExtractor
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 1)),
+                    jnp.float32)
+    shapes = {}
+    for pool in ("max", "avg", "stride"):
+        net = FeatureExtractor(2, ((8,), (16, 16)), pool=pool)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        out = net.apply(variables, x)
+        shapes[pool] = out.shape
+    assert shapes["max"] == shapes["avg"] == shapes["stride"] == (2, 4, 4, 16)
+    with pytest.raises(ValueError, match="pool"):
+        FeatureExtractor(2, ((8,),), pool="nope").init(
+            jax.random.PRNGKey(0), x)
+
+
+def test_ved_pool_modes_roundtrip():
+    import numpy as np
+    from pyroved_tpu.models import VED
+    x = np.random.default_rng(0).uniform(0, 1, (4, 16, 16)).astype(np.float32)
+    for pool in ("avg", "stride"):
+        m = VED((16, 16), (64,), pool=pool)
+        z, s = m.encode(x)
+        assert z.shape == (4, 2)
+        assert m.decode(np.zeros((3, 2), np.float32)).shape == (3, 64)
