@@ -108,6 +108,19 @@ def main(argv=None):
     _steps_per_sec(tr, stream, 50)
     results["prefetch"] = _steps_per_sec(tr, stream, args.steps)
 
+    # chunked streaming: c batches per upload, scanned on device in one
+    # dispatch (DataLoader(stream_chunks=c)) — the tunnel-latency answer
+    tr = fresh()
+    loader = pv.utils.init_dataloader(
+        data, batch_size=BATCH, device_resident=False, stream_chunks=64)
+    t0 = time.perf_counter()
+    tr.train(loader)  # first epoch includes the two chunk compiles
+    full_epoch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tr.train(loader)
+    results["chunked"] = loader.num_batches / (time.perf_counter() - t0)
+    print(f"  (chunked first epoch incl. compiles: {full_epoch:.1f}s)")
+
     pipe = pv.native.BatchPipeline(np.asarray(data, copy=False), BATCH, seed=2)
     try:
         tr = fresh()

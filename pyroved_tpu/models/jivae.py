@@ -136,12 +136,40 @@ class jiVAE(baseVAE):
                 self._dec_act, self._dec_sig)
         elif self.coord > 0:
             coords, _ = self.transformed_grid(z)  # [B, N, D]
-            coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
-            loc = self.decoder_net.apply({"params": params["decoder"]},
-                                         coords_k, zc_k)
+            loc = self._enum_decode_xla_shared(params, coords, zc_k)
         else:
             loc = self.decoder_net.apply({"params": params["decoder"]}, zc_k)
         return (phi, dx, sc), coords, loc
+
+    def _enum_decode_xla_shared(self, params, coords: Array, zc_k: Array):
+        """XLA-path K-branch decode with the coordinate term shared.
+
+        The warped grid is IDENTICAL across the K enumerated branches (the
+        transform latents come from the tiled continuous z), so the
+        coordinate head ``coords @ Wc + bc`` is computed once for [B, N]
+        and broadcast against the per-branch latent head — instead of
+        materializing [K, B, N, D] coordinates and redoing the head K
+        times. Bitwise-identical math (same inputs, same op order per
+        branch). Falls back to the module apply for injected custom
+        decoders."""
+        from ..nets.fc import sDecoderNet
+        if not isinstance(self.decoder_net, sDecoderNet):
+            coords_k = jnp.broadcast_to(coords, (zc_k.shape[0],) + coords.shape)
+            return self.decoder_net.apply({"params": params["decoder"]},
+                                          coords_k, zc_k)
+        from ..ops.spatial_decoder import (_act, _h0_act,
+                                           _padded_sdecoder_weights)
+        Wc, bc, Wz, hw, hb, wout, bout = _padded_sdecoder_weights(
+            params["decoder"])
+        hc = coords @ Wc + bc                       # [B, N, H] — once
+        hz = zc_k @ Wz                              # [K, B, H]
+        h = _h0_act(self._dec_act, hc[None] + hz[:, :, None, :])
+        for i in range(hw.shape[0]):
+            h = _act(self._dec_act, h @ hw[i] + hb[i])
+        out = h @ wout + bout
+        if wout.shape[1] == 1:
+            out = out[..., 0]
+        return jax.nn.sigmoid(out) if self._dec_sig else out
 
     def _loss_single(self, params, rng: Array, batch: Tuple[Array, ...],
                      beta: Array) -> Array:

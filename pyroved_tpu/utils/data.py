@@ -35,7 +35,15 @@ class DataLoader:
     """
 
     def __init__(self, *arrays, batch_size: int = 100, shuffle: bool = True,
-                 seed: int = 0, device_resident: bool = True, **kwargs):
+                 seed: int = 0, device_resident: bool = True,
+                 stream_chunks: int = 0, **kwargs):
+        """``stream_chunks=c`` (with ``device_resident=False``) uploads the
+        dataset in c-batch chunks and lets the trainer scan each chunk on
+        device in ONE dispatch — amortizing the per-step dispatch latency
+        that dominates per-batch streaming on remote/tunneled devices,
+        while bounding device memory to one chunk. Parameter trajectory is
+        bitwise identical to the per-batch streaming AND device-resident
+        paths (same shuffle, same RNG chain)."""
         if not arrays:
             raise ValueError("At least one data array is required")
         host = [as_numpy(a) for a in arrays]
@@ -49,6 +57,7 @@ class DataLoader:
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
         self.device_resident = bool(device_resident)
+        self.stream_chunks = int(stream_chunks)
         self._epoch = 0
         self._device_arrays: Optional[Tuple[jax.Array, ...]] = None
 
@@ -87,6 +96,12 @@ class DataLoader:
             weights = np.concatenate([weights, np.zeros(pad, np.float32)])
         idx = perm.reshape(self.num_batches, self.batch_size).astype(np.int32)
         return idx, weights.reshape(self.num_batches, self.batch_size)
+
+    def gather_chunk(self, flat_idx: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """Host-side gather of the rows for one streamed chunk (the C++
+        threaded gather when available)."""
+        from ..native import gather_rows
+        return tuple(gather_rows(a, flat_idx) for a in self._host)
 
     # -- user-facing iteration (parity with torch DataLoader) ----------------
     def __iter__(self) -> Iterator[Tuple[jax.Array, ...]]:

@@ -321,18 +321,24 @@ def test_streaming_path_matches_device_resident_exactly():
     (VERDICT r2 next-step #7 regression guard)."""
     x = _rand_imgs(52)  # deliberately not a multiple of the batch size
 
-    def run(resident):
+    def run(resident, chunks=0):
         m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
         t = SVItrainer(m, seed=9)
         loader = init_dataloader(x, batch_size=16, seed=3,
-                                 device_resident=resident)
+                                 device_resident=resident,
+                                 stream_chunks=chunks)
         losses = [t.train(loader) for _ in range(3)]
         return losses, m.params
 
     l_res, p_res = run(True)
     l_str, p_str = run(False)
+    # chunked streaming (2 batches per uploaded chunk; 4 batches/epoch so
+    # the short-final-chunk path is exercised too)
+    l_chk, p_chk = run(False, chunks=3)
     np.testing.assert_allclose(l_res, l_str, rtol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(p_res),
-                    jax.tree_util.tree_leaves(p_str)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6,
-                                   atol=1e-7)
+    np.testing.assert_allclose(l_res, l_chk, rtol=1e-6)
+    for pv in (p_str, p_chk):
+        for a, b in zip(jax.tree_util.tree_leaves(p_res),
+                        jax.tree_util.tree_leaves(pv)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7)
