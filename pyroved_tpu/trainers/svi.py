@@ -230,11 +230,20 @@ class SVItrainer:
         local = np.arange(cb * bs, dtype=np.int32).reshape(cb, bs)
         losses = []
         try:
-            for start in range(0, nb, cb):
+            # double-buffer: device_put the NEXT chunk (async, explicit —
+            # implicit jit-argument upload serializes with dispatch) while
+            # the current chunk's scan runs on device
+            def staged(start):
                 rows = idx[start:start + cb]
-                c = rows.shape[0]
-                chunk = tuple(jnp.asarray(a)
-                              for a in loader.gather_chunk(rows.reshape(-1)))
+                return rows.shape[0], tuple(
+                    jax.device_put(a)
+                    for a in loader.gather_chunk(rows.reshape(-1)))
+
+            c, chunk = staged(0)
+            for start in range(0, nb, cb):
+                nxt = None
+                if start + cb < nb:
+                    nxt = staged(start + cb)
                 keys = jnp.broadcast_to(epoch_rng, (c,) + epoch_rng.shape)
                 within = jnp.arange(start, start + c)
                 betas = jnp.broadcast_to(beta, (c,) + jnp.shape(beta))
@@ -242,6 +251,8 @@ class SVItrainer:
                     params, opt_state, chunk, jnp.asarray(local[:c]),
                     jnp.asarray(w[start:start + c]), keys, within, betas)
                 losses.append(jnp.sum(chunk_losses))
+                if nxt is not None:
+                    c, chunk = nxt
         finally:
             # donated buffers: hand the latest live ones back on any error
             self.model.params = params
