@@ -48,7 +48,7 @@ def _shift_data():
     g = (amp * torch.exp(-((x - mu) ** 2) / (2 * sig ** 2))
          + 0.5 * amp * torch.exp(-((x - mu) ** 2) / (2 * sig1 ** 2)))
     g = g + noise * torch.randn(n_samples, l_signal)
-    g = (g - g.min()) / g.ptp()
+    g = (g - g.min()) / (g.max() - g.min())
     return g.float()
 
 

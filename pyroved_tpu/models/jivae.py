@@ -149,11 +149,13 @@ class jiVAE(baseVAE):
         coordinate head ``coords @ Wc + bc`` is computed once for [B, N]
         and broadcast against the per-branch latent head — instead of
         materializing [K, B, N, D] coordinates and redoing the head K
-        times. Bitwise-identical math (same inputs, same op order per
-        branch). Falls back to the module apply for injected custom
-        decoders."""
-        from ..nets.fc import sDecoderNet
-        if not isinstance(self.decoder_net, sDecoderNet):
+        times. Numerically equivalent per branch (same inputs; op order
+        may differ at f32 last-ulp level). Falls back to the module apply for injected custom
+        decoders AND for activations the shared-head helpers don't cover
+        (ops.spatial_decoder._act implements tanh/relu only — lrelu,
+        softplus, gelu must run the true module)."""
+        if (not isinstance(self.decoder_net, sDecoderNet)
+                or self._dec_act not in ("tanh", "tanh_approx", "relu")):
             coords_k = jnp.broadcast_to(coords, (zc_k.shape[0],) + coords.shape)
             return self.decoder_net.apply({"params": params["decoder"]},
                                           coords_k, zc_k)

@@ -118,8 +118,14 @@ _CONSERVATIVE_TUNING = KernelTuning(
     fused_min_bnh=float("inf"),
 )
 
-_DEFAULTS = {"_VMEM_BUDGET": _VMEM_BUDGET, "XLA_FWD_MAX_BN": 1 << 19,
-             "PALLAS_FWD_MAX_PAD": 1.1, "FUSED_MIN_BNH": 13_500_000}
+# Import-time values of the four routing globals, the reference point for
+# override detection in _tuning(). Populated ONCE right after the last of
+# them is defined below (single source of truth — no duplicated literals).
+# Caveat (documented): a knob explicitly SET to a value equal to its
+# default is indistinguishable from "unset" and resolves per-platform; to
+# force specific values on an unknown platform, register an entry in
+# DEVICE_TUNINGS instead of assigning module globals.
+_DEFAULTS = {}
 _warned_unknown = False
 
 
@@ -667,6 +673,10 @@ PALLAS_FWD_MAX_PAD = 1.1   # ... and at most ~10% tile-padding overhead
 # measured (B, N, C) configurations split cleanly on B*N*Hmax at ~13.5M.
 FUSED_MIN_BNH = 13_500_000
 
+_DEFAULTS.update(_VMEM_BUDGET=_VMEM_BUDGET, XLA_FWD_MAX_BN=XLA_FWD_MAX_BN,
+                 PALLAS_FWD_MAX_PAD=PALLAS_FWD_MAX_PAD,
+                 FUSED_MIN_BNH=FUSED_MIN_BNH)
+
 
 def fused_profitable(rows: int, n_pixels: int, h_max: int) -> bool:
     """True when the Pallas train path is expected to beat XLA autodiff
@@ -757,7 +767,9 @@ def calibrate(verbose: bool = False) -> KernelTuning:
         return t
     trial = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=float("inf"),
                          pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
-    # Register the trial so _select_tiles sees the probed budget below.
+    # Register the trial so _select_tiles sees the probed budget below;
+    # rolled back if a later probe raises (the gate must not stay open on
+    # a half-calibrated platform).
     DEVICE_TUNINGS[_device_kind()] = trial
 
     # 2. Train-path crossover at N=784 (the flagship grid): BNH ~ 6.4M
@@ -785,31 +797,35 @@ def calibrate(verbose: bool = False) -> KernelTuning:
             grid, phi, dx, sc, args[0], *args[1]), x)))
         return timed(f, (z, w))
 
-    lo_bnh, hi_bnh = 64 * 784 * H, 200 * 784 * H
-    pallas_lo = pallas_grad(64, 784) < xla_grad(64, 784)
-    pallas_hi = pallas_grad(200, 784) < xla_grad(200, 784)
-    if pallas_lo and pallas_hi:
-        fused_min = lo_bnh // 2
-    elif pallas_hi:
-        fused_min = int((lo_bnh * hi_bnh) ** 0.5)
-    else:
-        fused_min = float("inf")
-    if verbose:
-        print(f"calibrate: fused_min_bnh = {fused_min}")
+    try:
+        lo_bnh, hi_bnh = 64 * 784 * H, 200 * 784 * H
+        pallas_lo = pallas_grad(64, 784) < xla_grad(64, 784)
+        pallas_hi = pallas_grad(200, 784) < xla_grad(200, 784)
+        if pallas_lo and pallas_hi:
+            fused_min = lo_bnh // 2
+        elif pallas_hi:
+            fused_min = int((lo_bnh * hi_bnh) ** 0.5)
+        else:
+            fused_min = float("inf")
+        if verbose:
+            print(f"calibrate: fused_min_bnh = {fused_min}")
 
-    # 3. Forward crossover at a pad-free 512k-element shape.
-    grid_f, phi_f, dx_f, sc_f, z_f = batch(32, 16384)
-    t_xla = timed(jax.jit(lambda z: _xla_forward(
-        grid_f, phi_f, dx_f, sc_f, z, *w, "tanh", True)), z_f)
-    t_pal = timed(jax.jit(lambda z: _fwd(
-        grid_f, phi_f, dx_f, sc_f, z, *w)), z_f)
-    fwd_max = (1 << 19) if t_pal < t_xla else float("inf")
-    if verbose:
-        print(f"calibrate: xla_fwd_max_bn = {fwd_max} "
-              f"(xla {t_xla*1e6:.0f} us vs pallas {t_pal*1e6:.0f} us)")
-
-    t = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=fwd_max,
-                     pallas_fwd_max_pad=1.1, fused_min_bnh=fused_min)
+        # 3. Forward crossover at a pad-free 512k-element shape.
+        grid_f, phi_f, dx_f, sc_f, z_f = batch(32, 16384)
+        t_xla = timed(jax.jit(lambda z: _xla_forward(
+            grid_f, phi_f, dx_f, sc_f, z, *w, "tanh", True)), z_f)
+        t_pal = timed(jax.jit(lambda z: _fwd(
+            grid_f, phi_f, dx_f, sc_f, z, *w)), z_f)
+        fwd_max = (1 << 19) if t_pal < t_xla else float("inf")
+        if verbose:
+            print(f"calibrate: xla_fwd_max_bn = {fwd_max} "
+                  f"(xla {t_xla*1e6:.0f} us vs pallas {t_pal*1e6:.0f} us)")
+        t = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=fwd_max,
+                         pallas_fwd_max_pad=1.1, fused_min_bnh=fused_min)
+    except BaseException:
+        # a half-calibrated platform must not keep the gate open
+        DEVICE_TUNINGS.pop(_device_kind(), None)
+        raise
     DEVICE_TUNINGS[_device_kind()] = t
     return t
 

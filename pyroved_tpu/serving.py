@@ -161,18 +161,35 @@ class ServedModel:
                 for c in chunks]
         return chunks, pad
 
+    #: Largest power-of-two bucket a symbolic-batch artifact will compile/
+    #: run in one call; larger requests are chunked at this size (bounds
+    #: both the one-off compile cost and the per-call memory footprint).
+    max_bucket = 1024
+
     def _run_batched(self, name: str, batched, extra=()):
         """Run an exported fn over ``batched`` (tuple of batch-aligned
         arrays, padded per chunk) with trailing non-batched ``extra`` args."""
         fn = self._fns[name]
         n = batched[0].shape[0]
-        if self.batch_size is None:  # symbolic batch: one bucketed call
-            bucket = max(8, 1 << max(n - 1, 0).bit_length())
-            chunks, pad = self._pad_to(list(batched), bucket)
-            res = fn.call(*chunks, *extra)
-            res = res if isinstance(res, tuple) else (res,)
-            out = tuple(r[:n] for r in res)
-            return out if len(out) > 1 else out[0]
+        if self.batch_size is None:  # symbolic batch: bucketed calls
+            def call_bucket(chunks, m):
+                bucket = min(self.max_bucket,
+                             max(8, 1 << max(m - 1, 0).bit_length()))
+                chunks, _ = self._pad_to(chunks, bucket)
+                res = fn.call(*chunks, *extra)
+                res = res if isinstance(res, tuple) else (res,)
+                return tuple(r[:m] for r in res)
+
+            if n <= self.max_bucket:
+                out = call_bucket(list(batched), n)
+                return out if len(out) > 1 else out[0]
+            outs = []
+            for start in range(0, n, self.max_bucket):
+                chunks = [b[start:start + self.max_bucket] for b in batched]
+                outs.append(call_bucket(chunks, chunks[0].shape[0]))
+            joined = tuple(jnp.concatenate([o[i] for o in outs])
+                           for i in range(len(outs[0])))
+            return joined if len(joined) > 1 else joined[0]
         outs = []
         for start in range(0, n, self.batch_size):
             chunks = [b[start:start + self.batch_size] for b in batched]

@@ -218,9 +218,10 @@ class SVItrainer:
         per-batch dispatch latency that dominates plain streaming on
         remote/tunneled devices — measured 42.7 -> 513 steps/s on the
         4.4 GB-memmap flagship (benchmarks/streaming_scale.py) — while
-        holding only one chunk in device memory. Parameter trajectory is
-        bitwise identical to the per-batch streaming and device-resident
-        paths (same shuffle, same fold_in(epoch_rng, global_step) chain).
+        holding only one chunk in device memory. Parameter trajectory
+        matches the per-batch streaming and device-resident paths to
+        last-ulp f32 tolerance (same shuffle, same
+        fold_in(epoch_rng, global_step) chain; separate compiled program).
         Compiles at most twice (full chunk + the short final chunk)."""
         idx, w = loader.epoch_indices()              # [nb, bs] global rows
         nb, bs = idx.shape

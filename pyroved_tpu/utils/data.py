@@ -41,9 +41,11 @@ class DataLoader:
         dataset in c-batch chunks and lets the trainer scan each chunk on
         device in ONE dispatch — amortizing the per-step dispatch latency
         that dominates per-batch streaming on remote/tunneled devices,
-        while bounding device memory to one chunk. Parameter trajectory is
-        bitwise identical to the per-batch streaming AND device-resident
-        paths (same shuffle, same RNG chain)."""
+        while bounding device memory to one chunk. Parameter trajectory
+        matches the per-batch streaming AND device-resident paths to
+        last-ulp f32 tolerance (same shuffle, same RNG chain; the chunk
+        scan compiles as a separate program, so bit-level equality is not
+        guaranteed)."""
         if not arrays:
             raise ValueError("At least one data array is required")
         host = [as_numpy(a) for a in arrays]

@@ -351,3 +351,32 @@ def test_jivae_trace_no_invariances():
     t = m.trace(RNG, (_imgs(4),))
     assert t["coords"] is None and t["transform"]["phi"] is None
     assert t["obs"]["loc"].shape[0] == 3
+
+
+def test_jivae_shared_enum_decode_matches_module_all_activations():
+    """The shared-coords enumerated decode must agree with the true
+    decoder module for EVERY supported activation — unsupported ones
+    (lrelu/softplus/gelu) must fall back to the module apply instead of
+    silently substituting relu (round-3 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pyroved_tpu.models import jiVAE
+    for act in ("tanh", "relu", "softplus", "lrelu", "gelu"):
+        m = jiVAE((8, 8), latent_dim=2, discrete_dim=3, invariances=["r"],
+                  activation=act, seed=4)
+        z = jnp.asarray(
+            np.random.default_rng(0).normal(size=(5, m.z_dim)), jnp.float32)
+        coords, _ = m.transformed_grid(z)
+        K = m.discrete_dim
+        eye = jnp.eye(K, dtype=jnp.float32)
+        _, _, _, zc = m.split_latent_full(z)
+        zc_k = jnp.concatenate([
+            jnp.broadcast_to(zc, (K,) + zc.shape),
+            jnp.broadcast_to(eye[:, None, :], (K, 5, K))], axis=-1)
+        shared = m._enum_decode_xla_shared(m.params, coords, zc_k)
+        coords_k = jnp.broadcast_to(coords, (K,) + coords.shape)
+        ref = m.decoder_net.apply({"params": m.params["decoder"]},
+                                  coords_k, zc_k)
+        np.testing.assert_allclose(np.asarray(shared), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"activation={act}")

@@ -167,3 +167,22 @@ def test_symbolic_batch_export_semisupervised_heads(tmp_path):
         ref = model.encode(x)
         np.testing.assert_allclose(np.asarray(z[0])[:, :2],
                                    np.asarray(ref[0]), atol=1e-5)
+
+
+def test_symbolic_export_large_requests_are_chunked(tmp_path):
+    """Requests above max_bucket must be served as bounded chunked calls
+    (round-3 review finding: one giant padded call would OOM / compile a
+    one-off executable)."""
+    model = iVAE((8, 8), latent_dim=2, invariances=["r"])
+    path = str(tmp_path / "big.pvtx")
+    export_model(model, path)
+    served = ServedModel(path)
+    served.max_bucket = 16  # keep the test light; semantics identical
+    x = np.random.default_rng(0).uniform(0, 1, (37, 8, 8)).astype(np.float32)
+    z_loc, z_scale = served.encode(x)
+    assert z_loc.shape == (37, 3)
+    ref_loc, _ = model.encode(x)
+    np.testing.assert_allclose(np.asarray(z_loc), np.asarray(ref_loc),
+                               atol=1e-5)
+    dec = served.decode(np.zeros((33, 2), np.float32))
+    assert dec.shape[0] == 33
