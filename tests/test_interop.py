@@ -5,9 +5,13 @@ layouts (``pyroved/nets/fc.py``, ``pyroved/nets/conv.py``), loads their
 state_dicts into our models via ``load_torch_weights``, and checks forward
 parity against the torch forward pass; plus bidirectional round-trips.
 """
+import jax
 import numpy as np
 import pytest
 import torch
+
+# TPU hardware tanh differs from torch's libm by ~2.4e-5 per layer
+_ATOL = 1e-4 if jax.devices()[0].platform == "tpu" else 1e-5
 import torch.nn as tnn
 import torch.nn.functional as F
 
@@ -161,14 +165,14 @@ def test_ivae_torch_import_forward_parity():
     x = np.random.default_rng(0).random((5, 8, 8)).astype(np.float32)
     mu_t, sig_t = tm.encoder_z(torch.from_numpy(x))
     z_loc, z_scale = model.encode(x)
-    np.testing.assert_allclose(np.asarray(z_loc), _np(mu_t), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(z_scale), _np(sig_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_loc), _np(mu_t), atol=_ATOL)
+    np.testing.assert_allclose(np.asarray(z_scale), _np(sig_t), atol=_ATOL)
 
     z = np.random.default_rng(1).normal(size=(4, 2)).astype(np.float32)
     dec = model.decode(z)
     grid_t = torch.from_numpy(np.asarray(model.grid)).expand(4, -1, -1)
     dec_t = tm.decoder(grid_t, torch.from_numpy(z)).reshape(4, 8, 8)
-    np.testing.assert_allclose(np.asarray(dec), _np(dec_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dec), _np(dec_t), atol=_ATOL)
 
 
 def test_ved_torch_import_forward_parity():
@@ -199,7 +203,7 @@ def test_load_from_pt_file(tmp_path):
     x = np.random.default_rng(0).random((2, 8, 8)).astype(np.float32)
     mu_t, _ = tm.encoder_z(torch.from_numpy(x))
     z_loc, _ = model.encode(x)
-    np.testing.assert_allclose(np.asarray(z_loc), _np(mu_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_loc), _np(mu_t), atol=_ATOL)
 
 
 # ---------------------------------------------------------------------------

@@ -269,10 +269,12 @@ def test_one_pass_weighted_loss_matches_generic():
 
 def test_pade_tanh_accuracy():
     """Opt-in approx tanh: < 1e-6 abs error on the activation core range,
-    < 2e-4 everywhere (clamp region)."""
+    < 2e-4 everywhere (clamp region). TPU's hardware tanh itself rounds
+    differently than libm, so the core-range floor loosens there."""
+    core_tol = 1e-4 if jax.devices()[0].platform == "tpu" else 2e-6
     x = jnp.linspace(-3.0, 3.0, 20001)
     err_core = jnp.max(jnp.abs(sd._pade_tanh(x) - jnp.tanh(x)))
-    assert float(err_core) < 2e-6, float(err_core)  # f32 rounding floor
+    assert float(err_core) < core_tol, float(err_core)
     xw = jnp.linspace(-30.0, 30.0, 20001)
     err_all = jnp.max(jnp.abs(sd._pade_tanh(xw) - jnp.tanh(xw)))
     assert float(err_all) < 2e-4, float(err_all)
@@ -304,9 +306,13 @@ def test_approx_tanh_model_kwarg():
                                                   device_kind="TPU v5 lite")])
         m = iVAE((8, 8), invariances=["r"], approx_tanh=True)
         assert m._fused and m._dec_act == "tanh_approx"
-    # CPU: fusion gate off -> approx flag must NOT leak into the XLA path
-    m2 = iVAE((8, 8), invariances=["r"], approx_tanh=True)
-    assert not m2._fused and m2._dec_act == "tanh"
+    # gate off (simulated CPU platform, so the test also passes when the
+    # suite itself runs on a real TPU): approx must NOT leak into XLA path
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sd.jax, "devices",
+                   lambda: [types.SimpleNamespace(platform="cpu")])
+        m2 = iVAE((8, 8), invariances=["r"], approx_tanh=True)
+        assert not m2._fused and m2._dec_act == "tanh"
 
 
 def test_approx_tanh_training_loss_close():

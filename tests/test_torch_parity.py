@@ -11,6 +11,12 @@ import torch
 import torch.nn as tnn
 
 import jax
+
+# TPU evaluates tanh in hardware (~2.4e-5 off torch's libm per layer);
+# the parity contract is math-level, so tolerances widen there.
+_ON_TPU_HW = jax.devices()[0].platform == "tpu"
+_ATOL = 1e-4 if _ON_TPU_HW else 1e-5
+_ATOL4 = 5e-4 if _ON_TPU_HW else 1e-4
 import jax.numpy as jnp
 
 from pyroved_tpu.nets import convEncoderNet, fcEncoderNet, sDecoderNet
@@ -47,8 +53,8 @@ def test_fc_encoder_matches_torch():
         sig_ref = tnn.functional.softplus(sig_l(h)).numpy()
 
     mu, sig = enc.apply(variables, jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=_ATOL)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=_ATOL)
 
 
 def test_sdecoder_matches_torch_coord_latent():
@@ -79,7 +85,7 @@ def test_sdecoder_matches_torch_coord_latent():
         ref = torch.sigmoid(out_l(h)).reshape(b, n).numpy()
 
     ours = dec.apply(variables, jnp.asarray(coords), jnp.asarray(z))
-    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=_ATOL)
 
 
 def test_conv_encoder_matches_torch():
@@ -111,8 +117,8 @@ def test_conv_encoder_matches_torch():
     sig_ref = np.log1p(np.exp(sig_raw))
 
     mu, sig = enc.apply(variables, jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=_ATOL4)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=_ATOL4)
 
 
 def test_jfc_encoder_matches_torch():
@@ -132,9 +138,9 @@ def test_jfc_encoder_matches_torch():
         sig_ref = tnn.functional.softplus(sig_l(h)).numpy()
         alpha_ref = torch.softmax(cls_l(h), dim=-1).numpy()
     mu, sig, alpha = enc.apply(variables, jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(alpha), alpha_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=_ATOL)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=_ATOL)
+    np.testing.assert_allclose(np.asarray(alpha), alpha_ref, atol=_ATOL)
 
 
 def test_classifier_regressor_match_torch():
@@ -151,7 +157,7 @@ def test_classifier_regressor_match_torch():
     with torch.no_grad():
         ref = torch.softmax(out(torch.tanh(l2(torch.tanh(l1(_t(x)))))), -1).numpy()
     np.testing.assert_allclose(np.asarray(cls.apply(v, jnp.asarray(x))), ref,
-                               atol=1e-5)
+                               atol=_ATOL)
 
     reg = fcRegressorNet((8, 8), c_dim=2)
     v = reg.init(KEY, jnp.asarray(x))
@@ -163,4 +169,4 @@ def test_classifier_regressor_match_torch():
     with torch.no_grad():
         ref = out2(torch.tanh(l2(torch.tanh(l1(_t(x)))))).numpy()
     np.testing.assert_allclose(np.asarray(reg.apply(v, jnp.asarray(x))), ref,
-                               atol=1e-5)
+                               atol=_ATOL)

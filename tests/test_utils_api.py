@@ -18,7 +18,12 @@ def test_get_activation_registry():
     x = jnp.asarray([-1.0, 0.0, 2.0])
     assert unn.get_activation(None) is None
     np.testing.assert_allclose(unn.get_activation("relu")(x), [0.0, 0.0, 2.0])
-    np.testing.assert_allclose(unn.get_activation("tanh")(x), np.tanh(x))
+    # TPU evaluates tanh in hardware (slightly different rounding than
+    # numpy's libm); the registry contract is "IS tanh", not bit-equality
+    import jax
+    tanh_tol = 5e-5 if jax.devices()[0].platform == "tpu" else 1e-7
+    np.testing.assert_allclose(unn.get_activation("tanh")(x), np.tanh(x),
+                               rtol=tanh_tol, atol=tanh_tol)
     # lrelu uses the reference's default 0.01 slope
     np.testing.assert_allclose(unn.get_activation("lrelu")(x)[0], -0.01,
                                rtol=1e-6)
@@ -126,8 +131,10 @@ def test_obs_site_bernoulli_sum_over_event():
     x = jnp.asarray([[1.0, 0.0]])
     loc = jnp.asarray([[0.8, 0.3]])
     expect = math.log(0.8) + math.log(0.7)
+    import jax
+    tol = 1e-4 if jax.devices()[0].platform == "tpu" else 1e-5
     np.testing.assert_allclose(float(elbo.obs_site(om, x, loc)[0]), expect,
-                               rtol=1e-5)
+                               rtol=tol)
 
 
 def test_gp_params_structure():
