@@ -704,6 +704,15 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     model-level fusion gate, :func:`sdecoder_supports_fusion`) and returns
     it. Thresholds are coarse on purpose: routing only needs the right side
     of each crossover, not the exact knee.
+
+    Bias note (validated on v5e by re-running with the table cleared): the
+    VMEM probe reproduces the hand-measured 16 MB budget exactly, but the
+    crossover probes are WALL-CLOCK timings — on high-dispatch-latency
+    attachments (tunneled chips) they under-credit the kernel and resolve
+    to always-XLA routing. That outcome is safe (never slower than pure
+    XLA, never a miscompile); squeezing out the kernel's measured 1.3-1.9x
+    on a new generation still warrants a profile-based session like
+    docs/PERFORMANCE.md's, recorded as a DEVICE_TUNINGS entry.
     """
     import time as _time
     global B_T, N_T

@@ -212,6 +212,54 @@ class auxSVItrainer:
         self._run_jit = jax.jit(run_epochs, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
+    def _train_chunked_stream(self, loader_unsup, loader_sup, beta,
+                              aux_mult) -> float:
+        """Chunked out-of-core semi-supervised epoch (the aux analogue of
+        ``SVItrainer._train_chunked_stream``): the UNLABELED set streams in
+        ``stream_chunks``-batch chunks scanned on device in one dispatch
+        each, while the (small) labeled set stays device-resident. Same
+        interleave schedule, shuffle, and RNG chain as the resident path
+        (losses match to 1e-6 relative; params to accumulated-f32
+        reassociation tolerance — regression-tested)."""
+        idx_u, w_u = loader_unsup.epoch_indices()
+        idx_s, w_s = loader_sup.epoch_indices()
+        nb, bs = idx_u.shape
+        mask, sup_j = self._schedule(loader_unsup, loader_sup, nb,
+                                     idx_s.shape[0])
+        sup_idx_rows, sup_w_rows = idx_s[sup_j], w_s[sup_j]
+        sup_arrays = loader_sup.device_arrays
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        params, opt_state = self.model.params, self.opt_state
+        aux_opt_state = self.aux_opt_state
+        cb = min(loader_unsup.stream_chunks, nb)
+        local = np.arange(cb * bs, dtype=np.int32).reshape(cb, bs)
+        losses = []
+        try:
+            for start in range(0, nb, cb):
+                rows = idx_u[start:start + cb]
+                c = rows.shape[0]
+                (xu_chunk,) = tuple(
+                    jax.device_put(a)
+                    for a in loader_unsup.gather_chunk(rows.reshape(-1)))
+                keys = jnp.broadcast_to(epoch_rng, (c,) + epoch_rng.shape)
+                within = jnp.arange(start, start + c)
+                betas = jnp.broadcast_to(beta, (c,) + jnp.shape(beta))
+                params, opt_state, aux_opt_state, ls = self._run_jit(
+                    params, opt_state, aux_opt_state, xu_chunk, sup_arrays,
+                    jnp.asarray(local[:c]),
+                    jnp.asarray(w_u[start:start + c]),
+                    jnp.asarray(sup_idx_rows[start:start + c]),
+                    jnp.asarray(sup_w_rows[start:start + c]),
+                    jnp.asarray(mask[start:start + c]),
+                    keys, within, betas, aux_mult)
+                losses.append(jnp.sum(ls))
+        finally:
+            # donated buffers: hand the latest live ones back on any error
+            self.model.params = params
+            self.opt_state = opt_state
+            self.aux_opt_state = aux_opt_state
+        return float(sum(float(l) for l in losses)) / max(float(w_u.sum()), 1.0)
+
     def _train_streaming(self, loader_unsup, loader_sup, beta, aux_mult,
                          sup_period: Optional[int] = None) -> float:
         """Per-batch jitted updates for host-resident loaders or generic
@@ -399,6 +447,12 @@ class auxSVItrainer:
                     and isinstance(loader_sup, DataLoader)
                     and loader_sup.device_resident)
         if not resident:
+            if (isinstance(loader_unsup, DataLoader)
+                    and loader_unsup.stream_chunks > 1
+                    and isinstance(loader_sup, DataLoader)
+                    and loader_sup.device_resident):
+                return self._train_chunked_stream(loader_unsup, loader_sup,
+                                                  beta, aux_mult)
             return self._train_streaming(loader_unsup, loader_sup, beta,
                                          aux_mult, kwargs.get("sup_period"))
 

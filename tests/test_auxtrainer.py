@@ -362,3 +362,34 @@ def test_ss_reg_fit_forwards_trainer_kwargs(tmp_path):
     m = ss_reg_iVAE(DATA, latent_dim=2, reg_dim=1)
     m.fit(X_unsup, (Xl, yl), epochs=1, batch_size=8, log_file=str(log))
     assert len(log.read_text().splitlines()) == 1
+
+
+def test_aux_chunked_streaming_matches_resident():
+    """Out-of-core semi-supervised training (unlabeled set streamed in
+    chunks, labeled set resident) must match the resident path to last-ulp
+    f32 tolerance — same schedule, shuffle, and RNG chain."""
+    from pyroved_tpu.utils import init_dataloader
+    rng = np.random.default_rng(0)
+    Xu, Xs = _data(52, rng), _data(16, rng)  # short final batch exercised
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+
+    def run(chunks):
+        m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+                   seed=2)
+        t = auxSVItrainer(m, seed=9)
+        lu = init_dataloader(Xu, batch_size=8, seed=5,
+                             device_resident=chunks == 0,
+                             stream_chunks=chunks)
+        ls = init_dataloader(Xs, ys, batch_size=8, seed=7)
+        losses = [t.train(lu, ls) for _ in range(3)]
+        return losses, m.params
+
+    l_res, p_res = run(0)
+    l_chk, p_chk = run(3)  # 7 batches/epoch -> short final chunk too
+    np.testing.assert_allclose(l_res, l_chk, rtol=1e-6)
+    # params: same math, different compiled programs (cond-heavy body) —
+    # f32 reassociation accumulates over the 39 Adam steps
+    for a, b in zip(jax.tree_util.tree_leaves(p_res),
+                    jax.tree_util.tree_leaves(p_chk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
