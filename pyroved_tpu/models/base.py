@@ -346,6 +346,11 @@ class baseVAE:
                            else init_dataloader(*(test_data if isinstance(test_data, tuple)
                                                   else (test_data,)),
                                                 batch_size=batch_size))
+        if trainer is not None and kwargs:
+            raise ValueError(
+                "fit() got both an explicit trainer= and trainer-level "
+                f"kwargs {sorted(kwargs)}; configure them on the trainer "
+                "you pass, or drop trainer= to have fit() build one.")
         trainer = trainer or SVItrainer(self, lr=lr, **kwargs)
         # Fused multi-epoch path (one device dispatch for the whole run)
         # whenever nothing needs per-epoch host work.

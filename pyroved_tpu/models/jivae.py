@@ -151,11 +151,20 @@ class jiVAE(baseVAE):
         materializing [K, B, N, D] coordinates and redoing the head K
         times. Numerically equivalent per branch (same inputs; op order
         may differ at f32 last-ulp level). Falls back to the module apply for injected custom
-        decoders AND for activations the shared-head helpers don't cover
+        decoders, for activations the shared-head helpers don't cover
         (ops.spatial_decoder._act implements tanh/relu only — lrelu,
-        softplus, gelu must run the true module)."""
+        softplus, gelu must run the true module), AND for hidden widths
+        that ``_padded_sdecoder_weights`` would zero-pad: the shared
+        coordinate head saves only ~2% (measured), so any padded MACs in
+        the [K, B, N, Hmax] matmuls immediately outweigh it — unpadded
+        stacks (equal, lane-aligned widths) are the only win region."""
+        mlp = params["decoder"].get("MLP_0", {}) if isinstance(
+            self.decoder_net, sDecoderNet) else {}
+        widths = {k["kernel"].shape[j] for k in mlp.values() for j in (0, 1)}
+        needs_pad = len(widths) != 1 or next(iter(widths), 0) % 128 != 0
         if (not isinstance(self.decoder_net, sDecoderNet)
-                or self._dec_act not in ("tanh", "tanh_approx", "relu")):
+                or self._dec_act not in ("tanh", "tanh_approx", "relu")
+                or needs_pad):
             coords_k = jnp.broadcast_to(coords, (zc_k.shape[0],) + coords.shape)
             return self.decoder_net.apply({"params": params["decoder"]},
                                           coords_k, zc_k)

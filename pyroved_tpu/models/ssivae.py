@@ -216,6 +216,11 @@ class ssiVAE(baseVAE):
         tkw = {k: kwargs.pop(k) for k in
                ("mesh", "checkpoint_path", "checkpoint_every", "log_file",
                 "optimizer", "seed", "task") if k in kwargs}
+        if trainer is not None and tkw:
+            raise ValueError(
+                "fit() got both an explicit trainer= and trainer-level "
+                f"kwargs {sorted(tkw)}; configure them on the trainer you "
+                "pass, or drop trainer= to have fit() build one.")
         trainer = trainer or auxSVItrainer(self, lr=lr, **tkw)
         for _ in range(int(epochs)):
             trainer.step(*loaders, **kwargs)

@@ -716,6 +716,10 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     """
     import time as _time
     global B_T, N_T
+    # A pre-existing entry (built-in or user-registered) is the fallback on
+    # every failure path below: a failed re-calibration must not close the
+    # gate on a platform that already had a validated tuning.
+    prior = DEVICE_TUNINGS.get(_device_kind())
     H, nl = 128, 2
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 12)
@@ -768,12 +772,17 @@ def calibrate(verbose: bool = False) -> KernelTuning:
             B_T = N_T = None
     if verbose:
         print(f"calibrate: vmem_budget = {vmem // (1024*1024)} MB")
-    if not pallas_bwd_ok:  # kernel unusable here: stay conservative
-        t = _CONSERVATIVE_TUNING
+    if not pallas_bwd_ok:  # kernel unusable here: keep the prior entry
+        if prior is not None:
+            DEVICE_TUNINGS[_device_kind()] = prior
+            warnings.warn("calibrate(): the Pallas backward failed to compile"
+                          " at every probed tile size; keeping the existing "
+                          f"{_device_kind()!r} tuning unchanged.")
+            return prior
         DEVICE_TUNINGS.pop(_device_kind(), None)
         warnings.warn("calibrate(): the Pallas backward failed to compile "
                       "at every probed tile size; keeping pure-XLA routing.")
-        return t
+        return _CONSERVATIVE_TUNING
     trial = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=float("inf"),
                          pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
     # Register the trial so _select_tiles sees the probed budget below;
@@ -832,8 +841,12 @@ def calibrate(verbose: bool = False) -> KernelTuning:
         t = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=fwd_max,
                          pallas_fwd_max_pad=1.1, fused_min_bnh=fused_min)
     except BaseException:
-        # a half-calibrated platform must not keep the gate open
-        DEVICE_TUNINGS.pop(_device_kind(), None)
+        # a half-calibrated platform must not keep the TRIAL entry open —
+        # restore whatever was registered before the probe started
+        if prior is not None:
+            DEVICE_TUNINGS[_device_kind()] = prior
+        else:
+            DEVICE_TUNINGS.pop(_device_kind(), None)
         raise
     DEVICE_TUNINGS[_device_kind()] = t
     return t

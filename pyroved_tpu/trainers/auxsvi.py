@@ -213,19 +213,21 @@ class auxSVItrainer:
 
     # ------------------------------------------------------------------
     def _train_chunked_stream(self, loader_unsup, loader_sup, beta,
-                              aux_mult) -> float:
+                              aux_mult, sup_period=None) -> float:
         """Chunked out-of-core semi-supervised epoch (the aux analogue of
         ``SVItrainer._train_chunked_stream``): the UNLABELED set streams in
         ``stream_chunks``-batch chunks scanned on device in one dispatch
         each, while the (small) labeled set stays device-resident. Same
         interleave schedule, shuffle, and RNG chain as the resident path
         (losses match to 1e-6 relative; params to accumulated-f32
-        reassociation tolerance — regression-tested)."""
+        reassociation tolerance — regression-tested). An explicit
+        ``sup_period`` overrides the len()-derived cadence, matching
+        :meth:`_train_streaming`."""
         idx_u, w_u = loader_unsup.epoch_indices()
         idx_s, w_s = loader_sup.epoch_indices()
         nb, bs = idx_u.shape
         mask, sup_j = self._schedule(loader_unsup, loader_sup, nb,
-                                     idx_s.shape[0])
+                                     idx_s.shape[0], sup_period)
         sup_idx_rows, sup_w_rows = idx_s[sup_j], w_s[sup_j]
         sup_arrays = loader_sup.device_arrays
         self.rng, epoch_rng = jax.random.split(self.rng)
@@ -235,12 +237,20 @@ class auxSVItrainer:
         local = np.arange(cb * bs, dtype=np.int32).reshape(cb, bs)
         losses = []
         try:
-            for start in range(0, nb, cb):
+            # double-buffer (same pattern as SVItrainer._train_chunked_stream):
+            # device_put the NEXT unlabeled chunk asynchronously while the
+            # current chunk's scan runs, so the host gather overlaps compute
+            def staged(start):
                 rows = idx_u[start:start + cb]
-                c = rows.shape[0]
-                (xu_chunk,) = tuple(
+                return rows.shape[0], tuple(
                     jax.device_put(a)
                     for a in loader_unsup.gather_chunk(rows.reshape(-1)))
+
+            c, (xu_chunk,) = staged(0)
+            for start in range(0, nb, cb):
+                nxt = None
+                if start + cb < nb:
+                    nxt = staged(start + cb)
                 keys = jnp.broadcast_to(epoch_rng, (c,) + epoch_rng.shape)
                 within = jnp.arange(start, start + c)
                 betas = jnp.broadcast_to(beta, (c,) + jnp.shape(beta))
@@ -253,6 +263,8 @@ class auxSVItrainer:
                     jnp.asarray(mask[start:start + c]),
                     keys, within, betas, aux_mult)
                 losses.append(jnp.sum(ls))
+                if nxt is not None:
+                    c, (xu_chunk,) = nxt
         finally:
             # donated buffers: hand the latest live ones back on any error
             self.model.params = params
@@ -330,15 +342,21 @@ class auxSVItrainer:
         return float(sum(float(l) for l in losses)) / max(count, 1)
 
     @staticmethod
-    def _schedule(loader_unsup, loader_sup, nb: int, n_sup_rows: int):
+    def _schedule(loader_unsup, loader_sup, nb: int, n_sup_rows: int,
+                  sup_period=None):
         """Static interleave schedule for one epoch: one labeled step every
         ``p = (n_sup + n_unsup) // n_sup`` unlabeled iterations, reference
         cadence ``i % p == 1`` (``auxsvi.py:110-128``). The reference's
         cadence never fires when p == 1 (labeled batches >= unlabeled) —
         labels would silently never train; deviate by supervising every
-        iteration there (docs/DEVIATIONS.md). Returns (mask [nb] bool,
+        iteration there (docs/DEVIATIONS.md). An explicit ``sup_period``
+        overrides the len()-derived cadence. Returns (mask [nb] bool,
         labeled-batch row index per step [nb] int32)."""
-        p = (len(loader_sup) + len(loader_unsup)) // max(len(loader_sup), 1)
+        if sup_period is not None:
+            p = max(int(sup_period), 1)
+        else:
+            p = ((len(loader_sup) + len(loader_unsup))
+                 // max(len(loader_sup), 1))
         p = max(p, 1)
         sup_now = (lambda i: True) if p == 1 else (lambda i: i % p == 1)
         sup_mask = np.asarray([sup_now(i) for i in range(nb)], bool)
@@ -410,7 +428,8 @@ class auxSVItrainer:
             nb = idx_u.shape[0]
             unsup_count = float(w_u.sum())
             mask, sup_j = self._schedule(loader_unsup, loader_sup, nb,
-                                         idx_s.shape[0])
+                                         idx_s.shape[0],
+                                         kwargs.get("sup_period"))
             cols["iu"].append(idx_u)
             cols["wu"].append(w_u)
             cols["si"].append(idx_s[sup_j])
@@ -451,8 +470,9 @@ class auxSVItrainer:
                     and loader_unsup.stream_chunks > 1
                     and isinstance(loader_sup, DataLoader)
                     and loader_sup.device_resident):
-                return self._train_chunked_stream(loader_unsup, loader_sup,
-                                                  beta, aux_mult)
+                return self._train_chunked_stream(
+                    loader_unsup, loader_sup, beta, aux_mult,
+                    kwargs.get("sup_period"))
             return self._train_streaming(loader_unsup, loader_sup, beta,
                                          aux_mult, kwargs.get("sup_period"))
 
@@ -463,7 +483,8 @@ class auxSVItrainer:
 
         self.rng, epoch_rng = jax.random.split(self.rng)
         sup_mask, sup_j = self._schedule(loader_unsup, loader_sup,
-                                         idx_u.shape[0], idx_s.shape[0])
+                                         idx_u.shape[0], idx_s.shape[0],
+                                         kwargs.get("sup_period"))
         unsup_count = float(w_u.sum())
 
         params, opt_state, self.aux_opt_state, total = self._epoch_jit(

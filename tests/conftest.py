@@ -44,9 +44,13 @@ def pytest_collection_modifyitems(config, items):
     import pytest
     skip = pytest.mark.skip(
         reason="needs >= 8 devices (virtual CPU mesh); single real chip")
+    # Match against the TEST name only (not the whole nodeid): matching the
+    # file path would skip every test in tests/test_parallel.py, including
+    # single-device-safe ones like test_jivae_run_with_beta_pair.
     needles = ("mesh", "multichip", "parallel", "dp_", "_dp", "shard",
-               "tensor_parallel", "spatial_sharding", "multi_axis")
+               "tensor_parallel", "spatial_sharding", "multi_axis",
+               "virtual_device")
     for item in items:
-        name = item.nodeid.lower()
+        name = item.name.lower()
         if any(n in name for n in needles):
             item.add_marker(skip)

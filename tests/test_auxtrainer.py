@@ -393,3 +393,78 @@ def test_aux_chunked_streaming_matches_resident():
                     jax.tree_util.tree_leaves(p_chk)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_aux_schedule_sup_period_override():
+    """An explicit sup_period overrides the len()-derived cadence in the
+    static schedule used by the resident, fused-run, and chunked-stream
+    paths (round-3 review finding: the chunked path dropped it)."""
+    from pyroved_tpu.utils import init_dataloader
+    rng = np.random.default_rng(0)
+    lu = init_dataloader(_data(48, rng), batch_size=8)
+    ls = init_dataloader(_data(16, rng),
+                         np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)],
+                         batch_size=8)
+    default_mask, _ = auxSVItrainer._schedule(lu, ls, 6, 2)
+    m1, _ = auxSVItrainer._schedule(lu, ls, 6, 2, sup_period=1)
+    m2, _ = auxSVItrainer._schedule(lu, ls, 6, 2, sup_period=2)
+    assert m1.all()                                     # supervise every step
+    np.testing.assert_array_equal(m2, [i % 2 == 1 for i in range(6)])
+    assert not np.array_equal(m1, default_mask)
+
+
+def test_aux_chunked_stream_honors_sup_period():
+    """Chunked out-of-core routing must honor an explicit sup_period= the
+    same way the resident path does (it was silently dropped)."""
+    from pyroved_tpu.utils import init_dataloader
+    rng = np.random.default_rng(0)
+    Xu, Xs = _data(40, rng), _data(16, rng)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+
+    def run(chunks):
+        m = ssiVAE(DATA, latent_dim=2, num_classes=3, seed=2)
+        t = auxSVItrainer(m, seed=9)
+        lu = init_dataloader(Xu, batch_size=8, seed=5,
+                             device_resident=chunks == 0,
+                             stream_chunks=chunks)
+        ls = init_dataloader(Xs, ys, batch_size=8, seed=7)
+        losses = [t.train(lu, ls, sup_period=1) for _ in range(2)]
+        return losses, m.params
+
+    l_res, p_res = run(0)
+    l_chk, p_chk = run(2)
+    np.testing.assert_allclose(l_res, l_chk, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_res),
+                    jax.tree_util.tree_leaves(p_chk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_fit_rejects_explicit_trainer_plus_trainer_kwargs(tmp_path):
+    """fit(trainer=..., <trainer-level kwarg>) must raise instead of
+    silently discarding the kwarg (round-3 review finding) — on the
+    semi-supervised models AND the base fit."""
+    from pyroved_tpu.models import iVAE
+    from pyroved_tpu.trainers import SVItrainer
+    rng = np.random.default_rng(0)
+    X_unsup, Xl = _data(16, rng), _data(16, rng)
+    yl = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3)
+    t = auxSVItrainer(m)
+    with pytest.raises(ValueError, match="explicit trainer"):
+        m.fit(X_unsup, (Xl, yl), epochs=1, batch_size=8, trainer=t,
+              log_file=str(tmp_path / "x.jsonl"))
+
+    r = ss_reg_iVAE(DATA, latent_dim=2, reg_dim=1)
+    tr = auxSVItrainer(r, task="regression")
+    with pytest.raises(ValueError, match="explicit trainer"):
+        r.fit(X_unsup, (Xl, rng.normal(size=(16, 1)).astype(np.float32)),
+              epochs=1, batch_size=8, trainer=tr,
+              checkpoint_path=str(tmp_path / "ck"))
+
+    mv = iVAE(DATA, latent_dim=2)
+    tv = SVItrainer(mv)
+    with pytest.raises(ValueError, match="explicit trainer"):
+        mv.fit(X_unsup, epochs=1, batch_size=8, trainer=tv,
+               log_file=str(tmp_path / "y.jsonl"))

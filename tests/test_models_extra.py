@@ -380,3 +380,42 @@ def test_jivae_shared_enum_decode_matches_module_all_activations():
                                   coords_k, zc_k)
         np.testing.assert_allclose(np.asarray(shared), np.asarray(ref),
                                    atol=1e-5, err_msg=f"activation={act}")
+
+
+def test_jivae_shared_enum_decode_gates_on_padding(monkeypatch):
+    """Hidden widths that ``_padded_sdecoder_weights`` would zero-pad must
+    NOT take the shared-coords enumerated decode: the shared head saves
+    only ~2% while the padded [K, B, N, Hmax] matmuls cost up to ~3x the
+    MACs (round-3 review finding). Aligned equal widths keep it."""
+    import pyroved_tpu.ops.spatial_decoder as sd
+
+    def setup(hidden):
+        m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=2, invariances=["r"],
+                  hidden_dim_d=hidden, seed=3)
+        z = jnp.asarray(
+            np.random.default_rng(1).normal(size=(4, m.z_dim)), jnp.float32)
+        coords, _ = m.transformed_grid(z)
+        _, _, _, zc = m.split_latent_full(z)
+        eye = jnp.eye(2, dtype=jnp.float32)
+        zc_k = jnp.concatenate([
+            jnp.broadcast_to(zc, (2,) + zc.shape),
+            jnp.broadcast_to(eye[:, None, :], (2, 4, 2))], axis=-1)
+        return m, coords, zc_k
+
+    calls = []
+    orig = sd._padded_sdecoder_weights
+    monkeypatch.setattr(sd, "_padded_sdecoder_weights",
+                        lambda p: calls.append(1) or orig(p))
+
+    for hidden, expect_shared in (((96, 96), False),    # unaligned: pad
+                                  ((256, 128), False),  # unequal: pad
+                                  ((128, 128), True)):  # aligned: shared
+        calls.clear()
+        m, coords, zc_k = setup(hidden)
+        out = m._enum_decode_xla_shared(m.params, coords, zc_k)
+        coords_k = jnp.broadcast_to(coords, (2,) + coords.shape)
+        ref = m.decoder_net.apply({"params": m.params["decoder"]},
+                                  coords_k, zc_k)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"hidden={hidden}")
+        assert bool(calls) == expect_shared, f"hidden={hidden}"

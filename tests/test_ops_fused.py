@@ -658,3 +658,55 @@ def test_calibrate_smoke_interpret(monkeypatch):
         sd.DEVICE_TUNINGS.pop("TPU fake-gen", None)
     assert isinstance(t, sd.KernelTuning)
     assert t.vmem_budget >= 8 * 1024 * 1024
+
+
+def test_calibrate_failure_keeps_prior_tuning(monkeypatch):
+    """calibrate() on a platform that ALREADY has a validated tuning must
+    not close the fusion gate when the probe fails (round-3 review
+    finding): an unusable-backward outcome keeps the prior entry."""
+    import types
+    monkeypatch.setattr(
+        sd.jax, "devices",
+        lambda: [types.SimpleNamespace(platform="tpu",
+                                       device_kind="TPU fake-prior")])
+    monkeypatch.setattr(sd, "_warned_unknown", True)
+
+    def boom(*a, **k):
+        raise RuntimeError("no pallas here")
+
+    monkeypatch.setattr(sd, "fused_spatial_decoder", boom)
+    sentinel = sd.KernelTuning(vmem_budget=123, xla_fwd_max_bn=1.0,
+                               pallas_fwd_max_pad=1.0, fused_min_bnh=1.0)
+    monkeypatch.setitem(sd.DEVICE_TUNINGS, "TPU fake-prior", sentinel)
+    with pytest.warns(UserWarning, match="keeping the existing"):
+        t = sd.calibrate(verbose=False)
+    assert t is sentinel
+    assert sd.DEVICE_TUNINGS["TPU fake-prior"] is sentinel
+
+
+def test_calibrate_crossover_raise_restores_prior_tuning(monkeypatch):
+    """A crossover-probe exception mid-calibration must restore the prior
+    DEVICE_TUNINGS entry (not pop it) before re-raising."""
+    import types
+    monkeypatch.setattr(
+        sd.jax, "devices",
+        lambda: [types.SimpleNamespace(platform="tpu",
+                                       device_kind="TPU fake-prior2")])
+    monkeypatch.setattr(sd, "_warned_unknown", True)
+
+    # cheap stand-in so the VMEM probe succeeds instantly
+    def cheap(grid, phi, dx, sc, z, *w, **kw):
+        return jnp.sum(z) * jnp.ones((phi.shape[0], grid.shape[0]))
+
+    monkeypatch.setattr(sd, "fused_spatial_decoder", cheap)
+
+    def boom(*a, **k):
+        raise RuntimeError("probe exploded")
+
+    monkeypatch.setattr(sd, "_xla_forward", boom)
+    sentinel = sd.KernelTuning(vmem_budget=456, xla_fwd_max_bn=2.0,
+                               pallas_fwd_max_pad=1.0, fused_min_bnh=2.0)
+    monkeypatch.setitem(sd.DEVICE_TUNINGS, "TPU fake-prior2", sentinel)
+    with pytest.raises(RuntimeError, match="probe exploded"):
+        sd.calibrate(verbose=False)
+    assert sd.DEVICE_TUNINGS["TPU fake-prior2"] is sentinel
