@@ -18,3 +18,29 @@ def test_docs_build_covers_public_surface(tmp_path):
     trainers = open(tmp_path / "pyroved_tpu_trainers.html").read()
     for meth in ("step(", "train(", "run(", "evaluate("):
         assert meth in trainers, meth
+
+
+def test_example_notebooks_build_and_validate(tmp_path, monkeypatch):
+    """The five reference-notebook mirrors must build as valid nbformat v4
+    documents with the expected cell structure (the committed .ipynb files
+    additionally carry real-TPU outputs; this pins the generator)."""
+    import pathlib
+    import nbformat
+    ROOT = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(ROOT / "examples" / "notebooks"))
+    try:
+        import build_notebooks as bn
+    finally:
+        sys.path.pop(0)
+    assert set(bn.NOTEBOOKS) == {
+        "pyroVED_examples.ipynb", "VAE_gp.ipynb", "im2spec_VED.ipynb",
+        "shiftVAE.ipynb", "pyroVED_examples_C_cont_VAE.ipynb"}
+    for name, build in bn.NOTEBOOKS.items():
+        nb = build()
+        nbformat.validate(nb)
+        kinds = [c.cell_type for c in nb.cells]
+        assert kinds[0] == "markdown" and "code" in kinds, name
+        # every committed mirror exists on disk and is valid too
+        on_disk = nbformat.read(
+            str(ROOT / "examples" / "notebooks" / name), as_version=4)
+        nbformat.validate(on_disk)
