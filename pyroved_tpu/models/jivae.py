@@ -158,13 +158,10 @@ class jiVAE(baseVAE):
         coordinate head saves only ~2% (measured), so any padded MACs in
         the [K, B, N, Hmax] matmuls immediately outweigh it — unpadded
         stacks (equal, lane-aligned widths) are the only win region."""
-        mlp = params["decoder"].get("MLP_0", {}) if isinstance(
-            self.decoder_net, sDecoderNet) else {}
-        widths = {k["kernel"].shape[j] for k in mlp.values() for j in (0, 1)}
-        needs_pad = len(widths) != 1 or next(iter(widths), 0) % 128 != 0
+        from ..ops.spatial_decoder import sdecoder_needs_padding
         if (not isinstance(self.decoder_net, sDecoderNet)
                 or self._dec_act not in ("tanh", "tanh_approx", "relu")
-                or needs_pad):
+                or sdecoder_needs_padding(params["decoder"])):
             coords_k = jnp.broadcast_to(coords, (zc_k.shape[0],) + coords.shape)
             return self.decoder_net.apply({"params": params["decoder"]},
                                           coords_k, zc_k)

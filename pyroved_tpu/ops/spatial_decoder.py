@@ -956,6 +956,16 @@ def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
             and _device_kind() in DEVICE_TUNINGS)
 
 
+def sdecoder_needs_padding(dec_params) -> bool:
+    """True when :func:`_padded_sdecoder_weights` would zero-pad this
+    sDecoderNet param pytree (unequal or non-lane-aligned hidden widths).
+    Callers weighing a marginal optimization against padded MACs (e.g.
+    the shared-coords enumerated decode) should skip it when this holds."""
+    mlp = dec_params.get("MLP_0", {})
+    widths = {k["kernel"].shape[j] for k in mlp.values() for j in (0, 1)}
+    return len(widths) != 1 or next(iter(widths), 0) % 128 != 0
+
+
 def _padded_sdecoder_weights(dec_params):
     """Extract (Wc, bc, Wz, hw, hb, wout, bout) from an sDecoderNet param
     pytree, zero-padding every hidden width to a common lane-aligned Hmax.

@@ -384,6 +384,8 @@ class auxSVItrainer:
                 KL annealing inside the fused scan — same contract as
                 :meth:`SVItrainer.run`.
             aux_loss_multiplier: weight of the auxiliary supervised loss.
+            sup_period: explicit labeled-step cadence, overriding the
+                len()-derived ``(n_sup + n_unsup) // n_sup``.
         """
         self._ensure_built()
         schedule = kwargs.get("scale_schedule")
