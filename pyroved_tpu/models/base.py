@@ -353,13 +353,19 @@ class baseVAE:
                 "you pass, or drop trainer= to have fit() build one.")
         trainer = trainer or SVItrainer(self, lr=lr, **kwargs)
         # Fused multi-epoch path (one device dispatch for the whole run)
-        # whenever nothing needs per-epoch host work.
-        fused_run = (test_loader is None and not verbose
+        # whenever nothing needs per-epoch host work. A test set no longer
+        # forces the per-epoch path: SVItrainer.run(test_loader=) evaluates
+        # it after every epoch inside the fused dispatch (custom trainers
+        # without that kwarg keep the step() loop).
+        fused_run = (not verbose
                      and getattr(trainer, "log_file", None) is None
                      and getattr(trainer, "checkpoint_path", None) is None
-                     and hasattr(trainer, "run"))
+                     and hasattr(trainer, "run")
+                     and (test_loader is None or isinstance(trainer, SVItrainer)))
         if fused_run:
-            trainer.run(loader, int(epochs), scale_factor=scale_factor)
+            run_kwargs = {} if test_loader is None else {"test_loader": test_loader}
+            trainer.run(loader, int(epochs), scale_factor=scale_factor,
+                        **run_kwargs)
             return trainer
         for _ in range(int(epochs)):
             trainer.step(loader, test_loader, scale_factor=scale_factor)

@@ -263,15 +263,21 @@ def _pade_tanh(x):
 # Hidden-layer activations supported by the kernel. The coord fusion layer
 # (h0) follows the tanh flavor (exact or Pade), matching the reference's
 # hardcoded coord_latent activation (nets/fc.py:219); only the MLP layers
-# follow `activation`. Both derivatives are computable from the
-# POST-activation value, which is what the rematerializing backward keeps
-# (for 'tanh_approx' the exact-(1-h^2) form applied to the Pade output is
-# itself an approximation, accurate to the same 2e-4).
+# follow `activation`. Every supported derivative is computable from the
+# POST-activation value, which is what the rematerializing backward keeps:
+# tanh' = 1-h^2; relu/lrelu preserve sign so the slope is selectable from h;
+# softplus' = sigmoid(pre) = 1-exp(-h) (h = softplus(pre) >= 0 is stable).
+# (For 'tanh_approx' the exact-(1-h^2) form applied to the Pade output is
+# itself an approximation, accurate to the same 2e-4.)
 def _act(name, x):
     if name == "tanh":
         return jnp.tanh(x)
     if name == "tanh_approx":
         return _pade_tanh(x)
+    if name == "lrelu":  # torch nn.LeakyReLU default slope (utils/nn.py)
+        return jnp.where(x >= 0.0, x, 0.01 * x)
+    if name == "softplus":
+        return jax.nn.softplus(x)
     return jnp.maximum(x, 0.0)
 
 
@@ -283,6 +289,12 @@ def _h0_act(name, x):
 def _act_grad_from_post(name, h):
     if name in ("tanh", "tanh_approx"):
         return 1.0 - h * h
+    if name == "lrelu":
+        # h >= 0 <=> pre >= 0, matching jax.nn.leaky_relu's subgradient at 0
+        return jnp.where(h >= 0.0, jnp.asarray(1.0, h.dtype),
+                         jnp.asarray(0.01, h.dtype))
+    if name == "softplus":
+        return 1.0 - jnp.exp(-h)
     return (h > 0.0).astype(h.dtype)
 
 
@@ -939,15 +951,17 @@ def _fusion_work_ok(hidden) -> bool:
 
 def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
                              coord: int, channels: int = 1) -> bool:
-    """True when an sDecoderNet config maps onto the fused kernel:
-    tanh/relu hidden layers, an active coordinate transform, hidden widths
-    whose pad-to-max overhead is acceptable (equal 128-aligned widths run
-    unpadded), and a small channel count (the head is static-unrolled
-    VPU lane-reduces, one per channel)."""
+    """True when an sDecoderNet config maps onto the fused kernel: hidden
+    layers in any activation whose derivative is recoverable from the
+    post-activation value (tanh/relu/lrelu/softplus — the reference's
+    activation menu except gelu, ``utils/nn.py:121-123``), an active
+    coordinate transform, hidden widths whose pad-to-max overhead is
+    acceptable (equal 128-aligned widths run unpadded), and a small channel
+    count (the head is static-unrolled VPU lane-reduces, one per channel)."""
     hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
     del sigmoid_out  # both heads supported
     return (0 < coord < 5
-            and activation in ("tanh", "relu")
+            and activation in ("tanh", "relu", "lrelu", "softplus")
             and 1 <= int(channels) <= 4
             and _fusion_work_ok(hidden)
             and jax.devices()[0].platform == "tpu"
@@ -971,10 +985,15 @@ def _padded_sdecoder_weights(dec_params):
     pytree, zero-padding every hidden width to a common lane-aligned Hmax.
 
     Padding is exact, not approximate: padded lanes see zero weights in and
-    zero bias, so they carry ``act(0) = 0`` (tanh/relu) through every layer
-    and contribute nothing to real lanes or to the output head; their
-    parameter gradients are identically zero, and autodiff through
-    ``jnp.pad`` slices the cotangents back to the original shapes.
+    zero bias, so they carry ``act(0) = 0`` (tanh/relu/lrelu) through every
+    layer and contribute nothing to real lanes or to the output head, and
+    their parameter gradients are identically zero. For softplus the padded
+    lanes carry ``softplus(0) = log 2`` instead — still exact, because every
+    weight OUT of a padded lane is zero (no contribution to real lanes or to
+    the head, and real-lane cotangents never reach padded entries' inputs);
+    the nonzero gradients that do land on padded weight ENTRIES are sliced
+    away when autodiff through ``jnp.pad`` maps cotangents back to the
+    original shapes.
     """
     mlp = dec_params["MLP_0"]
     n_layers = len(mlp)

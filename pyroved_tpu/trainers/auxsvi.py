@@ -211,6 +211,77 @@ class auxSVItrainer:
 
         self._run_jit = jax.jit(run_epochs, donate_argnums=(0, 1, 2))
 
+        # run_epochs + the per-epoch val metric INSIDE the fused dispatch
+        # (the aux analogue of SVItrainer's run(test_loader=)): scan over
+        # epochs; inner scans over the interleaved steps and the val
+        # batches. Classification accumulates the weighted correct count
+        # (exactly evaluate_cls's count — padded rows carry weight 0);
+        # regression accumulates evaluate_reg's per-batch masked MSE.
+        classification = self.task == "classification"
+        enc_y = self.model.encoder_y_net
+
+        def run_epochs_val(params, opt_state, aux_opt_state, xu, sup_arrays,
+                           idx_u, w_u, sup_idx, sup_w, sup_mask, keys, betas,
+                           aux_mult, val_arrays, vidx, vw):
+            steps = jnp.arange(idx_u.shape[1])
+
+            def epoch_body(carry, inp):
+                params, opt_state, aux_opt_state = carry
+                eiu, ewu, esi, esw, em, key, beta, evidx, evw = inp
+
+                def body(carry, binp):
+                    params, opt_state, aux_opt_state = carry
+                    bidx, bw, sb, sw, do_sup, wstep = binp
+                    x = jnp.take(xu, bidx, axis=0)
+                    rng_u = jax.random.fold_in(key, 2 * wstep)
+                    params, opt_state, loss = unsup_step(
+                        params, opt_state, rng_u, x, bw, beta)
+                    sup_batch = tuple(jnp.take(a, sb, axis=0)
+                                      for a in sup_arrays)
+                    rng_s = jax.random.fold_in(key, 2 * wstep + 1)
+
+                    def with_sup(args):
+                        p, o, a = args
+                        p, o, a, _ = sup_step(p, o, a, rng_s, sup_batch[0],
+                                              sup_batch[1], sw, beta,
+                                              aux_mult)
+                        return p, o, a
+
+                    params, opt_state, aux_opt_state = jax.lax.cond(
+                        do_sup, with_sup, lambda args: args,
+                        (params, opt_state, aux_opt_state))
+                    return (params, opt_state, aux_opt_state), loss
+
+                (params, opt_state, aux_opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state, aux_opt_state),
+                    (eiu, ewu, esi, esw, em, steps))
+
+                def vbody(acc, binp):
+                    bidx, bw = binp
+                    xv = jnp.take(val_arrays[0], bidx, axis=0)
+                    xv = xv.reshape(bidx.shape[0], -1)
+                    yv = jnp.take(val_arrays[1], bidx, axis=0)
+                    pred = enc_y.apply({"params": params["encoder_y"]}, xv)
+                    if classification:
+                        hit = (jnp.argmax(pred, -1) == jnp.argmax(yv, -1))
+                        return acc + jnp.sum(hit * bw), None
+                    n_real = jnp.maximum(jnp.sum(bw), 1.0)
+                    se = jnp.sum(((pred - yv) ** 2) * bw[:, None])
+                    return acc + se / (n_real * yv.shape[-1]), None
+
+                metric, _ = jax.lax.scan(vbody, jnp.float32(0.0),
+                                         (evidx, evw))
+                return (params, opt_state, aux_opt_state), (jnp.sum(losses),
+                                                            metric)
+
+            (params, opt_state, aux_opt_state), (tr, te) = jax.lax.scan(
+                epoch_body, (params, opt_state, aux_opt_state),
+                (idx_u, w_u, sup_idx, sup_w, sup_mask, keys, betas, vidx,
+                 vw))
+            return params, opt_state, aux_opt_state, tr, te
+
+        self._run_val_jit = jax.jit(run_epochs_val, donate_argnums=(0, 1, 2))
+
     # ------------------------------------------------------------------
     def _train_chunked_stream(self, loader_unsup, loader_sup, beta,
                               aux_mult, sup_period=None) -> float:
@@ -386,8 +457,15 @@ class auxSVItrainer:
             aux_loss_multiplier: weight of the auxiliary supervised loss.
             sup_period: explicit labeled-step cadence, overriding the
                 len()-derived ``(n_sup + n_unsup) // n_sup``.
+            loader_val: labeled loader whose accuracy (classification) or
+                MSE (regression) is computed after every epoch INSIDE the
+                fused dispatch (metrics land in ``history["test"]``) — the
+                fused equivalent of ``step(..., loader_val=)``. Falls back
+                to per-epoch ``step()`` when any loader is not
+                device-resident.
         """
         self._ensure_built()
+        loader_val = kwargs.get("loader_val")
         schedule = kwargs.get("scale_schedule")
         if schedule is not None and len(schedule) != int(epochs):
             raise ValueError(
@@ -402,6 +480,10 @@ class auxSVItrainer:
                                jnp.float32)
         if int(epochs) <= 0:
             return []
+        if loader_val is not None:
+            return self._run_with_val(loader_unsup, loader_sup, loader_val,
+                                      int(epochs), epoch_betas, schedule,
+                                      aux_mult, kwargs)
         resident = (isinstance(loader_unsup, DataLoader)
                     and loader_unsup.device_resident
                     and isinstance(loader_sup, DataLoader)
@@ -452,6 +534,68 @@ class auxSVItrainer:
                      / max(unsup_count, 1.0)).tolist()
         self.history["training_loss"].extend(per_epoch)
         self.current_epoch += int(epochs)
+        return per_epoch
+
+    def _run_with_val(self, loader_unsup, loader_sup, loader_val,
+                      epochs: int, epoch_betas, schedule, aux_mult,
+                      kwargs) -> list:
+        """``run(..., loader_val=)``: the fused multi-epoch dispatch with
+        the val metric (accuracy / MSE) computed after every epoch
+        on-device. Training PRNG chain and parameter trajectory are
+        bitwise identical to :meth:`run` without a val loader (the metric
+        consumes no PRNG keys, matching host-side :meth:`evaluate`)."""
+        if not all(isinstance(ld, DataLoader) and ld.device_resident
+                   for ld in (loader_unsup, loader_sup, loader_val)):
+            per_epoch = []
+            step_kwargs = {k: v for k, v in kwargs.items()
+                           if k not in ("scale_factor", "scale_schedule",
+                                        "loader_val")}
+            for e in range(epochs):
+                sf = (schedule[e] if schedule is not None
+                      else kwargs.get("scale_factor", 1.0))
+                self.step(loader_unsup, loader_sup, loader_val,
+                          scale_factor=sf, **step_kwargs)
+                per_epoch.append(self.history["training_loss"][-1])
+            return per_epoch
+        (xu,) = loader_unsup.device_arrays
+        sup_arrays = loader_sup.device_arrays
+        val_arrays = loader_val.device_arrays
+        cols = {k: [] for k in ("iu", "wu", "si", "sw", "m", "vi", "vw")}
+        keys = []
+        unsup_count = None
+        for _ in range(epochs):
+            idx_u, w_u = loader_unsup.epoch_indices()
+            idx_s, w_s = loader_sup.epoch_indices()
+            unsup_count = float(w_u.sum())
+            mask, sup_j = self._schedule(loader_unsup, loader_sup,
+                                         idx_u.shape[0], idx_s.shape[0],
+                                         kwargs.get("sup_period"))
+            cols["iu"].append(idx_u)
+            cols["wu"].append(w_u)
+            cols["si"].append(idx_s[sup_j])
+            cols["sw"].append(w_s[sup_j])
+            cols["m"].append(mask)
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            keys.append(epoch_rng)
+            vi, vw = loader_val.epoch_indices()
+            cols["vi"].append(vi)
+            cols["vw"].append(vw)
+        cat = {k: jnp.asarray(np.stack(v)) for k, v in cols.items()}
+        params, self.opt_state, self.aux_opt_state, tr, te = \
+            self._run_val_jit(
+                self.model.params, self.opt_state, self.aux_opt_state, xu,
+                sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"],
+                cat["m"], jnp.stack(keys), jnp.stack(epoch_betas), aux_mult,
+                val_arrays, cat["vi"], cat["vw"])
+        self.model.params = params
+        per_epoch = (np.asarray(tr) / max(unsup_count, 1.0)).tolist()
+        if self.task == "classification":
+            metrics = (np.asarray(te) / loader_val.dataset_size).tolist()
+        else:
+            metrics = (np.asarray(te) / cat["vi"].shape[1]).tolist()
+        self.history["training_loss"].extend(per_epoch)
+        self.history["test"].extend(metrics)
+        self.current_epoch += epochs
         return per_epoch
 
     def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,

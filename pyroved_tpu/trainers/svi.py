@@ -88,6 +88,7 @@ class SVItrainer:
         self.current_epoch = 0
         self._train_epoch_jit = None
         self._eval_epoch_jit = None
+        self._run_epochs_eval_jit = None
 
     # ------------------------------------------------------------------
     def _constrain(self, tree):
@@ -192,7 +193,59 @@ class SVItrainer:
                 body, (params, opt_state), (idx, w, keys, within, betas))
             return params, opt_state, losses
 
+        def run_epochs_eval(params, opt_state, arrays, idx, w, keys, betas,
+                            tarrays, tidx, tw, tkeys):
+            # run_epochs + a per-epoch held-out evaluation INSIDE the fused
+            # dispatch: scan over epochs, inner scans over train steps and
+            # test batches. Keeps fit(test_data=...) on the single-dispatch
+            # path instead of the ~2x slower per-epoch step()/evaluate()
+            # loop. idx/w [E, nb, B]; keys/tkeys [E] PRNG keys (the same
+            # split order as sequential step(train, test)); betas [E, ...];
+            # tidx/tw [E, tnb, TB] pre-drawn test-epoch indices.
+            steps = jnp.arange(idx.shape[1])
+            tsteps = jnp.arange(tidx.shape[1])
+
+            def epoch_body(carry, inp):
+                params, opt_state = carry
+                eidx, ew, key, beta, etidx, etw, tkey = inp
+
+                def body(carry, binp):
+                    params, opt_state = carry
+                    bidx, bw, step = binp
+                    batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                    batch = self._constrain(batch)
+                    bw = self._constrain(bw)
+                    step_rng = jax.random.fold_in(key, step)
+                    loss, grads = jax.value_and_grad(batch_loss)(
+                        params, step_rng, batch, bw, beta)
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (eidx, ew, steps))
+
+                def ebody(_, binp):
+                    bidx, bw, step = binp
+                    batch = tuple(jnp.take(a, bidx, axis=0) for a in tarrays)
+                    batch = self._constrain(batch)
+                    return None, batch_loss(
+                        params, jax.random.fold_in(tkey, step), batch,
+                        self._constrain(bw), beta)
+
+                _, tlosses = jax.lax.scan(ebody, None, (etidx, etw, tsteps))
+                return (params, opt_state), (jnp.sum(losses),
+                                             jnp.sum(tlosses))
+
+            (params, opt_state), (tr, te) = jax.lax.scan(
+                epoch_body, (params, opt_state),
+                (idx, w, keys, betas, tidx, tw, tkeys))
+            return params, opt_state, tr, te
+
         self._train_epoch_jit = jax.jit(train_epoch, donate_argnums=(0, 1))
+        self._run_epochs_eval_jit = jax.jit(run_epochs_eval,
+                                            donate_argnums=(0, 1))
         self._run_epochs_jit = jax.jit(run_epochs, donate_argnums=(0, 1))
         self._eval_epoch_jit = jax.jit(eval_epoch)
         self._train_step_jit = jax.jit(train_step, donate_argnums=(0, 1))
@@ -326,7 +379,14 @@ class SVItrainer:
             scale_schedule: per-epoch beta sequence (length ``epochs``) for
                 KL annealing — the fused-run equivalent of calling
                 ``step(loader, scale_factor=f(epoch))`` each epoch.
+            test_loader: held-out loader evaluated after every epoch INSIDE
+                the fused dispatch (losses land in
+                ``loss_history["test_loss"]``) — the fused-run equivalent of
+                ``step(train_loader, test_loader)``, with the same per-epoch
+                PRNG split order. Falls back to per-epoch ``step()`` calls
+                when either loader is not device-resident.
         """
+        test_loader = kwargs.get("test_loader")
         schedule = kwargs.get("scale_schedule")
         if schedule is not None:
             if len(schedule) != int(epochs):
@@ -340,6 +400,10 @@ class SVItrainer:
                            ] * int(epochs)
         if int(epochs) <= 0:
             return []
+        if test_loader is not None:
+            return self._run_with_eval(train_loader, test_loader,
+                                       int(epochs), schedule, epoch_betas,
+                                       kwargs)
         if not (isinstance(train_loader, DataLoader)
                 and train_loader.device_resident):
             # per-epoch fallback, with the same bookkeeping as the fused path
@@ -373,6 +437,50 @@ class SVItrainer:
                      / train_loader.dataset_size).tolist()
         self.loss_history["training_loss"].extend(per_epoch)
         self.current_epoch += int(epochs)
+        return per_epoch
+
+    def _run_with_eval(self, train_loader, test_loader, epochs: int,
+                       schedule, epoch_betas, kwargs) -> list:
+        """``run(..., test_loader=)``: the fused multi-epoch dispatch with a
+        held-out evaluation after every epoch, all on-device. PRNG-parity
+        with sequential ``step(train_loader, test_loader)`` calls: per epoch
+        the split order is train-indices, train-key, test-indices, test-key,
+        and per-batch keys are ``fold_in(epoch_key, step)`` — identical to
+        :meth:`train` + :meth:`evaluate`."""
+        if not all(isinstance(ld, DataLoader) and ld.device_resident
+                   for ld in (train_loader, test_loader)):
+            per_epoch = []
+            for e in range(epochs):
+                sf = (schedule[e] if schedule is not None
+                      else kwargs.get("scale_factor", 1.0))
+                self.step(train_loader, test_loader, scale_factor=sf)
+                per_epoch.append(self.loss_history["training_loss"][-1])
+            return per_epoch
+        self._ensure_built()
+        idx_l, w_l, keys, tidx_l, tw_l, tkeys = [], [], [], [], [], []
+        for _ in range(epochs):
+            i, w = train_loader.epoch_indices()
+            idx_l.append(i)
+            w_l.append(w)
+            self.rng, k = jax.random.split(self.rng)
+            keys.append(k)
+            ti, tw = test_loader.epoch_indices()
+            tidx_l.append(ti)
+            tw_l.append(tw)
+            self.rng, tk = jax.random.split(self.rng)
+            tkeys.append(tk)
+        params, self.opt_state, tr, te = self._run_epochs_eval_jit(
+            self.model.params, self.opt_state, train_loader.device_arrays,
+            jnp.asarray(np.stack(idx_l)), jnp.asarray(np.stack(w_l)),
+            jnp.stack(keys), jnp.stack(epoch_betas),
+            test_loader.device_arrays, jnp.asarray(np.stack(tidx_l)),
+            jnp.asarray(np.stack(tw_l)), jnp.stack(tkeys))
+        self.model.params = params
+        per_epoch = (np.asarray(tr) / train_loader.dataset_size).tolist()
+        test_pe = (np.asarray(te) / test_loader.dataset_size).tolist()
+        self.loss_history["training_loss"].extend(per_epoch)
+        self.loss_history["test_loss"].extend(test_pe)
+        self.current_epoch += epochs
         return per_epoch
 
     def evaluate(self, test_loader: DataLoader, **kwargs) -> float:

@@ -233,6 +233,75 @@ def test_aux_run_multi_epoch_matches_sequential():
     assert t2.run(lu2, ls2, 0) == []
 
 
+def test_aux_run_with_val_matches_sequential_step():
+    """run(E, loader_val=) (train + val metric fused into one dispatch)
+    must reproduce E sequential step(unsup, sup, val) calls: bitwise
+    parameter trajectory, identical accuracy history (the correct-count is
+    permutation-invariant, so host vs device eval agree exactly)."""
+    def setup(seed):
+        rng = np.random.default_rng(0)
+        Xu = _data(48, rng)
+        Xs = _data(16, rng)
+        ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+        Xv = _data(16, rng)
+        yv = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+        loaders = init_ssvae_dataloaders(Xu, (Xs, ys), (Xv, yv),
+                                         batch_size=8)
+        m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+                   seed=2)
+        return m, auxSVItrainer(m, seed=seed), loaders
+
+    m1, t1, loaders1 = setup(9)
+    for _ in range(3):
+        t1.step(*loaders1)
+
+    m2, t2, loaders2 = setup(9)
+    fused = t2.run(loaders2[0], loaders2[1], 3, loader_val=loaders2[2])
+    np.testing.assert_allclose(t1.history["training_loss"], fused, rtol=1e-6)
+    np.testing.assert_allclose(t1.history["test"], t2.history["test"],
+                               atol=1e-7)
+    assert t2.current_epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aux_run_with_val_regression_metric():
+    """Regression: the fused val MSE matches host evaluate_reg (divisible
+    batches, so per-batch means average to the same value)."""
+    rng = np.random.default_rng(3)
+    Xu = _data(32, rng)
+    Xs = _data(16, rng)
+    ys = rng.normal(size=(16, 1)).astype(np.float32)
+    Xv = _data(16, rng)
+    yv = rng.normal(size=(16, 1)).astype(np.float32)
+    loaders = init_ssvae_dataloaders(Xu, (Xs, ys), (Xv, yv), batch_size=8)
+    m = ss_reg_iVAE(DATA, latent_dim=2, reg_dim=1, invariances=["r"], seed=1)
+    t = auxSVItrainer(m, seed=4)
+    t.run(loaders[0], loaders[1], 2, loader_val=loaders[2])
+    assert len(t.history["test"]) == 2
+    host_mse = t.evaluate(loaders[2])
+    np.testing.assert_allclose(t.history["test"][-1], host_mse, rtol=1e-4)
+
+
+def test_ssivae_fit_uses_fused_val_run():
+    """fit() (non-verbose, no log/checkpoint) routes through
+    run(loader_val=) — per-epoch metrics recorded, no step() loop."""
+    loaders = _cls_setup()
+    del loaders
+    rng = np.random.default_rng(0)
+    Xu = _data(48, rng)
+    Xs = _data(16, rng)
+    ys = rng.integers(0, 3, 16)
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"])
+    tr = m.fit(Xu, (Xs, ys), epochs=3, batch_size=8)
+    assert len(tr.history["training_loss"]) == 3
+    assert len(tr.history["test"]) == 3
+    assert all(0.0 <= v <= 1.0 for v in tr.history["test"])
+    # fused path does not do per-epoch host sync -> no epoch_times entries
+    assert tr.epoch_times == []
+
+
 def test_aux_run_streaming_fallback():
     rng = np.random.default_rng(0)
     from pyroved_tpu.utils import init_dataloader

@@ -201,6 +201,42 @@ def test_multichannel_fused_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
 
 
+@pytest.mark.parametrize("act", ["lrelu", "softplus"])
+def test_nondefault_activation_fused_matches_xla(act, monkeypatch):
+    """lrelu/softplus decoder stacks (reference ``utils/nn.py:121-123``
+    activation menu) now pass the fusion gate; the kernel's loss must match
+    the XLA module path exactly (f32 interpret mode)."""
+    import types
+
+    import pyroved_tpu.ops.spatial_decoder as sd
+    monkeypatch.setattr(sd, "INTERPRET", True)
+    monkeypatch.setattr(sd, "BF16_MATMUL", False)
+    monkeypatch.setattr(sd, "FUSED_MIN_BNH", 0)  # tiny test shapes
+    monkeypatch.setattr(sd.jax, "devices",
+                        lambda: [types.SimpleNamespace(platform="tpu", device_kind="TPU v5 lite")])
+    x = np.random.default_rng(0).uniform(0, 1, (4,) + DATA_2D).astype(np.float32)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], activation=act,
+              fused=False)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], activation=act)
+    assert not m1._fused and m2._fused
+    m2.params = m1.params
+    l1 = m1.loss_fn(m1.params, jax.random.PRNGKey(0), (jnp.asarray(x),),
+                    jnp.asarray(1.0))
+    l2 = m2.loss_fn(m2.params, jax.random.PRNGKey(0), (jnp.asarray(x),),
+                    jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+    # gradients through the custom VJP must match XLA autodiff too
+    def total(model):
+        return lambda p: jnp.sum(model.loss_fn(
+            p, jax.random.PRNGKey(0), (jnp.asarray(x),), jnp.asarray(1.0)))
+    g1 = jax.grad(total(m1))(m1.params)
+    g2 = jax.grad(total(m2))(m2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_multichannel_set_encoder():
     from pyroved_tpu.nets.fc import fcEncoderNet
     m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], channels=3)

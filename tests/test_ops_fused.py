@@ -141,6 +141,8 @@ def test_supports_fusion_gate():
         assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1)
         assert sd.sdecoder_supports_fusion((128, 64), "tanh", True, 1)  # pads to 128
         assert sd.sdecoder_supports_fusion((128, 128), "relu", True, 1)
+        assert sd.sdecoder_supports_fusion((128, 128), "lrelu", True, 1)
+        assert sd.sdecoder_supports_fusion((128, 128), "softplus", True, 1)
         assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 0)  # no coord
         assert not sd.sdecoder_supports_fusion((128, 128), "gelu", True, 1)  # unsupported act
         assert not sd.sdecoder_supports_fusion((128, 512), "tanh", True, 1)  # heavy padding
@@ -159,10 +161,18 @@ def test_wide_hidden_dim_tiles():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("act,sig", [("relu", True), ("tanh", False), ("relu", False)])
+@pytest.mark.parametrize("act,sig", [("relu", True), ("tanh", False),
+                                     ("relu", False), ("lrelu", True),
+                                     ("lrelu", False), ("softplus", True),
+                                     ("softplus", False)])
 def test_activation_variants_match_reference(act, sig):
     args = _make(2, B=4, N=256, seed=5)
     grid, rest = args[0], args[1:]
+    # independent reference activations (NOT sd._act): the same jax.nn
+    # functions utils.nn.get_activation wires into the real modules
+    acts = {"tanh": jnp.tanh, "relu": jax.nn.relu,
+            "lrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+            "softplus": jax.nn.softplus}
 
     def ref_fn(rest):
         (phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout) = rest
@@ -173,7 +183,7 @@ def test_activation_variants_match_reference(act, sig):
         cy = (gx[None] * s + gy[None] * c) * sc[:, None] + dx[:, 1:2]
         coords = jnp.stack([cx, cy], -1)
         h = jnp.tanh(coords @ Wc + bc + (z @ Wz)[:, None, :])  # h0 always tanh
-        a = jnp.tanh if act == "tanh" else jax.nn.relu
+        a = acts[act]
         for i in range(hw.shape[0]):
             h = a(h @ hw[i] + hb[i])
         o = (h @ wout + bout)[..., 0]
@@ -432,7 +442,7 @@ def test_forward_routing_by_size(monkeypatch):
 def test_xla_forward_act_variants():
     """The generalized XLA forward matches the kernel for every supported
     activation/head combination."""
-    for act in ("tanh", "relu", "tanh_approx"):
+    for act in ("tanh", "relu", "tanh_approx", "lrelu", "softplus"):
         for sig in (True, False):
             args = _make(2, B=3, N=192, seed=31)
             out_k = sd.fused_spatial_decoder(*args, act, sig)  # pallas (fixture)
@@ -457,13 +467,21 @@ def test_fusion_work_gate():
     assert not sd._fusion_work_ok((2048, 2048))
 
 
-@pytest.mark.parametrize("hidden", [(256, 128), (100, 60), (130,)])
-def test_padded_fusion_matches_module(hidden):
+@pytest.mark.parametrize("hidden,act", [((256, 128), "tanh"),
+                                        ((100, 60), "tanh"),
+                                        ((130,), "tanh"),
+                                        # softplus(0) = log2 on padded lanes —
+                                        # exactness relies on zero OUT-weights,
+                                        # not on act(0) = 0 (see
+                                        # _padded_sdecoder_weights docstring)
+                                        ((100, 60), "softplus"),
+                                        ((130,), "lrelu")])
+def test_padded_fusion_matches_module(hidden, act):
     """Unequal / non-lane-aligned hidden widths run through the kernel by
     zero-padding to Hmax; output and gradients must match the flax module."""
     from pyroved_tpu.nets.fc import sDecoderNet
     B, N = 3, 70
-    net = sDecoderNet((8, 8), hidden_dim=hidden)
+    net = sDecoderNet((8, 8), hidden_dim=hidden, activation=act)
     rng = np.random.default_rng(7)
     grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
     z = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
@@ -476,7 +494,8 @@ def test_padded_fusion_matches_module(hidden):
 
     def f_fused(p, zz):
         return sd.apply_fused_sdecoder(p, grid, jnp.zeros(B),
-                                       jnp.zeros((B, 2)), jnp.ones(B), zz)
+                                       jnp.zeros((B, 2)), jnp.ones(B), zz,
+                                       act=act)
 
     out_m = f_module(params, z)
     out_f = f_fused(params, z)

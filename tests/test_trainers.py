@@ -240,6 +240,64 @@ def test_run_scale_schedule_matches_sequential_annealing():
         t2.run(l2, 5, scale_schedule=schedule)
 
 
+def test_run_with_test_loader_matches_sequential_step():
+    """run(E, test_loader=) (train + held-out eval fused into one dispatch)
+    must reproduce E sequential step(train, test) calls: same PRNG split
+    order, bitwise parameter trajectory, matching train/test histories."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(24)
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    l1 = init_dataloader(x, batch_size=16, seed=3)
+    tl1 = init_dataloader(xt, batch_size=16, seed=5)
+    for _ in range(3):
+        t1.step(l1, tl1)
+
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9)
+    l2 = init_dataloader(x, batch_size=16, seed=3)
+    tl2 = init_dataloader(xt, batch_size=16, seed=5)
+    fused = t2.run(l2, 3, test_loader=tl2)
+
+    np.testing.assert_allclose(t1.loss_history["training_loss"], fused,
+                               rtol=1e-6)
+    np.testing.assert_allclose(t1.loss_history["test_loss"],
+                               t2.loss_history["test_loss"], rtol=1e-6)
+    assert t2.current_epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_with_test_data_uses_fused_run():
+    """fit(test_data=...) routes through the fused run-with-eval path and
+    still records per-epoch test losses."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=1)
+    tr = m.fit(x, epochs=3, batch_size=16, test_data=xt)
+    assert len(tr.loss_history["training_loss"]) == 3
+    assert len(tr.loss_history["test_loss"]) == 3
+    assert all(np.isfinite(v) for v in tr.loss_history["test_loss"])
+
+
+def test_run_with_streaming_test_loader_falls_back():
+    """A non-device-resident test loader falls back to per-epoch step()
+    bookkeeping (epoch_times recorded), same histories filled."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=1)
+    t = SVItrainer(m, seed=2)
+    loader = init_dataloader(x, batch_size=16, seed=3)
+    test_loader = init_dataloader(xt, batch_size=16, seed=4,
+                                  device_resident=False)
+    out = t.run(loader, 2, test_loader=test_loader)
+    assert len(out) == 2
+    assert len(t.loss_history["test_loss"]) == 2
+    assert len(t.epoch_times) == 2
+
+
 def test_run_streaming_fallback():
     model = iVAE(DATA_2D, latent_dim=2, invariances=None)
     trainer = SVItrainer(model)
