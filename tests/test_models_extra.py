@@ -205,6 +205,22 @@ def test_ved_loss_and_predict(in_dim, out_dim):
     assert (np.asarray(std) >= 0).all()
 
 
+def test_ved_fit_with_test_pairs():
+    """VED.fit(test_data=(X, y)) rides the fused run-with-eval path:
+    per-epoch test losses recorded without a per-epoch host loop."""
+    m = VED((16, 16), (32,), latent_dim=2,
+            hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (16, 16, 16)).astype(np.float32)
+    y = rng.uniform(0, 1, (16, 32)).astype(np.float32)
+    xt = rng.uniform(0, 1, (8, 16, 16)).astype(np.float32)
+    yt = rng.uniform(0, 1, (8, 32)).astype(np.float32)
+    tr = m.fit(x, y, test_data=(xt, yt), epochs=3, batch_size=8)
+    assert len(tr.loss_history["training_loss"]) == 3
+    assert len(tr.loss_history["test_loss"]) == 3
+    assert all(np.isfinite(v) for v in tr.loss_history["test_loss"])
+
+
 def test_ved_bf16_compute_mode():
     """compute_dtype='bfloat16' runs the conv towers in bf16 (1.58x on the
     256x256 stretch config, measured on v5e) while params and the
