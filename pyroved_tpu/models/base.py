@@ -353,15 +353,17 @@ class baseVAE:
                 "you pass, or drop trainer= to have fit() build one.")
         trainer = trainer or SVItrainer(self, lr=lr, **kwargs)
         # Fused multi-epoch path (one device dispatch for the whole run)
-        # whenever nothing needs per-epoch host work. A test set no longer
-        # forces the per-epoch path: SVItrainer.run(test_loader=) evaluates
-        # it after every epoch inside the fused dispatch (custom trainers
-        # without that kwarg keep the step() loop).
-        fused_run = (not verbose
-                     and getattr(trainer, "log_file", None) is None
-                     and getattr(trainer, "checkpoint_path", None) is None
-                     and hasattr(trainer, "run")
-                     and (test_loader is None or isinstance(trainer, SVItrainer)))
+        # whenever per-epoch host work isn't required. For SVItrainer that
+        # now includes test sets (run(test_loader=) evaluates inside the
+        # dispatch), JSONL logging, and auto-checkpointing (run() splits
+        # into fused segments); custom trainers keep the conservative
+        # gating — only verbose needs the step() loop here.
+        fused_run = (not verbose and hasattr(trainer, "run")
+                     and (isinstance(trainer, SVItrainer)
+                          or (test_loader is None
+                              and getattr(trainer, "log_file", None) is None
+                              and getattr(trainer, "checkpoint_path", None)
+                              is None)))
         if fused_run:
             run_kwargs = {} if test_loader is None else {"test_loader": test_loader}
             trainer.run(loader, int(epochs), scale_factor=scale_factor,

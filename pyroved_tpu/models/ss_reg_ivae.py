@@ -186,9 +186,7 @@ class ss_reg_iVAE(baseVAE):
         trainer = trainer or auxSVItrainer(self, lr=lr, **tkw)
         # Fused multi-epoch path with the val MSE evaluated inside the
         # dispatch (auxSVItrainer.run(loader_val=)) — see ssiVAE.fit.
-        fused = (not verbose and isinstance(trainer, auxSVItrainer)
-                 and getattr(trainer, "log_file", None) is None
-                 and getattr(trainer, "checkpoint_path", None) is None)
+        fused = not verbose and isinstance(trainer, auxSVItrainer)
         if fused:
             trainer.run(loaders[0], loaders[1], int(epochs),
                         loader_val=loaders[2], **kwargs)

@@ -223,11 +223,10 @@ class ssiVAE(baseVAE):
                 "pass, or drop trainer= to have fit() build one.")
         trainer = trainer or auxSVItrainer(self, lr=lr, **tkw)
         # Fused multi-epoch path with the val metric evaluated inside the
-        # dispatch (auxSVItrainer.run(loader_val=)) whenever nothing needs
-        # per-epoch host work — same routing rule as baseVAE.fit.
-        fused = (not verbose and isinstance(trainer, auxSVItrainer)
-                 and getattr(trainer, "log_file", None) is None
-                 and getattr(trainer, "checkpoint_path", None) is None)
+        # dispatch (auxSVItrainer.run(loader_val=)); JSONL logging and
+        # auto-checkpointing run between fused segments (run() splits
+        # itself) — same routing rule as baseVAE.fit.
+        fused = not verbose and isinstance(trainer, auxSVItrainer)
         if fused:
             trainer.run(loaders[0], loaders[1], int(epochs),
                         loader_val=loaders[2], **kwargs)

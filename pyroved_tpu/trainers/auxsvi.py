@@ -480,6 +480,10 @@ class auxSVItrainer:
                                jnp.float32)
         if int(epochs) <= 0:
             return []
+        seg = self._run_segment_len()
+        if seg is not None and not getattr(self, "_segmenting", False):
+            return self._run_segmented(loader_unsup, loader_sup,
+                                       int(epochs), seg, schedule, kwargs)
         if loader_val is not None:
             return self._run_with_val(loader_unsup, loader_sup, loader_val,
                                       int(epochs), epoch_betas, schedule,
@@ -535,6 +539,74 @@ class auxSVItrainer:
         self.history["training_loss"].extend(per_epoch)
         self.current_epoch += int(epochs)
         return per_epoch
+
+    def _run_segment_len(self):
+        """Nominal fused-run segment length when per-segment host work
+        (JSONL logging / auto-checkpointing) is configured; ``None``
+        disables segmenting — same contract as
+        ``SVItrainer._run_segment_len``."""
+        if self.checkpoint_path:
+            return max(1, int(self.checkpoint_every))
+        if self.log_file:
+            return 10
+        return None
+
+    def _next_segment_epochs(self, remaining: int) -> int:
+        """Epochs until the next host-work boundary — same contract as
+        ``SVItrainer._next_segment_epochs``."""
+        cands = [remaining]
+        if self.checkpoint_path:
+            ce = max(1, int(self.checkpoint_every))
+            cands.append(ce - (self.current_epoch % ce))
+        if self.log_file:
+            cands.append(10 - (self.current_epoch % 10))
+        return max(1, min(cands))
+
+    def _run_segmented(self, loader_unsup, loader_sup, epochs: int,
+                       seg: int, schedule, kwargs) -> list:
+        """Split the fused run into segments with JSONL records and
+        auto-checkpoints between them (see ``SVItrainer._run_segmented``);
+        the PRNG chain — hence the trajectory — is unchanged."""
+        del seg  # per-iteration length comes from _next_segment_epochs
+        out = []
+        done = 0
+        while done < epochs:
+            n = self._next_segment_epochs(epochs - done)
+            sub = dict(kwargs)
+            if schedule is not None:
+                sub["scale_schedule"] = list(schedule)[done:done + n]
+            n_times = len(self.epoch_times)
+            t0 = time.perf_counter()
+            self._segmenting = True
+            try:
+                out.extend(self.run(loader_unsup, loader_sup, n, **sub))
+            finally:
+                self._segmenting = False
+            dt = time.perf_counter() - t0
+            stepped = len(self.epoch_times) > n_times
+            if stepped:  # fell back to step(), which did the bookkeeping
+                done += n
+                continue
+            self.epoch_times.extend([dt / n] * n)
+            if self.log_file:
+                import json
+                tr_seg = self.history["training_loss"][-n:]
+                te_seg = (self.history["test"][-n:]
+                          if kwargs.get("loader_val") is not None else None)
+                with open(self.log_file, "a") as f:
+                    for j in range(n):
+                        record = {"epoch": self.current_epoch - n + j + 1,
+                                  "training_loss": tr_seg[j],
+                                  "epoch_seconds": dt / n}
+                        if te_seg is not None:
+                            record["test"] = te_seg[j]
+                        f.write(json.dumps(record) + "\n")
+            if (self.checkpoint_path
+                    and self.current_epoch % self.checkpoint_every == 0):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(self.checkpoint_path, self.model, self)
+            done += n
+        return out
 
     def _run_with_val(self, loader_unsup, loader_sup, loader_val,
                       epochs: int, epoch_betas, schedule, aux_mult,

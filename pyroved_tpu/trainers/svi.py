@@ -385,6 +385,12 @@ class SVItrainer:
                 ``step(train_loader, test_loader)``, with the same per-epoch
                 PRNG split order. Falls back to per-epoch ``step()`` calls
                 when either loader is not device-resident.
+
+        With ``log_file`` or ``checkpoint_path`` configured, the run is
+        split into fused SEGMENTS (``checkpoint_every`` epochs, or 10 for
+        log-only) with the host work between segments — live JSONL records
+        and auto-checkpoints at ~fused speed, parameter trajectory still
+        bitwise identical (segmenting does not change the PRNG chain).
         """
         test_loader = kwargs.get("test_loader")
         schedule = kwargs.get("scale_schedule")
@@ -400,6 +406,10 @@ class SVItrainer:
                            ] * int(epochs)
         if int(epochs) <= 0:
             return []
+        seg = self._run_segment_len()
+        if seg is not None and not getattr(self, "_segmenting", False):
+            return self._run_segmented(train_loader, int(epochs), seg,
+                                       schedule, kwargs)
         if test_loader is not None:
             return self._run_with_eval(train_loader, test_loader,
                                        int(epochs), schedule, epoch_betas,
@@ -438,6 +448,80 @@ class SVItrainer:
         self.loss_history["training_loss"].extend(per_epoch)
         self.current_epoch += int(epochs)
         return per_epoch
+
+    def _run_segment_len(self):
+        """Nominal fused-run segment length when per-segment host work
+        (JSONL logging / auto-checkpointing) is configured; ``None``
+        disables segmenting (pure single-dispatch run). The actual
+        per-iteration length additionally aligns to checkpoint/log
+        boundaries (see :meth:`_next_segment_epochs`)."""
+        if self.checkpoint_path:
+            return max(1, int(self.checkpoint_every))
+        if self.log_file:
+            return 10
+        return None
+
+    def _next_segment_epochs(self, remaining: int) -> int:
+        """Epochs until the next host-work boundary: the next multiple of
+        ``checkpoint_every`` and/or the 10-epoch log cadence — so a resumed
+        trainer checkpoints at exactly the epochs a step() loop would."""
+        cands = [remaining]
+        if self.checkpoint_path:
+            ce = max(1, int(self.checkpoint_every))
+            cands.append(ce - (self.current_epoch % ce))
+        if self.log_file:
+            cands.append(10 - (self.current_epoch % 10))
+        return max(1, min(cands))
+
+    def _run_segmented(self, train_loader, epochs: int, seg: int,
+                       schedule, kwargs) -> list:
+        """Split ``run(epochs)`` into fused segments with the configured
+        host work (JSONL records, auto-checkpoint) between them. The PRNG
+        chain — and therefore the parameter trajectory — is unchanged by
+        segmenting; only the dispatch granularity differs (~1 host sync
+        per ``seg`` epochs instead of none)."""
+        del seg  # per-iteration length comes from _next_segment_epochs
+        out = []
+        done = 0
+        while done < epochs:
+            n = self._next_segment_epochs(epochs - done)
+            sub = dict(kwargs)
+            if schedule is not None:
+                sub["scale_schedule"] = list(schedule)[done:done + n]
+            n_times = len(self.epoch_times)
+            t0 = time.perf_counter()
+            self._segmenting = True
+            try:
+                out.extend(self.run(train_loader, n, **sub))
+            finally:
+                self._segmenting = False
+            dt = time.perf_counter() - t0
+            stepped = len(self.epoch_times) > n_times
+            if stepped:
+                # the sub-run fell back to per-epoch step() calls, which
+                # already did the logging/checkpoint/timing bookkeeping
+                done += n
+                continue
+            self.epoch_times.extend([dt / n] * n)
+            if self.log_file:
+                import json
+                tr_seg = self.loss_history["training_loss"][-n:]
+                te_seg = (self.loss_history["test_loss"][-n:]
+                          if kwargs.get("test_loader") is not None else None)
+                with open(self.log_file, "a") as f:
+                    for j in range(n):
+                        record = {"epoch": self.current_epoch - n + j + 1,
+                                  "training_loss": tr_seg[j],
+                                  "epoch_seconds": dt / n}
+                        if te_seg is not None:
+                            record["test_loss"] = te_seg[j]
+                        f.write(json.dumps(record) + "\n")
+            if (self.checkpoint_path
+                    and self.current_epoch % self.checkpoint_every == 0):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(self.checkpoint_path, self.model, self)
+            done += n
+        return out
 
     def _run_with_eval(self, train_loader, test_loader, epochs: int,
                        schedule, epoch_betas, kwargs) -> list:

@@ -537,3 +537,75 @@ def test_fit_rejects_explicit_trainer_plus_trainer_kwargs(tmp_path):
     with pytest.raises(ValueError, match="explicit trainer"):
         mv.fit(X_unsup, epochs=1, batch_size=8, trainer=tv,
                log_file=str(tmp_path / "y.jsonl"))
+
+
+def _seg_setup(seed, **tkw):
+    rng = np.random.default_rng(0)
+    Xu = _data(48, rng)
+    Xs = _data(16, rng)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+    from pyroved_tpu.utils import init_dataloader
+    lu = init_dataloader(Xu, batch_size=8, seed=5)
+    ls = init_dataloader(Xs, ys, batch_size=8, seed=7)
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"], seed=2)
+    return m, auxSVItrainer(m, seed=seed, **tkw), lu, ls
+
+
+def test_aux_run_segmented_logging_matches_pure_fused(tmp_path):
+    """auxSVItrainer.run() with log_file splits into fused segments with
+    a bitwise-identical trajectory and one JSONL record per epoch."""
+    import json
+    m1, t1, lu1, ls1 = _seg_setup(9)
+    pure = t1.run(lu1, ls1, 4)
+
+    log = tmp_path / "aux.jsonl"
+    m2, t2, lu2, ls2 = _seg_setup(9, log_file=str(log))
+    seg = t2.run(lu2, ls2, 4)
+
+    np.testing.assert_allclose(pure, seg, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in records] == [1, 2, 3, 4]
+    assert all(np.isfinite(r["training_loss"]) for r in records)
+
+
+def test_aux_run_segmented_checkpoints_at_step_loop_epochs(tmp_path):
+    """Checkpoints land at multiples of checkpoint_every, including a
+    second run starting off-boundary (segment alignment)."""
+    path = str(tmp_path / "aux.msgpack")
+    m, t, lu, ls = _seg_setup(9, checkpoint_path=path, checkpoint_every=3)
+    t.run(lu, ls, 4)  # boundary at epoch 3
+    m2 = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"], seed=5)
+    t2 = auxSVItrainer(m2, checkpoint_path=path)
+    assert t2.resume() == 3
+    t.run(lu, ls, 2)  # epochs 5..6 -> boundary at 6
+    m3 = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"], seed=5)
+    t3 = auxSVItrainer(m3, checkpoint_path=path)
+    assert t3.resume() == 6
+    assert t.current_epoch == 6
+
+
+def test_ssivae_fit_with_log_and_checkpoint_stays_fused(tmp_path):
+    """ssiVAE.fit() with log_file/checkpoint_path routes through the
+    segmented fused run and still produces both artifacts."""
+    import json, os
+    rng = np.random.default_rng(0)
+    log = tmp_path / "fit.jsonl"
+    ckpt = str(tmp_path / "fit.msgpack")
+    Xu = _data(48, rng)
+    Xs = _data(16, rng)
+    ys = rng.integers(0, 3, 16)
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3, seed=1)
+    tr = m.fit(Xu, (Xs, ys), epochs=4, batch_size=8, log_file=str(log),
+               checkpoint_path=ckpt, checkpoint_every=2)
+    assert len(tr.history["training_loss"]) == 4
+    assert len(tr.history["test"]) == 4  # fused val metric still computed
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in records] == [1, 2, 3, 4]
+    assert all("test" in r for r in records)
+    assert os.path.exists(ckpt)
+    m2 = ssiVAE(DATA, latent_dim=2, num_classes=3, seed=6)
+    t2 = auxSVItrainer(m2, checkpoint_path=ckpt)
+    assert t2.resume() == 4

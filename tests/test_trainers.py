@@ -400,3 +400,100 @@ def test_streaming_path_matches_device_resident_exactly():
                         jax.tree_util.tree_leaves(pv)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-6, atol=1e-7)
+
+
+def test_run_segmented_logging_matches_pure_fused(tmp_path):
+    """run() with log_file set splits into fused segments; the parameter
+    trajectory must stay bitwise identical to the pure single-dispatch run
+    and the JSONL must hold one record per epoch."""
+    import json
+    x = _rand_imgs(48)
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    pure = t1.run(init_dataloader(x, batch_size=16, seed=3), 5)
+
+    log = tmp_path / "train.jsonl"
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9, log_file=str(log))
+    seg = t2.run(init_dataloader(x, batch_size=16, seed=3), 5)
+
+    np.testing.assert_allclose(pure, seg, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in records] == [1, 2, 3, 4, 5]
+    assert all(np.isfinite(r["training_loss"]) for r in records)
+    assert all(r["epoch_seconds"] > 0 for r in records)
+
+
+def test_run_segmented_checkpoints_at_step_loop_epochs(tmp_path):
+    """run() with checkpoint_path/checkpoint_every must write checkpoints at
+    exactly the epochs a step() loop would (multiples of checkpoint_every),
+    including across a second run that starts off-boundary."""
+    path = str(tmp_path / "auto.msgpack")
+    x = _rand_imgs(48)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t = SVItrainer(m, seed=9, checkpoint_path=path, checkpoint_every=5)
+    loader = init_dataloader(x, batch_size=16, seed=3)
+    t.run(loader, 7)  # boundary at epoch 5
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=1)
+    t2 = SVItrainer(m2, checkpoint_path=path)
+    assert t2.resume() == 5
+    t.run(loader, 3)  # epochs 8..10 -> boundary at 10
+    m3 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=1)
+    t3 = SVItrainer(m3, checkpoint_path=path)
+    assert t3.resume() == 10
+    assert t.current_epoch == 10
+
+
+def test_run_segmented_schedule_and_test_loader(tmp_path):
+    """Segmented run must thread scale_schedule slices and the fused
+    test-loader eval through each segment: bitwise trajectory vs the
+    unsegmented run, test_loss in every JSONL record."""
+    import json
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    schedule = [0.2, 0.4, 0.6, 0.8, 1.0]
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    pure = t1.run(init_dataloader(x, batch_size=16, seed=3), 5,
+                  scale_schedule=schedule,
+                  test_loader=init_dataloader(xt, batch_size=16, seed=5))
+
+    log = tmp_path / "train.jsonl"
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9, log_file=str(log), checkpoint_path=None)
+    seg = t2.run(init_dataloader(x, batch_size=16, seed=3), 5,
+                 scale_schedule=schedule,
+                 test_loader=init_dataloader(xt, batch_size=16, seed=5))
+
+    np.testing.assert_allclose(pure, seg, rtol=1e-6)
+    np.testing.assert_allclose(t1.loss_history["test_loss"],
+                               t2.loss_history["test_loss"], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(records) == 5 and all("test_loss" in r for r in records)
+
+
+def test_fit_with_log_and_checkpoint_stays_fused(tmp_path):
+    """fit() with log_file/checkpoint_path now routes through the segmented
+    fused run (no per-epoch step() loop) and still produces the artifacts."""
+    import json, os
+    log = tmp_path / "fit.jsonl"
+    ckpt = str(tmp_path / "fit.msgpack")
+    x = _rand_imgs(48)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=1)
+    tr = m.fit(x, epochs=4, batch_size=16, log_file=str(log),
+               checkpoint_path=ckpt, checkpoint_every=2)
+    assert len(tr.loss_history["training_loss"]) == 4
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in records] == [1, 2, 3, 4]
+    assert os.path.exists(ckpt)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=5)
+    t2 = SVItrainer(m2, checkpoint_path=ckpt)
+    assert t2.resume() == 4
