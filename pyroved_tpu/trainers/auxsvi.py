@@ -603,9 +603,15 @@ class auxSVItrainer:
                         f.write(json.dumps(record) + "\n")
             if (self.checkpoint_path
                     and self.current_epoch % self.checkpoint_every == 0):
+                # async: the file write overlaps the next fused segment
                 from ..utils.checkpoint import save_checkpoint
-                save_checkpoint(self.checkpoint_path, self.model, self)
+                save_checkpoint(self.checkpoint_path, self.model, self,
+                                async_write=True)
             done += n
+        if self.checkpoint_path:
+            # artifacts are durable by the time run() returns
+            from ..utils.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()
         return out
 
     def _run_with_val(self, loader_unsup, loader_sup, loader_val,

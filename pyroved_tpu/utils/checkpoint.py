@@ -163,20 +163,71 @@ def _check_backend(backend: str) -> None:
                          "'msgpack' or 'orbax'")
 
 
-def save_checkpoint(path: str, model, trainer=None,
-                    backend: str = "msgpack") -> None:
-    """Serialize the full training state (see module docstring)."""
-    _check_backend(backend)
-    payload = _build_payload(model, trainer)
-    if backend == "orbax":
-        _save_orbax(path, payload)
-        return
+_pending_write = {"thread": None, "error": None}
+
+
+def wait_for_checkpoints() -> None:
+    """Block until an in-flight ``save_checkpoint(async_write=True)`` has
+    finished; re-raises any error from that write."""
+    t = _pending_write["thread"]
+    if t is not None:
+        t.join()
+        _pending_write["thread"] = None
+    err = _pending_write["error"]
+    if err is not None:
+        _pending_write["error"] = None
+        raise err
+
+
+def _write_msgpack(path: str, payload) -> None:
+    """Serialize + write ATOMICALLY (temp file, then ``os.replace``): a
+    crash mid-write leaves the previous checkpoint intact instead of a
+    truncated archive — this file IS the crash-recovery artifact."""
+    import os
+
     import flax.serialization
     # to_bytes dict-ifies tuples/NamedTuples (optimizer states) before
     # msgpack, which cannot encode them natively
     blob = flax.serialization.to_bytes(payload)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez(f, payload=np.frombuffer(blob, np.uint8))
+    os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, model, trainer=None,
+                    backend: str = "msgpack",
+                    async_write: bool = False) -> None:
+    """Serialize the full training state (see module docstring).
+
+    ``async_write=True`` (msgpack only) returns as soon as the state is
+    snapshotted to host memory; serialization and the atomic file write
+    happen on a background thread so training can continue — the
+    segmented fused runs use this. Writes stay ordered (a new save joins
+    the previous one first) and :func:`load_checkpoint` flushes pending
+    writes before reading. The writer thread is non-daemon, so a normal
+    interpreter exit finishes the write.
+    """
+    _check_backend(backend)
+    wait_for_checkpoints()  # order writes; surface earlier async errors
+    payload = _build_payload(model, trainer)
+    if backend == "orbax":
+        _save_orbax(path, payload)
+        return
+    if async_write:
+        import threading
+
+        def _writer():
+            try:
+                _write_msgpack(path, payload)
+            except BaseException as e:  # surfaced by wait_for_checkpoints
+                _pending_write["error"] = e
+
+        t = threading.Thread(target=_writer, name="pvt-ckpt-write")
+        _pending_write["thread"] = t
+        t.start()
+        return
+    _write_msgpack(path, payload)
 
 
 def load_checkpoint(path: str, model, trainer=None, backend: str = "msgpack",
@@ -188,6 +239,7 @@ def load_checkpoint(path: str, model, trainer=None, backend: str = "msgpack",
     round-trip instead of silently coming back fully replicated).
     """
     _check_backend(backend)
+    wait_for_checkpoints()  # don't read a file an async save is replacing
     if backend == "orbax":
         restored = _load_orbax(path)
     else:

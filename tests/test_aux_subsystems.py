@@ -243,3 +243,65 @@ def test_trainer_auto_checkpoint_and_resume(tmp_path):
     model2 = iVAE(DATA, latent_dim=2, invariances=["r"], seed=3)
     trainer2 = SVItrainer(model2, checkpoint_path=path)
     assert trainer2.resume() == 2
+
+
+def test_checkpoint_async_write_and_flush(tmp_path):
+    """async_write returns before the file write; load_checkpoint flushes
+    the pending write and restores the exact state; no temp file remains."""
+    import os
+    from pyroved_tpu.utils.checkpoint import save_checkpoint, wait_for_checkpoints
+    path = str(tmp_path / "async.msgpack")
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model)
+    trainer.train(init_dataloader(_imgs(32), batch_size=16))
+    save_checkpoint(path, model, trainer, async_write=True)
+    model2 = iVAE(DATA, latent_dim=2, invariances=["r"], seed=3)
+    trainer2 = SVItrainer(model2, checkpoint_path=path)
+    assert trainer2.resume() == 0  # load flushed the pending write
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(model2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    wait_for_checkpoints()
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """A failing write must leave the previous checkpoint intact (temp +
+    os.replace, never truncate-in-place)."""
+    from pyroved_tpu.utils import checkpoint as ck
+    path = str(tmp_path / "atomic.msgpack")
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model)
+    ck.save_checkpoint(path, model, trainer)
+    good = open(path, "rb").read()
+
+    real_savez = np.savez
+
+    def exploding_savez(f, **kw):
+        f.write(b"partial garbage")
+        raise OSError("disk full")
+
+    np.savez = exploding_savez
+    try:
+        with pytest.raises(OSError):
+            ck.save_checkpoint(path, model, trainer)
+    finally:
+        np.savez = real_savez
+    assert open(path, "rb").read() == good  # previous checkpoint survives
+
+
+def test_checkpoint_async_error_surfaces(tmp_path):
+    """An error on the background writer thread is re-raised by
+    wait_for_checkpoints (and by the next save), not swallowed."""
+    from pyroved_tpu.utils import checkpoint as ck
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    trainer = SVItrainer(model)
+    bad_path = str(tmp_path / "no-such-dir" / "x.msgpack")
+    ck.save_checkpoint(bad_path, model, trainer, async_write=True)
+    with pytest.raises(FileNotFoundError):
+        ck.wait_for_checkpoints()
+    # state is cleared: a following save works
+    ok_path = str(tmp_path / "ok.msgpack")
+    ck.save_checkpoint(ok_path, model, trainer)
+    import os
+    assert os.path.exists(ok_path)
