@@ -325,13 +325,17 @@ class baseVAE:
     # ------------------------------------------------------------------
     def fit(self, X, y=None, epochs: int = 100, batch_size: int = 100,
             lr: float = 1e-3, scale_factor=1.0, test_data=None,
-            verbose: bool = False, trainer=None, **kwargs):
+            verbose: bool = False, trainer=None, patience=None,
+            min_delta: float = 0.0, **kwargs):
         """Train this model for ``epochs`` epochs and return the trainer
         (its ``loss_history`` holds the per-epoch losses).
 
         ``X`` may be an array or an existing DataLoader; ``y`` adds labels /
         targets (conditional iVAE, VED pairs). Semi-supervised models
         override this with the (unlabeled, labeled, validation) signature.
+        ``patience=P`` (requires ``test_data=``) stops training once the
+        held-out loss has not improved by more than ``min_delta`` for ``P``
+        epochs (``trainer.stopped_early`` records whether it fired).
         """
         from ..trainers.svi import SVItrainer
         from ..utils.data import DataLoader, init_dataloader
@@ -364,15 +368,27 @@ class baseVAE:
                               and getattr(trainer, "log_file", None) is None
                               and getattr(trainer, "checkpoint_path", None)
                               is None)))
+        if patience is not None and test_loader is None:
+            raise ValueError("fit(patience=) needs test_data= to monitor")
         if fused_run:
             run_kwargs = {} if test_loader is None else {"test_loader": test_loader}
+            if patience is not None:
+                run_kwargs.update(patience=patience, min_delta=min_delta)
             trainer.run(loader, int(epochs), scale_factor=scale_factor,
                         **run_kwargs)
             return trainer
+        best, best_epoch = float("inf"), trainer.current_epoch
         for _ in range(int(epochs)):
             trainer.step(loader, test_loader, scale_factor=scale_factor)
             if verbose:
                 trainer.print_statistics()
+            if patience is not None:
+                v = trainer.loss_history["test_loss"][-1]
+                if v < best - min_delta:
+                    best, best_epoch = v, trainer.current_epoch
+                if trainer.current_epoch - best_epoch >= int(patience):
+                    trainer.stopped_early = True
+                    break
         return trainer
 
     # ------------------------------------------------------------------

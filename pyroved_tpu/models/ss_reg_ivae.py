@@ -191,10 +191,21 @@ class ss_reg_iVAE(baseVAE):
             trainer.run(loaders[0], loaders[1], int(epochs),
                         loader_val=loaders[2], **kwargs)
             return trainer
+        # per-epoch loop (verbose / custom trainer): host-side early stop
+        patience = kwargs.pop("patience", None)
+        min_delta = float(kwargs.pop("min_delta", 0.0))
+        best, best_epoch = float("inf"), trainer.current_epoch
         for _ in range(int(epochs)):
             trainer.step(*loaders, **kwargs)
             if verbose:
                 trainer.print_statistics()
+            if patience is not None:
+                v = trainer.history["test"][-1]  # val MSE: lower is better
+                if v < best - min_delta:
+                    best, best_epoch = v, trainer.current_epoch
+                if trainer.current_epoch - best_epoch >= int(patience):
+                    trainer.stopped_early = True
+                    break
         return trainer
 
     def set_regressor(self, reg_net) -> None:

@@ -67,6 +67,7 @@ class auxSVItrainer:
         self.history = {"training_loss": [], "test": []}
         self.epoch_times = []
         self.current_epoch = 0
+        self.stopped_early = False
         self.running_weights: Dict[int, dict] = {}
         self._step_unsup = None
         self._step_sup = None
@@ -463,9 +464,20 @@ class auxSVItrainer:
                 fused equivalent of ``step(..., loader_val=)``. Falls back
                 to per-epoch ``step()`` when any loader is not
                 device-resident.
+            patience: early stopping on the ``loader_val`` metric
+                (accuracy: higher is better; MSE: lower is better) — stop
+                once it has not improved by more than ``min_delta`` for
+                ``patience`` epochs, checked at fused-segment ends.
+                ``trainer.stopped_early`` records whether it fired.
         """
         self._ensure_built()
         loader_val = kwargs.get("loader_val")
+        patience = kwargs.pop("patience", None)
+        min_delta = float(kwargs.pop("min_delta", 0.0))
+        if patience is not None and loader_val is None:
+            raise ValueError("patience= (early stopping) requires "
+                             "loader_val= to monitor")
+        self.stopped_early = False
         schedule = kwargs.get("scale_schedule")
         if schedule is not None and len(schedule) != int(epochs):
             raise ValueError(
@@ -481,9 +493,11 @@ class auxSVItrainer:
         if int(epochs) <= 0:
             return []
         seg = self._run_segment_len()
-        if seg is not None and not getattr(self, "_segmenting", False):
+        if ((seg is not None or patience is not None)
+                and not getattr(self, "_segmenting", False)):
             return self._run_segmented(loader_unsup, loader_sup,
-                                       int(epochs), seg, schedule, kwargs)
+                                       int(epochs), seg, schedule, kwargs,
+                                       patience, min_delta)
         if loader_val is not None:
             return self._run_with_val(loader_unsup, loader_sup, loader_val,
                                       int(epochs), epoch_betas, schedule,
@@ -563,15 +577,36 @@ class auxSVItrainer:
         return max(1, min(cands))
 
     def _run_segmented(self, loader_unsup, loader_sup, epochs: int,
-                       seg: int, schedule, kwargs) -> list:
-        """Split the fused run into segments with JSONL records and
-        auto-checkpoints between them (see ``SVItrainer._run_segmented``);
-        the PRNG chain — hence the trajectory — is unchanged."""
+                       seg: int, schedule, kwargs, patience=None,
+                       min_delta: float = 0.0) -> list:
+        """Split the fused run into segments with JSONL records,
+        auto-checkpoints, and the early-stop check between them (see
+        ``SVItrainer._run_segmented``); the PRNG chain — hence the
+        trajectory — is unchanged. Early stopping monitors
+        ``history["test"]``: accuracy (higher is better) for
+        classification, MSE (lower is better) for regression."""
         del seg  # per-iteration length comes from _next_segment_epochs
         out = []
         done = 0
+        sign = -1.0 if self.task == "classification" else 1.0
+        es = {"best": float("inf"), "best_epoch": self.current_epoch}
+
+        def stop_now(n):
+            if patience is None:
+                return False
+            for j, v in enumerate(self.history["test"][-n:]):
+                if sign * v < es["best"] - min_delta:
+                    es["best"] = sign * v
+                    es["best_epoch"] = self.current_epoch - n + j + 1
+            if self.current_epoch - es["best_epoch"] >= int(patience):
+                self.stopped_early = True
+                return True
+            return False
+
         while done < epochs:
             n = self._next_segment_epochs(epochs - done)
+            if patience is not None:
+                n = min(n, max(1, min(10, int(patience))))
             sub = dict(kwargs)
             if schedule is not None:
                 sub["scale_schedule"] = list(schedule)[done:done + n]
@@ -586,6 +621,8 @@ class auxSVItrainer:
             stepped = len(self.epoch_times) > n_times
             if stepped:  # fell back to step(), which did the bookkeeping
                 done += n
+                if stop_now(n):
+                    break
                 continue
             self.epoch_times.extend([dt / n] * n)
             if self.log_file:
@@ -608,6 +645,8 @@ class auxSVItrainer:
                 save_checkpoint(self.checkpoint_path, self.model, self,
                                 async_write=True)
             done += n
+            if stop_now(n):
+                break
         if self.checkpoint_path:
             # artifacts are durable by the time run() returns
             from ..utils.checkpoint import wait_for_checkpoints

@@ -86,6 +86,7 @@ class SVItrainer:
         self.loss_history = {"training_loss": [], "test_loss": []}
         self.epoch_times = []
         self.current_epoch = 0
+        self.stopped_early = False
         self._train_epoch_jit = None
         self._eval_epoch_jit = None
         self._run_epochs_eval_jit = None
@@ -391,8 +392,22 @@ class SVItrainer:
         log-only) with the host work between segments — live JSONL records
         and auto-checkpoints at ~fused speed, parameter trajectory still
         bitwise identical (segmenting does not change the PRNG chain).
+
+        ``patience=P`` (requires ``test_loader=``) adds early stopping on
+        the held-out loss, riding the same segment machinery: the run
+        stops once the test loss has not improved by more than
+        ``min_delta`` (default 0.0) for ``P`` epochs, checked at segment
+        ends (segments are capped at ``min(10, P)`` epochs, so the
+        overshoot past the ideal stopping epoch is bounded by that cap).
+        ``trainer.stopped_early`` records whether the run stopped early.
         """
         test_loader = kwargs.get("test_loader")
+        patience = kwargs.pop("patience", None)
+        min_delta = float(kwargs.pop("min_delta", 0.0))
+        if patience is not None and test_loader is None:
+            raise ValueError("patience= (early stopping) requires "
+                             "test_loader= to monitor")
+        self.stopped_early = False
         schedule = kwargs.get("scale_schedule")
         if schedule is not None:
             if len(schedule) != int(epochs):
@@ -407,9 +422,10 @@ class SVItrainer:
         if int(epochs) <= 0:
             return []
         seg = self._run_segment_len()
-        if seg is not None and not getattr(self, "_segmenting", False):
+        if ((seg is not None or patience is not None)
+                and not getattr(self, "_segmenting", False)):
             return self._run_segmented(train_loader, int(epochs), seg,
-                                       schedule, kwargs)
+                                       schedule, kwargs, patience, min_delta)
         if test_loader is not None:
             return self._run_with_eval(train_loader, test_loader,
                                        int(epochs), schedule, epoch_betas,
@@ -474,17 +490,36 @@ class SVItrainer:
         return max(1, min(cands))
 
     def _run_segmented(self, train_loader, epochs: int, seg: int,
-                       schedule, kwargs) -> list:
+                       schedule, kwargs, patience=None,
+                       min_delta: float = 0.0) -> list:
         """Split ``run(epochs)`` into fused segments with the configured
-        host work (JSONL records, auto-checkpoint) between them. The PRNG
-        chain — and therefore the parameter trajectory — is unchanged by
-        segmenting; only the dispatch granularity differs (~1 host sync
-        per ``seg`` epochs instead of none)."""
+        host work (JSONL records, auto-checkpoint, early-stop check)
+        between them. The PRNG chain — and therefore the parameter
+        trajectory — is unchanged by segmenting; only the dispatch
+        granularity differs (~1 host sync per segment instead of none)."""
         del seg  # per-iteration length comes from _next_segment_epochs
         out = []
         done = 0
+        es = {"best": float("inf"), "best_epoch": self.current_epoch}
+
+        def stop_now(n):
+            """Fold the segment's ``n`` new test losses into the best-so-far
+            and report whether patience ran out."""
+            if patience is None:
+                return False
+            for j, v in enumerate(self.loss_history["test_loss"][-n:]):
+                if v < es["best"] - min_delta:
+                    es["best"] = v
+                    es["best_epoch"] = self.current_epoch - n + j + 1
+            if self.current_epoch - es["best_epoch"] >= int(patience):
+                self.stopped_early = True
+                return True
+            return False
+
         while done < epochs:
             n = self._next_segment_epochs(epochs - done)
+            if patience is not None:
+                n = min(n, max(1, min(10, int(patience))))
             sub = dict(kwargs)
             if schedule is not None:
                 sub["scale_schedule"] = list(schedule)[done:done + n]
@@ -501,6 +536,8 @@ class SVItrainer:
                 # the sub-run fell back to per-epoch step() calls, which
                 # already did the logging/checkpoint/timing bookkeeping
                 done += n
+                if stop_now(n):
+                    break
                 continue
             self.epoch_times.extend([dt / n] * n)
             if self.log_file:
@@ -523,6 +560,8 @@ class SVItrainer:
                 save_checkpoint(self.checkpoint_path, self.model, self,
                                 async_write=True)
             done += n
+            if stop_now(n):
+                break
         if self.checkpoint_path:
             # artifacts are durable by the time run() returns
             from ..utils.checkpoint import wait_for_checkpoints

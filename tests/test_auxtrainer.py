@@ -609,3 +609,28 @@ def test_ssivae_fit_with_log_and_checkpoint_stays_fused(tmp_path):
     m2 = ssiVAE(DATA, latent_dim=2, num_classes=3, seed=6)
     t2 = auxSVItrainer(m2, checkpoint_path=ckpt)
     assert t2.resume() == 4
+
+
+def test_aux_early_stopping_classification(tmp_path):
+    """patience= on the fused semi-supervised run monitors val accuracy
+    (higher is better) and stops on plateau."""
+    m, t, lu, ls = _seg_setup(9)
+    out = t.run(lu, ls, 40, loader_val=ls, patience=3, min_delta=1.0)
+    # min_delta=1.0 on an accuracy in [0,1] can never improve -> stops
+    assert t.stopped_early
+    assert len(out) < 40
+    assert t.current_epoch == len(out)
+    with pytest.raises(ValueError, match="patience"):
+        t.run(lu, ls, 5, patience=3)  # no loader_val
+
+
+def test_ssivae_fit_early_stopping():
+    rng = np.random.default_rng(0)
+    Xu = _data(48, rng)
+    Xs = _data(16, rng)
+    ys = rng.integers(0, 3, 16)
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3, seed=1)
+    tr = m.fit(Xu, (Xs, ys), epochs=40, batch_size=8,
+               patience=3, min_delta=1.0)
+    assert tr.stopped_early
+    assert len(tr.history["training_loss"]) < 40

@@ -497,3 +497,62 @@ def test_fit_with_log_and_checkpoint_stays_fused(tmp_path):
     m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=5)
     t2 = SVItrainer(m2, checkpoint_path=ckpt)
     assert t2.resume() == 4
+
+
+def test_early_stopping_fires_and_truncates():
+    """patience= stops the run when the held-out loss plateaus, with the
+    parameter trajectory up to the stop identical to an uncapped run."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(24)
+    # pure noise: the test loss stops improving almost immediately
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    t = SVItrainer(m, seed=9)
+    out = t.run(init_dataloader(x, batch_size=16, seed=3), 60,
+                test_loader=init_dataloader(xt, batch_size=16, seed=5),
+                patience=4, min_delta=5.0)  # large min_delta forces a stop
+    assert t.stopped_early
+    assert len(out) < 60
+    assert len(t.loss_history["test_loss"]) == len(out)
+    assert t.current_epoch == len(out)
+
+
+def test_early_stopping_not_fired_when_improving():
+    """A short run on structured data keeps improving -> no early stop."""
+    rng = np.random.default_rng(1)
+    t_ax = np.linspace(0, 1, 16)
+    shifts = rng.uniform(-0.2, 0.2, 96)
+    X = np.exp(-((t_ax[None] - 0.5 - shifts[:, None]) ** 2) / 0.01).astype(np.float32)
+    m = iVAE((16,), latent_dim=2, invariances=["t"], dx_prior=0.3, seed=7)
+    t = SVItrainer(m, seed=9)
+    out = t.run(init_dataloader(X[:64], batch_size=16, seed=3), 12,
+                test_loader=init_dataloader(X[64:], batch_size=16, seed=5),
+                patience=12)
+    assert not t.stopped_early
+    assert len(out) == 12
+
+
+def test_early_stopping_requires_test_loader():
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    t = SVItrainer(m)
+    with pytest.raises(ValueError, match="patience"):
+        t.run(init_dataloader(_rand_imgs(32), batch_size=16), 5, patience=3)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=None)
+    with pytest.raises(ValueError, match="patience"):
+        m2.fit(_rand_imgs(32), epochs=5, batch_size=16, patience=3)
+
+
+def test_fit_early_stopping_fused_and_verbose_agree():
+    """fit(patience=) stops at the same epoch through the fused segmented
+    path and the verbose step() loop (same PRNG chain either way)."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(24)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    t1 = m1.fit(x, epochs=40, batch_size=16, test_data=xt,
+                patience=3, min_delta=5.0)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    t2 = m2.fit(x, epochs=40, batch_size=16, test_data=xt,
+                patience=3, min_delta=5.0, verbose=True)
+    assert t1.stopped_early and t2.stopped_early
+    # fused checks at segment ends (cap min(10, patience)) so it may
+    # overshoot the step-loop's stopping epoch by < one segment
+    assert 0 <= t1.current_epoch - t2.current_epoch < 3
