@@ -25,6 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.data import DataLoader
 from ..utils.nn import average_weights
+from .svi import PIPELINE_SEGMENT
 
 Array = jax.Array
 
@@ -498,6 +499,17 @@ class auxSVItrainer:
             return self._run_segmented(loader_unsup, loader_sup,
                                        int(epochs), seg, schedule, kwargs,
                                        patience, min_delta)
+        all_resident = all(
+            isinstance(ld, DataLoader) and ld.device_resident
+            for ld in (loader_unsup, loader_sup)
+            + (() if loader_val is None else (loader_val,)))
+        if (all_resident and int(epochs) > PIPELINE_SEGMENT
+                and not getattr(self, "_segmenting", False)):
+            # pipelined dispatch beats one monolithic scan even with no
+            # host work configured (see svi.PIPELINE_SEGMENT)
+            return self._run_segmented_pipelined(loader_unsup, loader_sup,
+                                                 int(epochs), schedule,
+                                                 kwargs)
         if loader_val is not None:
             return self._run_with_val(loader_unsup, loader_sup, loader_val,
                                       int(epochs), epoch_betas, schedule,
@@ -518,6 +530,24 @@ class auxSVItrainer:
                 self.current_epoch += 1
             return per_epoch
 
+        futs, nb, unsup_count = self._dispatch_run(
+            loader_unsup, loader_sup, int(epochs), epoch_betas, aux_mult,
+            kwargs.get("sup_period"))
+        params, self.opt_state, self.aux_opt_state, losses = futs
+        self.model.params = params
+        per_epoch = (np.asarray(losses).reshape(int(epochs), nb).sum(1)
+                     / max(unsup_count, 1.0)).tolist()
+        self.history["training_loss"].extend(per_epoch)
+        self.current_epoch += int(epochs)
+        return per_epoch
+
+    def _dispatch_run(self, loader_unsup, loader_sup, epochs: int,
+                      epoch_betas, aux_mult, sup_period):
+        """Dispatch ``epochs`` fused semi-supervised epochs; returns the
+        asynchronous ``(params, opt_state, aux_opt_state, losses)``
+        outputs plus ``(nb, unsup_count)`` WITHOUT materializing — the
+        pipelined segment runner overlaps host work with these. Advances
+        ``self.rng`` exactly as the blocking path does."""
         (xu,) = loader_unsup.device_arrays
         sup_arrays = loader_sup.device_arrays
         cols = {k: [] for k in ("iu", "wu", "si", "sw", "m")}
@@ -530,8 +560,7 @@ class auxSVItrainer:
             nb = idx_u.shape[0]
             unsup_count = float(w_u.sum())
             mask, sup_j = self._schedule(loader_unsup, loader_sup, nb,
-                                         idx_s.shape[0],
-                                         kwargs.get("sup_period"))
+                                         idx_s.shape[0], sup_period)
             cols["iu"].append(idx_u)
             cols["wu"].append(w_u)
             cols["si"].append(idx_s[sup_j])
@@ -543,16 +572,11 @@ class auxSVItrainer:
         keys_rep = jnp.repeat(jnp.stack(keys), nb, axis=0)
         within = jnp.tile(jnp.arange(nb), int(epochs))
         betas = jnp.repeat(jnp.stack(epoch_betas), nb, axis=0)  # per step
-        params, self.opt_state, self.aux_opt_state, losses = self._run_jit(
+        futs = self._run_jit(
             self.model.params, self.opt_state, self.aux_opt_state, xu,
             sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"], cat["m"],
             keys_rep, within, betas, aux_mult)
-        self.model.params = params
-        per_epoch = (np.asarray(losses).reshape(int(epochs), nb).sum(1)
-                     / max(unsup_count, 1.0)).tolist()
-        self.history["training_loss"].extend(per_epoch)
-        self.current_epoch += int(epochs)
-        return per_epoch
+        return futs, nb, unsup_count
 
     def _run_segment_len(self):
         """Nominal fused-run segment length when per-segment host work
@@ -565,15 +589,16 @@ class auxSVItrainer:
             return 10
         return None
 
-    def _next_segment_epochs(self, remaining: int) -> int:
+    def _next_segment_epochs(self, remaining: int, at_epoch=None) -> int:
         """Epochs until the next host-work boundary — same contract as
         ``SVItrainer._next_segment_epochs``."""
+        epoch = self.current_epoch if at_epoch is None else at_epoch
         cands = [remaining]
         if self.checkpoint_path:
             ce = max(1, int(self.checkpoint_every))
-            cands.append(ce - (self.current_epoch % ce))
+            cands.append(ce - (epoch % ce))
         if self.log_file:
-            cands.append(10 - (self.current_epoch % 10))
+            cands.append(10 - (epoch % 10))
         return max(1, min(cands))
 
     def _run_segmented(self, loader_unsup, loader_sup, epochs: int,
@@ -586,6 +611,15 @@ class auxSVItrainer:
         ``history["test"]``: accuracy (higher is better) for
         classification, MSE (lower is better) for regression."""
         del seg  # per-iteration length comes from _next_segment_epochs
+        loader_val = kwargs.get("loader_val")
+        resident = all(
+            isinstance(ld, DataLoader) and ld.device_resident
+            for ld in (loader_unsup, loader_sup)
+            + (() if loader_val is None else (loader_val,)))
+        if patience is None and resident:
+            # no stop decisions needed -> segments can be dispatched ahead
+            return self._run_segmented_pipelined(loader_unsup, loader_sup,
+                                                 epochs, schedule, kwargs)
         out = []
         done = 0
         sign = -1.0 if self.task == "classification" else 1.0
@@ -653,6 +687,130 @@ class auxSVItrainer:
             wait_for_checkpoints()
         return out
 
+    def _run_segmented_pipelined(self, loader_unsup, loader_sup,
+                                 epochs: int, schedule, kwargs) -> list:
+        """Segmented fused semi-supervised run WITHOUT the per-segment
+        device sync — the aux analogue of
+        ``SVItrainer._run_segmented_pipelined``: up to ``MAX_INFLIGHT``
+        segments dispatch ahead, host work (history, JSONL, checkpoints)
+        drains as results materialize, checkpoint boundaries snapshot
+        the state via an on-device copy (later dispatches donate the
+        live buffers). PRNG chain and trajectory identical to the
+        blocking segment loop."""
+        MAX_INFLIGHT = 4
+        from collections import deque
+        self._ensure_built()
+        loader_val = kwargs.get("loader_val")
+        sf = kwargs.get("scale_factor", 1.0)
+        aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
+                               jnp.float32)
+        sup_period = kwargs.get("sup_period")
+        out = []
+        pending = deque()
+        done = 0
+        epoch0 = self.current_epoch
+        last_t = time.perf_counter()
+
+        def drain_one():
+            nonlocal last_t
+            n, futs, meta, boundary, b_rng = pending.popleft()
+            if loader_val is None:
+                nb, unsup_count = meta
+                per = (np.asarray(futs[3]).reshape(n, nb).sum(1)
+                       / max(unsup_count, 1.0)).tolist()
+                te = None
+            else:
+                unsup_count, val_norm = meta
+                per = (np.asarray(futs[3]) / max(unsup_count, 1.0)).tolist()
+                te = (np.asarray(futs[4]) / val_norm).tolist()
+            now = time.perf_counter()
+            dt = now - last_t
+            last_t = now
+            out.extend(per)
+            self.history["training_loss"].extend(per)
+            if te is not None:
+                self.history["test"].extend(te)
+            self.current_epoch += n
+            self.epoch_times.extend([dt / n] * n)
+            if self.log_file:
+                import json
+                with open(self.log_file, "a") as f:
+                    for j in range(n):
+                        record = {"epoch": self.current_epoch - n + j + 1,
+                                  "training_loss": per[j],
+                                  "epoch_seconds": dt / n}
+                        if te is not None:
+                            record["test"] = te[j]
+                        f.write(json.dumps(record) + "\n")
+            if boundary is not None:
+                from ..utils.checkpoint import save_checkpoint
+                b_params, b_opt, b_aux = boundary
+                live = (self.model.params, self.opt_state,
+                        self.aux_opt_state, self.rng)
+                self.model.params, self.opt_state, self.aux_opt_state, \
+                    self.rng = b_params, b_opt, b_aux, b_rng
+                try:
+                    save_checkpoint(self.checkpoint_path, self.model, self,
+                                    async_write=True)
+                finally:
+                    (self.model.params, self.opt_state, self.aux_opt_state,
+                     self.rng) = live
+
+        while done < epochs:
+            if len(pending) >= MAX_INFLIGHT:
+                drain_one()
+                continue
+            n = min(self._next_segment_epochs(epochs - done,
+                                              at_epoch=epoch0 + done),
+                    self._pipeline_cap())
+            if schedule is not None:
+                betas = [jnp.asarray(s, jnp.float32)
+                         for s in list(schedule)[done:done + n]]
+            else:
+                betas = [jnp.asarray(sf, jnp.float32)] * n
+            if loader_val is None:
+                futs, nb, uc = self._dispatch_run(
+                    loader_unsup, loader_sup, n, betas, aux_mult,
+                    sup_period)
+                meta = (nb, uc)
+            else:
+                futs, uc, vn = self._dispatch_val(
+                    loader_unsup, loader_sup, loader_val, n, betas,
+                    aux_mult, sup_period)
+                meta = (uc, vn)
+            boundary, b_rng = None, None
+            end_epoch = epoch0 + done + n
+            if (self.checkpoint_path
+                    and end_epoch % self.checkpoint_every == 0):
+                boundary = self._copy_state(futs[0], futs[1], futs[2])
+                b_rng = self.rng  # host value: post-prep, as blocking path
+            self.model.params = futs[0]
+            self.opt_state, self.aux_opt_state = futs[1], futs[2]
+            pending.append((n, futs, meta, boundary, b_rng))
+            done += n
+        while pending:
+            drain_one()
+        if self.checkpoint_path:
+            from ..utils.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()
+        return out
+
+    def _pipeline_cap(self) -> int:
+        """Max epochs per pipelined segment — same contract as
+        ``SVItrainer._pipeline_cap``."""
+        if self.checkpoint_path:
+            return max(PIPELINE_SEGMENT,
+                       min(int(self.checkpoint_every), 5 * PIPELINE_SEGMENT))
+        return PIPELINE_SEGMENT
+
+    def _copy_state(self, params, opt_state, aux_opt_state):
+        """On-device deep copy of the trainer state — checkpoint
+        snapshots must not alias buffers a later dispatch donates."""
+        if getattr(self, "_copy_state_jit", None) is None:
+            self._copy_state_jit = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        return self._copy_state_jit((params, opt_state, aux_opt_state))
+
     def _run_with_val(self, loader_unsup, loader_sup, loader_val,
                       epochs: int, epoch_betas, schedule, aux_mult,
                       kwargs) -> list:
@@ -674,6 +832,24 @@ class auxSVItrainer:
                           scale_factor=sf, **step_kwargs)
                 per_epoch.append(self.history["training_loss"][-1])
             return per_epoch
+        futs, unsup_count, val_norm = self._dispatch_val(
+            loader_unsup, loader_sup, loader_val, epochs, epoch_betas,
+            aux_mult, kwargs.get("sup_period"))
+        params, self.opt_state, self.aux_opt_state, tr, te = futs
+        self.model.params = params
+        per_epoch = (np.asarray(tr) / max(unsup_count, 1.0)).tolist()
+        metrics = (np.asarray(te) / val_norm).tolist()
+        self.history["training_loss"].extend(per_epoch)
+        self.history["test"].extend(metrics)
+        self.current_epoch += epochs
+        return per_epoch
+
+    def _dispatch_val(self, loader_unsup, loader_sup, loader_val,
+                      epochs: int, epoch_betas, aux_mult, sup_period):
+        """Async dispatch of the fused train+val-metric run: returns the
+        ``(params, opt_state, aux_opt_state, train_losses, metric_sums)``
+        futures plus ``(unsup_count, val_norm)`` (see
+        :meth:`_dispatch_run`)."""
         (xu,) = loader_unsup.device_arrays
         sup_arrays = loader_sup.device_arrays
         val_arrays = loader_val.device_arrays
@@ -686,7 +862,7 @@ class auxSVItrainer:
             unsup_count = float(w_u.sum())
             mask, sup_j = self._schedule(loader_unsup, loader_sup,
                                          idx_u.shape[0], idx_s.shape[0],
-                                         kwargs.get("sup_period"))
+                                         sup_period)
             cols["iu"].append(idx_u)
             cols["wu"].append(w_u)
             cols["si"].append(idx_s[sup_j])
@@ -698,22 +874,15 @@ class auxSVItrainer:
             cols["vi"].append(vi)
             cols["vw"].append(vw)
         cat = {k: jnp.asarray(np.stack(v)) for k, v in cols.items()}
-        params, self.opt_state, self.aux_opt_state, tr, te = \
-            self._run_val_jit(
-                self.model.params, self.opt_state, self.aux_opt_state, xu,
-                sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"],
-                cat["m"], jnp.stack(keys), jnp.stack(epoch_betas), aux_mult,
-                val_arrays, cat["vi"], cat["vw"])
-        self.model.params = params
-        per_epoch = (np.asarray(tr) / max(unsup_count, 1.0)).tolist()
-        if self.task == "classification":
-            metrics = (np.asarray(te) / loader_val.dataset_size).tolist()
-        else:
-            metrics = (np.asarray(te) / cat["vi"].shape[1]).tolist()
-        self.history["training_loss"].extend(per_epoch)
-        self.history["test"].extend(metrics)
-        self.current_epoch += epochs
-        return per_epoch
+        futs = self._run_val_jit(
+            self.model.params, self.opt_state, self.aux_opt_state, xu,
+            sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"],
+            cat["m"], jnp.stack(keys), jnp.stack(epoch_betas), aux_mult,
+            val_arrays, cat["vi"], cat["vw"])
+        val_norm = (loader_val.dataset_size
+                    if self.task == "classification"
+                    else cat["vi"].shape[1])
+        return futs, unsup_count, val_norm
 
     def train(self, loader_unsup: DataLoader, loader_sup: DataLoader,
               **kwargs) -> float:
