@@ -479,6 +479,7 @@ class auxSVItrainer:
             raise ValueError("patience= (early stopping) requires "
                              "loader_val= to monitor")
         self.stopped_early = False
+        on_segment = kwargs.pop("on_segment", None)
         schedule = kwargs.get("scale_schedule")
         if schedule is not None and len(schedule) != int(epochs):
             raise ValueError(
@@ -494,11 +495,12 @@ class auxSVItrainer:
         if int(epochs) <= 0:
             return []
         seg = self._run_segment_len()
-        if ((seg is not None or patience is not None)
+        if ((seg is not None or patience is not None
+             or on_segment is not None)
                 and not getattr(self, "_segmenting", False)):
             return self._run_segmented(loader_unsup, loader_sup,
                                        int(epochs), seg, schedule, kwargs,
-                                       patience, min_delta)
+                                       patience, min_delta, on_segment)
         all_resident = all(
             isinstance(ld, DataLoader) and ld.device_resident
             for ld in (loader_unsup, loader_sup)
@@ -603,7 +605,7 @@ class auxSVItrainer:
 
     def _run_segmented(self, loader_unsup, loader_sup, epochs: int,
                        seg: int, schedule, kwargs, patience=None,
-                       min_delta: float = 0.0) -> list:
+                       min_delta: float = 0.0, on_segment=None) -> list:
         """Split the fused run into segments with JSONL records,
         auto-checkpoints, and the early-stop check between them (see
         ``SVItrainer._run_segmented``); the PRNG chain — hence the
@@ -619,11 +621,24 @@ class auxSVItrainer:
         if patience is None and resident:
             # no stop decisions needed -> segments can be dispatched ahead
             return self._run_segmented_pipelined(loader_unsup, loader_sup,
-                                                 epochs, schedule, kwargs)
+                                                 epochs, schedule, kwargs,
+                                                 on_segment)
         out = []
         done = 0
         sign = -1.0 if self.task == "classification" else 1.0
         es = {"best": float("inf"), "best_epoch": self.current_epoch}
+
+        def fire(n):
+            if on_segment is None:
+                return
+            tr = self.history["training_loss"][-n:]
+            te = (self.history["test"][-n:]
+                  if kwargs.get("loader_val") is not None else None)
+            on_segment([
+                dict({"epoch": self.current_epoch - n + j + 1,
+                      "training_loss": tr[j]},
+                     **({} if te is None else {"test": te[j]}))
+                for j in range(n)])
 
         def stop_now(n):
             if patience is None:
@@ -641,6 +656,8 @@ class auxSVItrainer:
             n = self._next_segment_epochs(epochs - done)
             if patience is not None:
                 n = min(n, max(1, min(10, int(patience))))
+            if on_segment is not None:
+                n = min(n, 10)
             sub = dict(kwargs)
             if schedule is not None:
                 sub["scale_schedule"] = list(schedule)[done:done + n]
@@ -655,6 +672,7 @@ class auxSVItrainer:
             stepped = len(self.epoch_times) > n_times
             if stepped:  # fell back to step(), which did the bookkeeping
                 done += n
+                fire(n)
                 if stop_now(n):
                     break
                 continue
@@ -679,6 +697,7 @@ class auxSVItrainer:
                 save_checkpoint(self.checkpoint_path, self.model, self,
                                 async_write=True)
             done += n
+            fire(n)
             if stop_now(n):
                 break
         if self.checkpoint_path:
@@ -688,7 +707,8 @@ class auxSVItrainer:
         return out
 
     def _run_segmented_pipelined(self, loader_unsup, loader_sup,
-                                 epochs: int, schedule, kwargs) -> list:
+                                 epochs: int, schedule, kwargs,
+                                 on_segment=None) -> list:
         """Segmented fused semi-supervised run WITHOUT the per-segment
         device sync — the aux analogue of
         ``SVItrainer._run_segmented_pipelined``: up to ``MAX_INFLIGHT``
@@ -755,6 +775,12 @@ class auxSVItrainer:
                 finally:
                     (self.model.params, self.opt_state, self.aux_opt_state,
                      self.rng) = live
+            if on_segment is not None:
+                on_segment([
+                    dict({"epoch": self.current_epoch - n + j + 1,
+                          "training_loss": per[j]},
+                         **({} if te is None else {"test": te[j]}))
+                    for j in range(n)])
 
         while done < epochs:
             if len(pending) >= MAX_INFLIGHT:
@@ -762,7 +788,9 @@ class auxSVItrainer:
                 continue
             n = min(self._next_segment_epochs(epochs - done,
                                               at_epoch=epoch0 + done),
-                    self._pipeline_cap())
+                    self._pipeline_cap()
+                    if on_segment is None
+                    else min(self._pipeline_cap(), 10))
             if schedule is not None:
                 betas = [jnp.asarray(s, jnp.float32)
                          for s in list(schedule)[done:done + n]]

@@ -418,6 +418,11 @@ class SVItrainer:
             raise ValueError("patience= (early stopping) requires "
                              "test_loader= to monitor")
         self.stopped_early = False
+        # on_segment=fn: invoked at every fused-segment drain with a list
+        # of {"epoch", "training_loss", "test_loss"?} records (one per new
+        # epoch) — custom host work (metric push, progress bars, external
+        # loggers) at fused speed.
+        on_segment = kwargs.pop("on_segment", None)
         schedule = kwargs.get("scale_schedule")
         if schedule is not None:
             if len(schedule) != int(epochs):
@@ -432,10 +437,12 @@ class SVItrainer:
         if int(epochs) <= 0:
             return []
         seg = self._run_segment_len()
-        if ((seg is not None or patience is not None)
+        if ((seg is not None or patience is not None
+             or on_segment is not None)
                 and not getattr(self, "_segmenting", False)):
             return self._run_segmented(train_loader, int(epochs), seg,
-                                       schedule, kwargs, patience, min_delta)
+                                       schedule, kwargs, patience, min_delta,
+                                       on_segment)
         resident = (isinstance(train_loader, DataLoader)
                     and train_loader.device_resident
                     and (test_loader is None
@@ -523,7 +530,7 @@ class SVItrainer:
 
     def _run_segmented(self, train_loader, epochs: int, seg: int,
                        schedule, kwargs, patience=None,
-                       min_delta: float = 0.0) -> list:
+                       min_delta: float = 0.0, on_segment=None) -> list:
         """Split ``run(epochs)`` into fused segments with the configured
         host work (JSONL records, auto-checkpoint, early-stop check)
         between them. The PRNG chain — and therefore the parameter
@@ -539,10 +546,23 @@ class SVItrainer:
         if patience is None and resident:
             # no stop decisions needed -> segments can be dispatched ahead
             return self._run_segmented_pipelined(train_loader, epochs,
-                                                 schedule, kwargs)
+                                                 schedule, kwargs,
+                                                 on_segment)
         out = []
         done = 0
         es = {"best": float("inf"), "best_epoch": self.current_epoch}
+
+        def fire(n):
+            if on_segment is None:
+                return
+            tr = self.loss_history["training_loss"][-n:]
+            te = (self.loss_history["test_loss"][-n:]
+                  if kwargs.get("test_loader") is not None else None)
+            on_segment([
+                dict({"epoch": self.current_epoch - n + j + 1,
+                      "training_loss": tr[j]},
+                     **({} if te is None else {"test_loss": te[j]}))
+                for j in range(n)])
 
         def stop_now(n):
             """Fold the segment's ``n`` new test losses into the best-so-far
@@ -562,6 +582,8 @@ class SVItrainer:
             n = self._next_segment_epochs(epochs - done)
             if patience is not None:
                 n = min(n, max(1, min(10, int(patience))))
+            if on_segment is not None:
+                n = min(n, 10)
             sub = dict(kwargs)
             if schedule is not None:
                 sub["scale_schedule"] = list(schedule)[done:done + n]
@@ -578,6 +600,7 @@ class SVItrainer:
                 # the sub-run fell back to per-epoch step() calls, which
                 # already did the logging/checkpoint/timing bookkeeping
                 done += n
+                fire(n)
                 if stop_now(n):
                     break
                 continue
@@ -602,6 +625,7 @@ class SVItrainer:
                 save_checkpoint(self.checkpoint_path, self.model, self,
                                 async_write=True)
             done += n
+            fire(n)
             if stop_now(n):
                 break
         if self.checkpoint_path:
@@ -611,7 +635,7 @@ class SVItrainer:
         return out
 
     def _run_segmented_pipelined(self, train_loader, epochs: int,
-                                 schedule, kwargs) -> list:
+                                 schedule, kwargs, on_segment=None) -> list:
         """Segmented fused run WITHOUT the per-segment device sync: up to
         ``MAX_INFLIGHT`` segments are dispatched ahead (JAX async
         execution queues them on-device), and host work — history, JSONL
@@ -679,6 +703,12 @@ class SVItrainer:
                                     async_write=True)
                 finally:
                     self.model.params, self.opt_state, self.rng = live
+            if on_segment is not None:
+                on_segment([
+                    dict({"epoch": self.current_epoch - n + j + 1,
+                          "training_loss": per[j]},
+                         **({} if te is None else {"test_loss": te[j]}))
+                    for j in range(n)])
 
         while done < epochs:
             if len(pending) >= MAX_INFLIGHT:
@@ -686,7 +716,9 @@ class SVItrainer:
                 continue
             n = min(self._next_segment_epochs(epochs - done,
                                               at_epoch=epoch0 + done),
-                    self._pipeline_cap())
+                    self._pipeline_cap()
+                    if on_segment is None
+                    else min(self._pipeline_cap(), 10))
             if schedule is not None:
                 betas = [_prep_beta(self.model, s)
                          for s in list(schedule)[done:done + n]]

@@ -634,3 +634,18 @@ def test_ssivae_fit_early_stopping():
                patience=3, min_delta=1.0)
     assert tr.stopped_early
     assert len(tr.history["training_loss"]) < 40
+
+
+def test_aux_on_segment_callback():
+    """auxSVItrainer.run(on_segment=) fires with per-epoch records (val
+    metric under the 'test' key) without changing the trajectory."""
+    records = []
+    m1, t1, lu1, ls1 = _seg_setup(9)
+    out = t1.run(lu1, ls1, 8, loader_val=ls1, on_segment=records.extend)
+    assert [r["epoch"] for r in records] == list(range(1, 9))
+    assert all("test" in r for r in records)
+    np.testing.assert_allclose([r["training_loss"] for r in records], out,
+                               rtol=1e-12)
+    m2, t2, lu2, ls2 = _seg_setup(9)
+    plain = t2.run(lu2, ls2, 8, loader_val=ls2)
+    np.testing.assert_allclose(out, plain, rtol=1e-6)

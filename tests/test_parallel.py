@@ -231,3 +231,25 @@ def test_shard_map_spmd_step():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_pipelined_run_under_dp_mesh():
+    """Fused runs long enough to trigger PIPELINE_SEGMENT dispatch-ahead
+    compose with DP mesh sharding: same numerics as sequential
+    single-device epochs."""
+    x = _imgs(32)
+    m1 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    t1 = SVItrainer(m1, seed=3)
+    l1 = init_dataloader(x, batch_size=8, seed=6)
+    seq = [t1.train(l1) for _ in range(8)]
+
+    mesh = data_parallel_mesh()
+    m2 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    m2.params = replicate_params(m2.params, mesh)
+    t2 = SVItrainer(m2, seed=3, mesh=mesh)
+    fused = t2.run(init_dataloader(x, batch_size=8, seed=6), 8)
+    assert len(t2.epoch_times) == 8  # pipelined path engaged
+    np.testing.assert_allclose(seq, fused, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -556,3 +556,60 @@ def test_fit_early_stopping_fused_and_verbose_agree():
     # fused checks at segment ends (cap min(10, patience)) so it may
     # overshoot the step-loop's stopping epoch by < one segment
     assert 0 <= t1.current_epoch - t2.current_epoch < 3
+
+
+def test_on_segment_callback():
+    """run(on_segment=fn) fires at every fused-segment drain with one
+    record per new epoch, without changing the trajectory."""
+    x = _rand_imgs(48)
+    records = []
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    out = t1.run(init_dataloader(x, batch_size=16, seed=3), 25,
+                 on_segment=records.extend)
+    assert [r["epoch"] for r in records] == list(range(1, 26))
+    np.testing.assert_allclose([r["training_loss"] for r in records], out,
+                               rtol=1e-12)
+
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9)
+    plain = t2.run(init_dataloader(x, batch_size=16, seed=3), 25)
+    np.testing.assert_allclose(out, plain, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_on_segment_callback_with_test_loader():
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    records = []
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t = SVItrainer(m, seed=9)
+    t.run(init_dataloader(x, batch_size=16, seed=3), 12,
+          test_loader=init_dataloader(xt, batch_size=16, seed=5),
+          on_segment=records.extend)
+    assert len(records) == 12 and all("test_loss" in r for r in records)
+
+
+def test_optax_schedule_threads_through_segments():
+    """An optax LR schedule (count-based) must see a monotonically
+    increasing step count through pipelined/segmented fused runs — the
+    trajectory matches the same schedule run per-epoch."""
+    import optax
+    x = _rand_imgs(48)
+    sched = optax.cosine_decay_schedule(1e-2, decay_steps=40)
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, optimizer=optax.adam(sched), seed=9)
+    l1 = init_dataloader(x, batch_size=16, seed=3)
+    seq = [t1.train(l1) for _ in range(8)]
+
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, optimizer=optax.adam(sched), seed=9)
+    fused = t2.run(init_dataloader(x, batch_size=16, seed=3), 8)
+    np.testing.assert_allclose(seq, fused, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
