@@ -326,7 +326,7 @@ class baseVAE:
     def fit(self, X, y=None, epochs: int = 100, batch_size: int = 100,
             lr: float = 1e-3, scale_factor=1.0, test_data=None,
             verbose: bool = False, trainer=None, patience=None,
-            min_delta: float = 0.0, **kwargs):
+            min_delta: float = 0.0, on_segment=None, **kwargs):
         """Train this model for ``epochs`` epochs and return the trainer
         (its ``loss_history`` holds the per-epoch losses).
 
@@ -374,6 +374,8 @@ class baseVAE:
             run_kwargs = {} if test_loader is None else {"test_loader": test_loader}
             if patience is not None:
                 run_kwargs.update(patience=patience, min_delta=min_delta)
+            if on_segment is not None:
+                run_kwargs.update(on_segment=on_segment)
             trainer.run(loader, int(epochs), scale_factor=scale_factor,
                         **run_kwargs)
             return trainer
@@ -382,6 +384,13 @@ class baseVAE:
             trainer.step(loader, test_loader, scale_factor=scale_factor)
             if verbose:
                 trainer.print_statistics()
+            if on_segment is not None:
+                rec = {"epoch": trainer.current_epoch,
+                       "training_loss":
+                           trainer.loss_history["training_loss"][-1]}
+                if test_loader is not None:
+                    rec["test_loss"] = trainer.loss_history["test_loss"][-1]
+                on_segment([rec])
             if patience is not None:
                 v = trainer.loss_history["test_loss"][-1]
                 if v < best - min_delta:

@@ -613,3 +613,17 @@ def test_optax_schedule_threads_through_segments():
     for a, b in zip(jax.tree_util.tree_leaves(m1.params),
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_on_segment_forwards():
+    """fit(on_segment=) reaches the fused run's callback (and the verbose
+    step loop's per-epoch equivalent)."""
+    x = _rand_imgs(48)
+    recs = []
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
+    m.fit(x, epochs=8, batch_size=16, on_segment=recs.extend)
+    assert [r["epoch"] for r in recs] == list(range(1, 9))
+    recs2 = []
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
+    m2.fit(x, epochs=3, batch_size=16, verbose=True, on_segment=recs2.extend)
+    assert [r["epoch"] for r in recs2] == [1, 2, 3]
