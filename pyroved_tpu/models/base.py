@@ -379,6 +379,8 @@ class baseVAE:
             trainer.run(loader, int(epochs), scale_factor=scale_factor,
                         **run_kwargs)
             return trainer
+        if hasattr(trainer, "stopped_early"):
+            trainer.stopped_early = False  # same reset contract as run()
         best, best_epoch = float("inf"), trainer.current_epoch
         for _ in range(int(epochs)):
             trainer.step(loader, test_loader, scale_factor=scale_factor)

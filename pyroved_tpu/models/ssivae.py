@@ -234,12 +234,20 @@ class ssiVAE(baseVAE):
         # per-epoch loop (verbose / custom trainer): host-side early stop
         patience = kwargs.pop("patience", None)
         min_delta = float(kwargs.pop("min_delta", 0.0))
+        on_segment = kwargs.pop("on_segment", None)
+        if hasattr(trainer, "stopped_early"):
+            trainer.stopped_early = False  # same reset contract as run()
         sign = -1.0 if getattr(trainer, "task", "") == "classification" else 1.0
         best, best_epoch = float("inf"), trainer.current_epoch
         for _ in range(int(epochs)):
             trainer.step(*loaders, **kwargs)
             if verbose:
                 trainer.print_statistics()
+            if on_segment is not None:
+                on_segment([{"epoch": trainer.current_epoch,
+                             "training_loss":
+                                 trainer.history["training_loss"][-1],
+                             "test": trainer.history["test"][-1]}])
             if patience is not None:
                 v = sign * trainer.history["test"][-1]
                 if v < best - min_delta:

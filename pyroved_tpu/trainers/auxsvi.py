@@ -485,11 +485,6 @@ class auxSVItrainer:
             raise ValueError(
                 f"scale_schedule has {len(schedule)} entries for "
                 f"{epochs} epochs")
-        if schedule is not None:
-            epoch_betas = [jnp.asarray(s, jnp.float32) for s in schedule]
-        else:
-            epoch_betas = [jnp.asarray(kwargs.get("scale_factor", 1.0),
-                                       jnp.float32)] * int(epochs)
         aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
                                jnp.float32)
         if int(epochs) <= 0:
@@ -512,6 +507,13 @@ class auxSVItrainer:
             return self._run_segmented_pipelined(loader_unsup, loader_sup,
                                                  int(epochs), schedule,
                                                  kwargs)
+        # built only on the non-segmented paths (segment sub-runs build
+        # their own slice — don't prep epochs-many device scalars twice)
+        if schedule is not None:
+            epoch_betas = [jnp.asarray(s, jnp.float32) for s in schedule]
+        else:
+            epoch_betas = [jnp.asarray(kwargs.get("scale_factor", 1.0),
+                                       jnp.float32)] * int(epochs)
         if loader_val is not None:
             return self._run_with_val(loader_unsup, loader_sup, loader_val,
                                       int(epochs), epoch_betas, schedule,
@@ -703,7 +705,7 @@ class auxSVItrainer:
         if self.checkpoint_path:
             # artifacts are durable by the time run() returns
             from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints()
+            wait_for_checkpoints(self.checkpoint_path)
         return out
 
     def _run_segmented_pipelined(self, loader_unsup, loader_sup,
@@ -820,7 +822,7 @@ class auxSVItrainer:
             drain_one()
         if self.checkpoint_path:
             from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints()
+            wait_for_checkpoints(self.checkpoint_path)
         return out
 
     def _pipeline_cap(self) -> int:

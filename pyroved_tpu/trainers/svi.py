@@ -421,19 +421,21 @@ class SVItrainer:
         # on_segment=fn: invoked at every fused-segment drain with a list
         # of {"epoch", "training_loss", "test_loss"?} records (one per new
         # epoch) — custom host work (metric push, progress bars, external
-        # loggers) at fused speed.
+        # loggers) at fused speed. CONTRACT: the callback receives the
+        # records only; in pipelined runs the live trainer/model state is
+        # up to MAX_INFLIGHT segments AHEAD of the drained epochs (the
+        # device keeps training while the callback runs), so don't read
+        # model.params there expecting epoch-exact state — use patience=
+        # (blocking segments) or checkpoint_path= if you need snapshots.
+        # Similarly, epoch_seconds/epoch_times measure drain-to-drain wall
+        # time: exact in aggregate, approximate per epoch under pipelining
+        # (the first drain absorbs compile + pipeline fill).
         on_segment = kwargs.pop("on_segment", None)
         schedule = kwargs.get("scale_schedule")
-        if schedule is not None:
-            if len(schedule) != int(epochs):
-                raise ValueError(
-                    f"scale_schedule has {len(schedule)} entries for "
-                    f"{epochs} epochs")
-            epoch_betas = [_prep_beta(self.model, s) for s in schedule]
-        else:
-            epoch_betas = [_prep_beta(self.model,
-                                      kwargs.get("scale_factor", 1.0))
-                           ] * int(epochs)
+        if schedule is not None and len(schedule) != int(epochs):
+            raise ValueError(
+                f"scale_schedule has {len(schedule)} entries for "
+                f"{epochs} epochs")
         if int(epochs) <= 0:
             return []
         seg = self._run_segment_len()
@@ -454,6 +456,14 @@ class SVItrainer:
             # with no host work configured (see PIPELINE_SEGMENT)
             return self._run_segmented_pipelined(train_loader, int(epochs),
                                                  schedule, kwargs)
+        # built only on the non-segmented paths (segment sub-runs build
+        # their own slice — don't prep epochs-many device scalars twice)
+        if schedule is not None:
+            epoch_betas = [_prep_beta(self.model, s) for s in schedule]
+        else:
+            epoch_betas = [_prep_beta(self.model,
+                                      kwargs.get("scale_factor", 1.0))
+                           ] * int(epochs)
         if test_loader is not None:
             return self._run_with_eval(train_loader, test_loader,
                                        int(epochs), schedule, epoch_betas,
@@ -631,7 +641,7 @@ class SVItrainer:
         if self.checkpoint_path:
             # artifacts are durable by the time run() returns
             from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints()
+            wait_for_checkpoints(self.checkpoint_path)
         return out
 
     def _run_segmented_pipelined(self, train_loader, epochs: int,
@@ -742,7 +752,7 @@ class SVItrainer:
             drain_one()
         if self.checkpoint_path:
             from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints()
+            wait_for_checkpoints(self.checkpoint_path)
         return out
 
     def _pipeline_cap(self) -> int:

@@ -163,36 +163,63 @@ def _check_backend(backend: str) -> None:
                          "'msgpack' or 'orbax'")
 
 
-_pending_write = {"thread": None, "error": None}
+import threading
+
+_pending_lock = threading.Lock()
+_pending_threads: dict = {}   # abspath -> writer thread
+_pending_errors: dict = {}    # abspath -> first exception
 
 
-def wait_for_checkpoints() -> None:
-    """Block until an in-flight ``save_checkpoint(async_write=True)`` has
-    finished; re-raises any error from that write."""
-    t = _pending_write["thread"]
-    if t is not None:
+def wait_for_checkpoints(path=None) -> None:
+    """Block until in-flight ``save_checkpoint(async_write=True)`` writes
+    have finished (``path=None``: all of them; else just that file);
+    re-raises the error from a failed write, attributed per path."""
+    import os
+    key = None if path is None else os.path.abspath(path)
+    with _pending_lock:
+        items = [(p, t) for p, t in _pending_threads.items()
+                 if key is None or p == key]
+    for p, t in items:
         t.join()
-        _pending_write["thread"] = None
-    err = _pending_write["error"]
-    if err is not None:
-        _pending_write["error"] = None
-        raise err
+        with _pending_lock:
+            if _pending_threads.get(p) is t:
+                del _pending_threads[p]
+    with _pending_lock:
+        errs = ([(key, _pending_errors.pop(key))]
+                if key is not None and key in _pending_errors
+                else ([] if key is not None
+                      else [_pending_errors.popitem()
+                            for _ in range(len(_pending_errors))]))
+    if errs:
+        raise errs[0][1]
 
 
 def _write_msgpack(path: str, payload) -> None:
-    """Serialize + write ATOMICALLY (temp file, then ``os.replace``): a
-    crash mid-write leaves the previous checkpoint intact instead of a
-    truncated archive — this file IS the crash-recovery artifact."""
+    """Serialize + write ATOMICALLY (unique temp file in the target dir,
+    then ``os.replace``): a crash mid-write leaves the previous checkpoint
+    intact instead of a truncated archive — this file IS the
+    crash-recovery artifact — and concurrent writers to the same path
+    cannot publish each other's partial bytes."""
     import os
+    import tempfile
 
     import flax.serialization
     # to_bytes dict-ifies tuples/NamedTuples (optimizer states) before
     # msgpack, which cannot encode them natively
     blob = flax.serialization.to_bytes(payload)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, payload=np.frombuffer(blob, np.uint8))
-    os.replace(tmp, path)
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", suffix=".tmp",
+        dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, payload=np.frombuffer(blob, np.uint8))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def save_checkpoint(path: str, model, trainer=None,
@@ -203,28 +230,32 @@ def save_checkpoint(path: str, model, trainer=None,
     ``async_write=True`` (msgpack only) returns as soon as the state is
     snapshotted to host memory; serialization and the atomic file write
     happen on a background thread so training can continue — the
-    segmented fused runs use this. Writes stay ordered (a new save joins
-    the previous one first) and :func:`load_checkpoint` flushes pending
-    writes before reading. The writer thread is non-daemon, so a normal
+    segmented fused runs use this. Writes to the SAME path stay ordered
+    (a new save joins that path's previous write first; independent
+    trainers checkpointing to different paths do not serialize each
+    other) and :func:`load_checkpoint` flushes the target path's pending
+    write before reading. The writer thread is non-daemon, so a normal
     interpreter exit finishes the write.
     """
+    import os
     _check_backend(backend)
-    wait_for_checkpoints()  # order writes; surface earlier async errors
+    key = os.path.abspath(path)
+    wait_for_checkpoints(path)  # order same-path writes; surface errors
     payload = _build_payload(model, trainer)
     if backend == "orbax":
         _save_orbax(path, payload)
         return
     if async_write:
-        import threading
-
         def _writer():
             try:
                 _write_msgpack(path, payload)
             except BaseException as e:  # surfaced by wait_for_checkpoints
-                _pending_write["error"] = e
+                with _pending_lock:
+                    _pending_errors[key] = e
 
         t = threading.Thread(target=_writer, name="pvt-ckpt-write")
-        _pending_write["thread"] = t
+        with _pending_lock:
+            _pending_threads[key] = t
         t.start()
         return
     _write_msgpack(path, payload)
@@ -239,7 +270,7 @@ def load_checkpoint(path: str, model, trainer=None, backend: str = "msgpack",
     round-trip instead of silently coming back fully replicated).
     """
     _check_backend(backend)
-    wait_for_checkpoints()  # don't read a file an async save is replacing
+    wait_for_checkpoints(path)  # don't read mid-replace by an async save
     if backend == "orbax":
         restored = _load_orbax(path)
     else:

@@ -305,3 +305,45 @@ def test_checkpoint_async_error_surfaces(tmp_path):
     ck.save_checkpoint(ok_path, model, trainer)
     import os
     assert os.path.exists(ok_path)
+
+
+def test_checkpoint_async_writes_independent_paths(tmp_path):
+    """Async saves to DIFFERENT paths are tracked independently: each
+    path's write is joined and errors are attributed to their own path."""
+    from pyroved_tpu.utils import checkpoint as ck
+    m1 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    t1 = SVItrainer(m1)
+    m2 = iVAE(DATA, latent_dim=2, invariances=["r"], seed=2)
+    t2 = SVItrainer(m2)
+    pa = str(tmp_path / "a.msgpack")
+    pb = str(tmp_path / "bad-dir" / "b.msgpack")
+    ck.save_checkpoint(pa, m1, t1, async_write=True)
+    ck.save_checkpoint(pb, m2, t2, async_write=True)  # will fail
+    ck.wait_for_checkpoints(pa)  # a's write is fine
+    import os
+    assert os.path.exists(pa)
+    with pytest.raises(FileNotFoundError):
+        ck.wait_for_checkpoints(pb)  # b's error attributed to b
+    # a fresh save to a good path is unaffected by b's failure
+    ck.save_checkpoint(pa, m1, t1)
+    ck.wait_for_checkpoints()
+
+
+def test_checkpoint_failed_write_leaves_no_tmp(tmp_path):
+    """A failing atomic write must clean up its unique temp file."""
+    import os
+    from pyroved_tpu.utils import checkpoint as ck
+    path = str(tmp_path / "x.msgpack")
+    model = iVAE(DATA, latent_dim=2, invariances=["r"])
+    real_savez = np.savez
+
+    def exploding(f, **kw):
+        raise OSError("disk full")
+
+    np.savez = exploding
+    try:
+        with pytest.raises(OSError):
+            ck.save_checkpoint(path, model)
+    finally:
+        np.savez = real_savez
+    assert os.listdir(tmp_path) == []  # no stale .tmp files

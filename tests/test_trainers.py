@@ -627,3 +627,18 @@ def test_fit_on_segment_forwards():
     m2 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
     m2.fit(x, epochs=3, batch_size=16, verbose=True, on_segment=recs2.extend)
     assert [r["epoch"] for r in recs2] == [1, 2, 3]
+
+
+def test_stopped_early_resets_between_fits():
+    """A later run/fit must clear a stale stopped_early=True from an
+    earlier early-stopped run — on both the fused and step-loop paths."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
+    t = SVItrainer(m, seed=2)
+    t.run(init_dataloader(x, batch_size=16, seed=3), 30,
+          test_loader=init_dataloader(xt, batch_size=16, seed=4),
+          patience=2, min_delta=10.0)
+    assert t.stopped_early
+    m.fit(x, epochs=2, batch_size=16, trainer=t, verbose=True)
+    assert not t.stopped_early
