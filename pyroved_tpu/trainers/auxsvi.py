@@ -25,12 +25,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.data import DataLoader
 from ..utils.nn import average_weights
-from .svi import PIPELINE_SEGMENT
+from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin
 
 Array = jax.Array
 
 
-class auxSVItrainer:
+class auxSVItrainer(SegmentedRunsMixin):
     """Trainer for ssiVAE / ss_reg_iVAE (task inferred from the model,
     overridable via ``task=``).
 
@@ -493,7 +493,7 @@ class auxSVItrainer:
         if ((seg is not None or patience is not None
              or on_segment is not None)
                 and not getattr(self, "_segmenting", False)):
-            return self._run_segmented(loader_unsup, loader_sup,
+            return self._run_segmented((loader_unsup, loader_sup),
                                        int(epochs), seg, schedule, kwargs,
                                        patience, min_delta, on_segment)
         all_resident = all(
@@ -504,9 +504,8 @@ class auxSVItrainer:
                 and not getattr(self, "_segmenting", False)):
             # pipelined dispatch beats one monolithic scan even with no
             # host work configured (see svi.PIPELINE_SEGMENT)
-            return self._run_segmented_pipelined(loader_unsup, loader_sup,
-                                                 int(epochs), schedule,
-                                                 kwargs)
+            return self._run_segmented_pipelined(
+                (loader_unsup, loader_sup), int(epochs), schedule, kwargs)
         # built only on the non-segmented paths (segment sub-runs build
         # their own slice — don't prep epochs-many device scalars twice)
         if schedule is not None:
@@ -582,264 +581,69 @@ class auxSVItrainer:
             keys_rep, within, betas, aux_mult)
         return futs, nb, unsup_count
 
-    def _run_segment_len(self):
-        """Nominal fused-run segment length when per-segment host work
-        (JSONL logging / auto-checkpointing) is configured; ``None``
-        disables segmenting — same contract as
-        ``SVItrainer._run_segment_len``."""
-        if self.checkpoint_path:
-            return max(1, int(self.checkpoint_every))
-        if self.log_file:
-            return 10
-        return None
+    # ------------------------------------------------------------------
+    # SegmentedRunsMixin hooks (shared machinery in trainers/_segmented.py)
+    # ------------------------------------------------------------------
+    def _seg_metric_key(self):
+        return "test"  # matches history["test"] (accuracy or val MSE)
 
-    def _next_segment_epochs(self, remaining: int, at_epoch=None) -> int:
-        """Epochs until the next host-work boundary — same contract as
-        ``SVItrainer._next_segment_epochs``."""
-        epoch = self.current_epoch if at_epoch is None else at_epoch
-        cands = [remaining]
-        if self.checkpoint_path:
-            ce = max(1, int(self.checkpoint_every))
-            cands.append(ce - (epoch % ce))
-        if self.log_file:
-            cands.append(10 - (epoch % 10))
-        return max(1, min(cands))
+    def _seg_history(self):
+        return self.history
 
-    def _run_segmented(self, loader_unsup, loader_sup, epochs: int,
-                       seg: int, schedule, kwargs, patience=None,
-                       min_delta: float = 0.0, on_segment=None) -> list:
-        """Split the fused run into segments with JSONL records,
-        auto-checkpoints, and the early-stop check between them (see
-        ``SVItrainer._run_segmented``); the PRNG chain — hence the
-        trajectory — is unchanged. Early stopping monitors
-        ``history["test"]``: accuracy (higher is better) for
-        classification, MSE (lower is better) for regression."""
-        del seg  # per-iteration length comes from _next_segment_epochs
+    def _seg_has_metric(self, kwargs):
+        return kwargs.get("loader_val") is not None
+
+    def _seg_monitor_sign(self):
+        # classification monitors accuracy (higher is better)
+        return -1.0 if self.task == "classification" else 1.0
+
+    def _seg_sub_run(self, loaders, n, sub):
+        return self.run(loaders[0], loaders[1], n, **sub)
+
+    def _seg_resident(self, loaders, kwargs):
         loader_val = kwargs.get("loader_val")
-        resident = all(
-            isinstance(ld, DataLoader) and ld.device_resident
-            for ld in (loader_unsup, loader_sup)
-            + (() if loader_val is None else (loader_val,)))
-        if patience is None and resident:
-            # no stop decisions needed -> segments can be dispatched ahead
-            return self._run_segmented_pipelined(loader_unsup, loader_sup,
-                                                 epochs, schedule, kwargs,
-                                                 on_segment)
-        out = []
-        done = 0
-        sign = -1.0 if self.task == "classification" else 1.0
-        es = {"best": float("inf"), "best_epoch": self.current_epoch}
+        lds = tuple(loaders) + (() if loader_val is None else (loader_val,))
+        return all(isinstance(ld, DataLoader) and ld.device_resident
+                   for ld in lds)
 
-        def fire(n):
-            if on_segment is None:
-                return
-            tr = self.history["training_loss"][-n:]
-            te = (self.history["test"][-n:]
-                  if kwargs.get("loader_val") is not None else None)
-            on_segment([
-                dict({"epoch": self.current_epoch - n + j + 1,
-                      "training_loss": tr[j]},
-                     **({} if te is None else {"test": te[j]}))
-                for j in range(n)])
+    def _seg_prep_beta(self, value):
+        return jnp.asarray(value, jnp.float32)
 
-        def stop_now(n):
-            if patience is None:
-                return False
-            for j, v in enumerate(self.history["test"][-n:]):
-                if sign * v < es["best"] - min_delta:
-                    es["best"] = sign * v
-                    es["best_epoch"] = self.current_epoch - n + j + 1
-            if self.current_epoch - es["best_epoch"] >= int(patience):
-                self.stopped_early = True
-                return True
-            return False
-
-        while done < epochs:
-            n = self._next_segment_epochs(epochs - done)
-            if patience is not None:
-                n = min(n, max(1, min(10, int(patience))))
-            if on_segment is not None:
-                n = min(n, 10)
-            sub = dict(kwargs)
-            if schedule is not None:
-                sub["scale_schedule"] = list(schedule)[done:done + n]
-            n_times = len(self.epoch_times)
-            t0 = time.perf_counter()
-            self._segmenting = True
-            try:
-                out.extend(self.run(loader_unsup, loader_sup, n, **sub))
-            finally:
-                self._segmenting = False
-            dt = time.perf_counter() - t0
-            stepped = len(self.epoch_times) > n_times
-            if stepped:  # fell back to step(), which did the bookkeeping
-                done += n
-                fire(n)
-                if stop_now(n):
-                    break
-                continue
-            self.epoch_times.extend([dt / n] * n)
-            if self.log_file:
-                import json
-                tr_seg = self.history["training_loss"][-n:]
-                te_seg = (self.history["test"][-n:]
-                          if kwargs.get("loader_val") is not None else None)
-                with open(self.log_file, "a") as f:
-                    for j in range(n):
-                        record = {"epoch": self.current_epoch - n + j + 1,
-                                  "training_loss": tr_seg[j],
-                                  "epoch_seconds": dt / n}
-                        if te_seg is not None:
-                            record["test"] = te_seg[j]
-                        f.write(json.dumps(record) + "\n")
-            if (self.checkpoint_path
-                    and self.current_epoch % self.checkpoint_every == 0):
-                # async: the file write overlaps the next fused segment
-                from ..utils.checkpoint import save_checkpoint
-                save_checkpoint(self.checkpoint_path, self.model, self,
-                                async_write=True)
-            done += n
-            fire(n)
-            if stop_now(n):
-                break
-        if self.checkpoint_path:
-            # artifacts are durable by the time run() returns
-            from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints(self.checkpoint_path)
-        return out
-
-    def _run_segmented_pipelined(self, loader_unsup, loader_sup,
-                                 epochs: int, schedule, kwargs,
-                                 on_segment=None) -> list:
-        """Segmented fused semi-supervised run WITHOUT the per-segment
-        device sync — the aux analogue of
-        ``SVItrainer._run_segmented_pipelined``: up to ``MAX_INFLIGHT``
-        segments dispatch ahead, host work (history, JSONL, checkpoints)
-        drains as results materialize, checkpoint boundaries snapshot
-        the state via an on-device copy (later dispatches donate the
-        live buffers). PRNG chain and trajectory identical to the
-        blocking segment loop."""
-        MAX_INFLIGHT = 4
-        from collections import deque
-        self._ensure_built()
-        loader_val = kwargs.get("loader_val")
-        sf = kwargs.get("scale_factor", 1.0)
+    def _seg_dispatch(self, loaders, n, betas, kwargs):
         aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
                                jnp.float32)
         sup_period = kwargs.get("sup_period")
-        out = []
-        pending = deque()
-        done = 0
-        epoch0 = self.current_epoch
-        last_t = time.perf_counter()
+        loader_val = kwargs.get("loader_val")
+        if loader_val is None:
+            futs, nb, uc = self._dispatch_run(loaders[0], loaders[1], n,
+                                              betas, aux_mult, sup_period)
+            return futs, (nb, uc)
+        futs, uc, vn = self._dispatch_val(loaders[0], loaders[1], loader_val,
+                                          n, betas, aux_mult, sup_period)
+        return futs, (uc, vn)
 
-        def drain_one():
-            nonlocal last_t
-            n, futs, meta, boundary, b_rng = pending.popleft()
-            if loader_val is None:
-                nb, unsup_count = meta
-                per = (np.asarray(futs[3]).reshape(n, nb).sum(1)
-                       / max(unsup_count, 1.0)).tolist()
-                te = None
-            else:
-                unsup_count, val_norm = meta
-                per = (np.asarray(futs[3]) / max(unsup_count, 1.0)).tolist()
-                te = (np.asarray(futs[4]) / val_norm).tolist()
-            now = time.perf_counter()
-            dt = now - last_t
-            last_t = now
-            out.extend(per)
-            self.history["training_loss"].extend(per)
-            if te is not None:
-                self.history["test"].extend(te)
-            self.current_epoch += n
-            self.epoch_times.extend([dt / n] * n)
-            if self.log_file:
-                import json
-                with open(self.log_file, "a") as f:
-                    for j in range(n):
-                        record = {"epoch": self.current_epoch - n + j + 1,
-                                  "training_loss": per[j],
-                                  "epoch_seconds": dt / n}
-                        if te is not None:
-                            record["test"] = te[j]
-                        f.write(json.dumps(record) + "\n")
-            if boundary is not None:
-                from ..utils.checkpoint import save_checkpoint
-                b_params, b_opt, b_aux = boundary
-                live = (self.model.params, self.opt_state,
-                        self.aux_opt_state, self.rng)
-                self.model.params, self.opt_state, self.aux_opt_state, \
-                    self.rng = b_params, b_opt, b_aux, b_rng
-                try:
-                    save_checkpoint(self.checkpoint_path, self.model, self,
-                                    async_write=True)
-                finally:
-                    (self.model.params, self.opt_state, self.aux_opt_state,
-                     self.rng) = live
-            if on_segment is not None:
-                on_segment([
-                    dict({"epoch": self.current_epoch - n + j + 1,
-                          "training_loss": per[j]},
-                         **({} if te is None else {"test": te[j]}))
-                    for j in range(n)])
+    def _seg_materialize(self, futs, meta, n, loaders, kwargs):
+        del loaders
+        if kwargs.get("loader_val") is None:
+            nb, unsup_count = meta
+            per = (np.asarray(futs[3]).reshape(n, nb).sum(1)
+                   / max(unsup_count, 1.0)).tolist()
+            return per, None
+        unsup_count, val_norm = meta
+        per = (np.asarray(futs[3]) / max(unsup_count, 1.0)).tolist()
+        te = (np.asarray(futs[4]) / val_norm).tolist()
+        return per, te
 
-        while done < epochs:
-            if len(pending) >= MAX_INFLIGHT:
-                drain_one()
-                continue
-            n = min(self._next_segment_epochs(epochs - done,
-                                              at_epoch=epoch0 + done),
-                    self._pipeline_cap()
-                    if on_segment is None
-                    else min(self._pipeline_cap(), 10))
-            if schedule is not None:
-                betas = [jnp.asarray(s, jnp.float32)
-                         for s in list(schedule)[done:done + n]]
-            else:
-                betas = [jnp.asarray(sf, jnp.float32)] * n
-            if loader_val is None:
-                futs, nb, uc = self._dispatch_run(
-                    loader_unsup, loader_sup, n, betas, aux_mult,
-                    sup_period)
-                meta = (nb, uc)
-            else:
-                futs, uc, vn = self._dispatch_val(
-                    loader_unsup, loader_sup, loader_val, n, betas,
-                    aux_mult, sup_period)
-                meta = (uc, vn)
-            boundary, b_rng = None, None
-            end_epoch = epoch0 + done + n
-            if (self.checkpoint_path
-                    and end_epoch % self.checkpoint_every == 0):
-                boundary = self._copy_state(futs[0], futs[1], futs[2])
-                b_rng = self.rng  # host value: post-prep, as blocking path
-            self.model.params = futs[0]
-            self.opt_state, self.aux_opt_state = futs[1], futs[2]
-            pending.append((n, futs, meta, boundary, b_rng))
-            done += n
-        while pending:
-            drain_one()
-        if self.checkpoint_path:
-            from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints(self.checkpoint_path)
-        return out
+    def _seg_state_futs(self, futs):
+        return futs[0], futs[1], futs[2]
 
-    def _pipeline_cap(self) -> int:
-        """Max epochs per pipelined segment — same contract as
-        ``SVItrainer._pipeline_cap``."""
-        if self.checkpoint_path:
-            return max(PIPELINE_SEGMENT,
-                       min(int(self.checkpoint_every), 5 * PIPELINE_SEGMENT))
-        return PIPELINE_SEGMENT
+    def _seg_live(self):
+        return (self.model.params, self.opt_state, self.aux_opt_state,
+                self.rng)
 
-    def _copy_state(self, params, opt_state, aux_opt_state):
-        """On-device deep copy of the trainer state — checkpoint
-        snapshots must not alias buffers a later dispatch donates."""
-        if getattr(self, "_copy_state_jit", None) is None:
-            self._copy_state_jit = jax.jit(
-                lambda t: jax.tree_util.tree_map(jnp.copy, t))
-        return self._copy_state_jit((params, opt_state, aux_opt_state))
+    def _seg_set(self, tup):
+        (self.model.params, self.opt_state, self.aux_opt_state,
+         self.rng) = tup
 
     def _run_with_val(self, loader_unsup, loader_sup, loader_val,
                       epochs: int, epoch_betas, schedule, aux_mult,

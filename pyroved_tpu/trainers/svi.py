@@ -34,18 +34,9 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.data import DataLoader
+from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin
 
 Array = jax.Array
-
-
-# Fused runs longer than this are dispatched as a PIPELINE of
-# PIPELINE_SEGMENT-epoch sub-scans instead of one monolithic scan: host
-# index/key prep and H2D uploads of later segments overlap device compute
-# of earlier ones (JAX async dispatch queues them), measured 1478 -> 1656
-# steps/s (+12%) on the flagship 250-epoch workload (docs/PERFORMANCE.md).
-# A second benefit: ANY epoch count reuses at most two compiled scan
-# shapes (segment + remainder) instead of compiling per distinct total.
-PIPELINE_SEGMENT = 5
 
 
 def _prep_beta(model, scale_factor) -> Array:
@@ -55,7 +46,7 @@ def _prep_beta(model, scale_factor) -> Array:
     return jnp.asarray(scale_factor, jnp.float32)
 
 
-class SVItrainer:
+class SVItrainer(SegmentedRunsMixin):
     """Epoch-level SVI trainer for one-encoder/one-decoder models.
 
     Args:
@@ -442,7 +433,7 @@ class SVItrainer:
         if ((seg is not None or patience is not None
              or on_segment is not None)
                 and not getattr(self, "_segmenting", False)):
-            return self._run_segmented(train_loader, int(epochs), seg,
+            return self._run_segmented((train_loader,), int(epochs), seg,
                                        schedule, kwargs, patience, min_delta,
                                        on_segment)
         resident = (isinstance(train_loader, DataLoader)
@@ -454,8 +445,9 @@ class SVItrainer:
                 and not getattr(self, "_segmenting", False)):
             # pipelined dispatch is faster than one monolithic scan even
             # with no host work configured (see PIPELINE_SEGMENT)
-            return self._run_segmented_pipelined(train_loader, int(epochs),
-                                                 schedule, kwargs)
+            return self._run_segmented_pipelined((train_loader,),
+                                                 int(epochs), schedule,
+                                                 kwargs)
         # built only on the non-segmented paths (segment sub-runs build
         # their own slice — don't prep epochs-many device scalars twice)
         if schedule is not None:
@@ -511,269 +503,62 @@ class SVItrainer:
             self.model.params, self.opt_state, train_loader.device_arrays,
             idx, w, keys_rep, within, betas)
 
-    def _run_segment_len(self):
-        """Nominal fused-run segment length when per-segment host work
-        (JSONL logging / auto-checkpointing) is configured; ``None``
-        disables segmenting (pure single-dispatch run). The actual
-        per-iteration length additionally aligns to checkpoint/log
-        boundaries (see :meth:`_next_segment_epochs`)."""
-        if self.checkpoint_path:
-            return max(1, int(self.checkpoint_every))
-        if self.log_file:
-            return 10
-        return None
+    # ------------------------------------------------------------------
+    # SegmentedRunsMixin hooks (the shared machinery lives in
+    # trainers/_segmented.py; these adapt it to this trainer's state
+    # arity, history dict, and dispatch functions)
+    # ------------------------------------------------------------------
+    def _seg_metric_key(self):
+        return "test_loss"
 
-    def _next_segment_epochs(self, remaining: int, at_epoch=None) -> int:
-        """Epochs until the next host-work boundary: the next multiple of
-        ``checkpoint_every`` and/or the 10-epoch log cadence — so a resumed
-        trainer checkpoints at exactly the epochs a step() loop would.
-        ``at_epoch`` overrides ``self.current_epoch`` (the pipelined
-        runner dispatches ahead of the drained epoch counter)."""
-        epoch = self.current_epoch if at_epoch is None else at_epoch
-        cands = [remaining]
-        if self.checkpoint_path:
-            ce = max(1, int(self.checkpoint_every))
-            cands.append(ce - (epoch % ce))
-        if self.log_file:
-            cands.append(10 - (epoch % 10))
-        return max(1, min(cands))
+    def _seg_history(self):
+        return self.loss_history
 
-    def _run_segmented(self, train_loader, epochs: int, seg: int,
-                       schedule, kwargs, patience=None,
-                       min_delta: float = 0.0, on_segment=None) -> list:
-        """Split ``run(epochs)`` into fused segments with the configured
-        host work (JSONL records, auto-checkpoint, early-stop check)
-        between them. The PRNG chain — and therefore the parameter
-        trajectory — is unchanged by segmenting; only the dispatch
-        granularity differs (~1 host sync per segment instead of none)."""
-        del seg  # per-iteration length comes from _next_segment_epochs
+    def _seg_has_metric(self, kwargs):
+        return kwargs.get("test_loader") is not None
+
+    def _seg_monitor_sign(self):
+        return 1.0  # held-out loss: lower is better
+
+    def _seg_sub_run(self, loaders, n, sub):
+        return self.run(loaders[0], n, **sub)
+
+    def _seg_resident(self, loaders, kwargs):
         test_loader = kwargs.get("test_loader")
-        resident = (isinstance(train_loader, DataLoader)
-                    and train_loader.device_resident
-                    and (test_loader is None
-                         or (isinstance(test_loader, DataLoader)
-                             and test_loader.device_resident)))
-        if patience is None and resident:
-            # no stop decisions needed -> segments can be dispatched ahead
-            return self._run_segmented_pipelined(train_loader, epochs,
-                                                 schedule, kwargs,
-                                                 on_segment)
-        out = []
-        done = 0
-        es = {"best": float("inf"), "best_epoch": self.current_epoch}
+        return (isinstance(loaders[0], DataLoader)
+                and loaders[0].device_resident
+                and (test_loader is None
+                     or (isinstance(test_loader, DataLoader)
+                         and test_loader.device_resident)))
 
-        def fire(n):
-            if on_segment is None:
-                return
-            tr = self.loss_history["training_loss"][-n:]
-            te = (self.loss_history["test_loss"][-n:]
-                  if kwargs.get("test_loader") is not None else None)
-            on_segment([
-                dict({"epoch": self.current_epoch - n + j + 1,
-                      "training_loss": tr[j]},
-                     **({} if te is None else {"test_loss": te[j]}))
-                for j in range(n)])
+    def _seg_prep_beta(self, value):
+        return _prep_beta(self.model, value)
 
-        def stop_now(n):
-            """Fold the segment's ``n`` new test losses into the best-so-far
-            and report whether patience ran out."""
-            if patience is None:
-                return False
-            for j, v in enumerate(self.loss_history["test_loss"][-n:]):
-                if v < es["best"] - min_delta:
-                    es["best"] = v
-                    es["best_epoch"] = self.current_epoch - n + j + 1
-            if self.current_epoch - es["best_epoch"] >= int(patience):
-                self.stopped_early = True
-                return True
-            return False
-
-        while done < epochs:
-            n = self._next_segment_epochs(epochs - done)
-            if patience is not None:
-                n = min(n, max(1, min(10, int(patience))))
-            if on_segment is not None:
-                n = min(n, 10)
-            sub = dict(kwargs)
-            if schedule is not None:
-                sub["scale_schedule"] = list(schedule)[done:done + n]
-            n_times = len(self.epoch_times)
-            t0 = time.perf_counter()
-            self._segmenting = True
-            try:
-                out.extend(self.run(train_loader, n, **sub))
-            finally:
-                self._segmenting = False
-            dt = time.perf_counter() - t0
-            stepped = len(self.epoch_times) > n_times
-            if stepped:
-                # the sub-run fell back to per-epoch step() calls, which
-                # already did the logging/checkpoint/timing bookkeeping
-                done += n
-                fire(n)
-                if stop_now(n):
-                    break
-                continue
-            self.epoch_times.extend([dt / n] * n)
-            if self.log_file:
-                import json
-                tr_seg = self.loss_history["training_loss"][-n:]
-                te_seg = (self.loss_history["test_loss"][-n:]
-                          if kwargs.get("test_loader") is not None else None)
-                with open(self.log_file, "a") as f:
-                    for j in range(n):
-                        record = {"epoch": self.current_epoch - n + j + 1,
-                                  "training_loss": tr_seg[j],
-                                  "epoch_seconds": dt / n}
-                        if te_seg is not None:
-                            record["test_loss"] = te_seg[j]
-                        f.write(json.dumps(record) + "\n")
-            if (self.checkpoint_path
-                    and self.current_epoch % self.checkpoint_every == 0):
-                # async: the file write overlaps the next fused segment
-                from ..utils.checkpoint import save_checkpoint
-                save_checkpoint(self.checkpoint_path, self.model, self,
-                                async_write=True)
-            done += n
-            fire(n)
-            if stop_now(n):
-                break
-        if self.checkpoint_path:
-            # artifacts are durable by the time run() returns
-            from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints(self.checkpoint_path)
-        return out
-
-    def _run_segmented_pipelined(self, train_loader, epochs: int,
-                                 schedule, kwargs, on_segment=None) -> list:
-        """Segmented fused run WITHOUT the per-segment device sync: up to
-        ``MAX_INFLIGHT`` segments are dispatched ahead (JAX async
-        execution queues them on-device), and host work — history, JSONL
-        records, checkpoints — drains as each segment's results
-        materialize, overlapped with later segments' compute. The PRNG
-        chain, segment boundaries, and therefore the parameter trajectory
-        are identical to the blocking segment loop.
-
-        Checkpoint boundaries snapshot the state via an on-device copy
-        (the next segment's dispatch DONATES the live params/opt_state
-        buffers, so they cannot be fetched afterwards); the copy is
-        fetched at drain time, overlapping the in-flight segments."""
-        MAX_INFLIGHT = 4
-        from collections import deque
-        self._ensure_built()
+    def _seg_dispatch(self, loaders, n, betas, kwargs):
         test_loader = kwargs.get("test_loader")
-        sf = kwargs.get("scale_factor", 1.0)
-        out = []
-        pending = deque()
-        done = 0
-        epoch0 = self.current_epoch
-        last_t = time.perf_counter()
+        if test_loader is None:
+            return self._dispatch_plain(loaders[0], n, betas), None
+        return self._dispatch_eval(loaders[0], test_loader, n, betas), None
 
-        def drain_one():
-            nonlocal last_t
-            n, futs, boundary, b_rng = pending.popleft()
-            if test_loader is None:
-                losses = futs[2]
-                per = (np.asarray(losses).reshape(n, -1).sum(1)
-                       / train_loader.dataset_size).tolist()
-                te = None
-            else:
-                per = (np.asarray(futs[2])
-                       / train_loader.dataset_size).tolist()
-                te = (np.asarray(futs[3])
-                      / test_loader.dataset_size).tolist()
-            now = time.perf_counter()
-            dt = now - last_t
-            last_t = now
-            out.extend(per)
-            self.loss_history["training_loss"].extend(per)
-            if te is not None:
-                self.loss_history["test_loss"].extend(te)
-            self.current_epoch += n
-            self.epoch_times.extend([dt / n] * n)
-            if self.log_file:
-                import json
-                with open(self.log_file, "a") as f:
-                    for j in range(n):
-                        record = {"epoch": self.current_epoch - n + j + 1,
-                                  "training_loss": per[j],
-                                  "epoch_seconds": dt / n}
-                        if te is not None:
-                            record["test_loss"] = te[j]
-                        f.write(json.dumps(record) + "\n")
-            if boundary is not None:
-                # save from the boundary snapshot, not the live futures
-                from ..utils.checkpoint import save_checkpoint
-                b_params, b_opt = boundary
-                live = (self.model.params, self.opt_state, self.rng)
-                self.model.params, self.opt_state, self.rng = \
-                    b_params, b_opt, b_rng
-                try:
-                    save_checkpoint(self.checkpoint_path, self.model, self,
-                                    async_write=True)
-                finally:
-                    self.model.params, self.opt_state, self.rng = live
-            if on_segment is not None:
-                on_segment([
-                    dict({"epoch": self.current_epoch - n + j + 1,
-                          "training_loss": per[j]},
-                         **({} if te is None else {"test_loss": te[j]}))
-                    for j in range(n)])
+    def _seg_materialize(self, futs, meta, n, loaders, kwargs):
+        del meta
+        test_loader = kwargs.get("test_loader")
+        if test_loader is None:
+            per = (np.asarray(futs[2]).reshape(n, -1).sum(1)
+                   / loaders[0].dataset_size).tolist()
+            return per, None
+        per = (np.asarray(futs[2]) / loaders[0].dataset_size).tolist()
+        te = (np.asarray(futs[3]) / test_loader.dataset_size).tolist()
+        return per, te
 
-        while done < epochs:
-            if len(pending) >= MAX_INFLIGHT:
-                drain_one()
-                continue
-            n = min(self._next_segment_epochs(epochs - done,
-                                              at_epoch=epoch0 + done),
-                    self._pipeline_cap()
-                    if on_segment is None
-                    else min(self._pipeline_cap(), 10))
-            if schedule is not None:
-                betas = [_prep_beta(self.model, s)
-                         for s in list(schedule)[done:done + n]]
-            else:
-                betas = [_prep_beta(self.model, sf)] * n
-            if test_loader is None:
-                futs = self._dispatch_plain(train_loader, n, betas)
-            else:
-                futs = self._dispatch_eval(train_loader, test_loader, n,
-                                           betas)
-            boundary, b_rng = None, None
-            end_epoch = epoch0 + done + n
-            if (self.checkpoint_path
-                    and end_epoch % self.checkpoint_every == 0):
-                boundary = self._copy_state(futs[0], futs[1])
-                b_rng = self.rng  # host value: post-prep, as blocking path
-            self.model.params, self.opt_state = futs[0], futs[1]
-            pending.append((n, futs, boundary, b_rng))
-            done += n
-        while pending:
-            drain_one()
-        if self.checkpoint_path:
-            from ..utils.checkpoint import wait_for_checkpoints
-            wait_for_checkpoints(self.checkpoint_path)
-        return out
+    def _seg_state_futs(self, futs):
+        return futs[0], futs[1]
 
-    def _pipeline_cap(self) -> int:
-        """Max epochs per pipelined segment. Small segments maximize
-        dispatch/compute overlap (measured best on the flagship), but each
-        segment costs one drain sync — with checkpointing configured, the
-        per-boundary state fetch already paces the host, so segments grow
-        to the checkpoint boundary (measured: 5-epoch segments 791-985
-        steps/s vs boundary-sized 1119-1174 at checkpoint_every=10)."""
-        if self.checkpoint_path:
-            return max(PIPELINE_SEGMENT,
-                       min(int(self.checkpoint_every), 5 * PIPELINE_SEGMENT))
-        return PIPELINE_SEGMENT
+    def _seg_live(self):
+        return (self.model.params, self.opt_state, self.rng)
 
-    def _copy_state(self, params, opt_state):
-        """On-device deep copy of (params, opt_state) — checkpoint
-        snapshots must not alias buffers a later dispatch donates."""
-        if getattr(self, "_copy_state_jit", None) is None:
-            self._copy_state_jit = jax.jit(
-                lambda t: jax.tree_util.tree_map(jnp.copy, t))
-        return self._copy_state_jit((params, opt_state))
+    def _seg_set(self, tup):
+        self.model.params, self.opt_state, self.rng = tup
 
     def _run_with_eval(self, train_loader, test_loader, epochs: int,
                        schedule, epoch_betas, kwargs) -> list:
