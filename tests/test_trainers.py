@@ -642,3 +642,20 @@ def test_stopped_early_resets_between_fits():
     assert t.stopped_early
     m.fit(x, epochs=2, batch_size=16, trainer=t, verbose=True)
     assert not t.stopped_early
+
+
+def test_pipelined_checkpoint_every_segment(tmp_path):
+    """checkpoint_every=1 makes every pipelined segment a boundary: the
+    on-device state snapshots and per-boundary saves must keep up with
+    dispatch-ahead, and the final checkpoint holds the last epoch."""
+    path = str(tmp_path / "dense.msgpack")
+    x = _rand_imgs(48)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    t = SVItrainer(m, seed=9, checkpoint_path=path, checkpoint_every=1)
+    t.run(init_dataloader(x, batch_size=16, seed=3), 8)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
+    t2 = SVItrainer(m2, checkpoint_path=path)
+    assert t2.resume() == 8
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
