@@ -39,7 +39,9 @@ def _to_host(tree):
 
 
 def _to_device(tree):
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+    # device_put on the WHOLE tree batches the H2D transfers (the same
+    # per-leaf round-trip trap as _to_host, in the other direction)
+    return jax.device_put(tree)
 
 
 def _param_specs(params):
