@@ -121,14 +121,9 @@ class SegmentedRunsMixin:
 
     def _seg_write_jsonl(self, n, per, te, dt):
         import json
-        key = self._seg_metric_key()
         with open(self.log_file, "a") as f:
-            for j in range(n):
-                record = {"epoch": self.current_epoch - n + j + 1,
-                          "training_loss": per[j],
-                          "epoch_seconds": dt / n}
-                if te is not None:
-                    record[key] = te[j]
+            for record in self._seg_records(n, per, te):
+                record["epoch_seconds"] = dt / n
                 f.write(json.dumps(record) + "\n")
 
     def _seg_save_checkpoint_async(self):

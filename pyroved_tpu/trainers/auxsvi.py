@@ -485,8 +485,6 @@ class auxSVItrainer(SegmentedRunsMixin):
             raise ValueError(
                 f"scale_schedule has {len(schedule)} entries for "
                 f"{epochs} epochs")
-        aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
-                               jnp.float32)
         if int(epochs) <= 0:
             return []
         seg = self._run_segment_len()
@@ -503,11 +501,12 @@ class auxSVItrainer(SegmentedRunsMixin):
         if (all_resident and int(epochs) > PIPELINE_SEGMENT
                 and not getattr(self, "_segmenting", False)):
             # pipelined dispatch beats one monolithic scan even with no
-            # host work configured (see svi.PIPELINE_SEGMENT)
+            # host work configured (see trainers/_segmented.py)
             return self._run_segmented_pipelined(
                 (loader_unsup, loader_sup), int(epochs), schedule, kwargs)
         # built only on the non-segmented paths (segment sub-runs build
         # their own slice — don't prep epochs-many device scalars twice)
+        aux_mult = self._seg_aux_mult(kwargs)
         if schedule is not None:
             epoch_betas = [jnp.asarray(s, jnp.float32) for s in schedule]
         else:
@@ -609,9 +608,17 @@ class auxSVItrainer(SegmentedRunsMixin):
     def _seg_prep_beta(self, value):
         return jnp.asarray(value, jnp.float32)
 
+    def _seg_aux_mult(self, kwargs):
+        """Device scalar for the aux-loss weight, cached per value so a
+        long pipelined run doesn't re-upload it every segment."""
+        v = float(kwargs.get("aux_loss_multiplier", 20))
+        cache = getattr(self, "_aux_mult_cache", None)
+        if cache is None or cache[0] != v:
+            self._aux_mult_cache = (v, jnp.asarray(v, jnp.float32))
+        return self._aux_mult_cache[1]
+
     def _seg_dispatch(self, loaders, n, betas, kwargs):
-        aux_mult = jnp.asarray(kwargs.get("aux_loss_multiplier", 20),
-                               jnp.float32)
+        aux_mult = self._seg_aux_mult(kwargs)
         sup_period = kwargs.get("sup_period")
         loader_val = kwargs.get("loader_val")
         if loader_val is None:
