@@ -659,3 +659,46 @@ def test_pipelined_checkpoint_every_segment(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(m.params),
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segmented_everything_enabled_matches_sequential(tmp_path):
+    """All host-work features at once — JSONL log, auto-checkpoint,
+    scale_schedule, fused test eval, on_segment callback — through the
+    pipelined runner: trajectory bitwise equal to sequential step()."""
+    import json
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    schedule = [0.2 + 0.1 * i for i in range(8)]
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t1 = SVItrainer(m1, seed=9)
+    l1 = init_dataloader(x, batch_size=16, seed=3)
+    tl1 = init_dataloader(xt, batch_size=16, seed=5)
+    for s in schedule:
+        t1.step(l1, tl1, scale_factor=s)
+
+    recs = []
+    log = tmp_path / "all.jsonl"
+    ckpt = str(tmp_path / "all.msgpack")
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t2 = SVItrainer(m2, seed=9, log_file=str(log), checkpoint_path=ckpt,
+                    checkpoint_every=3)
+    out = t2.run(init_dataloader(x, batch_size=16, seed=3), 8,
+                 scale_schedule=schedule,
+                 test_loader=init_dataloader(xt, batch_size=16, seed=5),
+                 on_segment=recs.extend)
+
+    np.testing.assert_allclose(t1.loss_history["training_loss"], out,
+                               rtol=1e-6)
+    np.testing.assert_allclose(t1.loss_history["test_loss"],
+                               t2.loss_history["test_loss"], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in records] == list(range(1, 9))
+    assert [r["epoch"] for r in recs] == list(range(1, 9))
+    assert all("test_loss" in r for r in records)
+    m3 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=2)
+    t3 = SVItrainer(m3, checkpoint_path=ckpt)
+    assert t3.resume() == 6  # last multiple of checkpoint_every
