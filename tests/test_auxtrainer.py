@@ -649,3 +649,37 @@ def test_aux_on_segment_callback():
     m2, t2, lu2, ls2 = _seg_setup(9)
     plain = t2.run(lu2, ls2, 8, loader_val=ls2)
     np.testing.assert_allclose(out, plain, rtol=1e-6)
+
+
+def test_aux_segmented_everything_enabled(tmp_path):
+    """Aux trainer with log + checkpoint + schedule + fused val metric +
+    on_segment at once (pipelined): bitwise equal to sequential step()."""
+    import json
+    schedule = [0.25 * (i + 1) for i in range(6)]
+
+    m1, t1, lu1, ls1 = _seg_setup(9)
+    for s in schedule:
+        t1.step(lu1, ls1, ls1, scale_factor=s)
+
+    recs = []
+    log = tmp_path / "aux_all.jsonl"
+    ckpt = str(tmp_path / "aux_all.msgpack")
+    m2, t2, lu2, ls2 = _seg_setup(9, log_file=str(log),
+                                  checkpoint_path=ckpt, checkpoint_every=2)
+    out = t2.run(lu2, ls2, 6, scale_schedule=schedule, loader_val=ls2,
+                 on_segment=recs.extend)
+
+    np.testing.assert_allclose(t1.history["training_loss"], out, rtol=1e-6)
+    np.testing.assert_allclose(t1.history["test"], t2.history["test"],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in records] == list(range(1, 7))
+    assert all("test" in r for r in records)
+    assert [r["epoch"] for r in recs] == list(range(1, 7))
+    m3 = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+                seed=5)
+    t3 = auxSVItrainer(m3, checkpoint_path=ckpt)
+    assert t3.resume() == 6
