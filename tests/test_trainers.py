@@ -702,3 +702,57 @@ def test_segmented_everything_enabled_matches_sequential(tmp_path):
     m3 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=2)
     t3 = SVItrainer(m3, checkpoint_path=ckpt)
     assert t3.resume() == 6  # last multiple of checkpoint_every
+
+
+def test_segment_machinery_config_fuzz(tmp_path):
+    """Randomized configs (epoch counts, checkpoint cadences, log on/off,
+    schedule on/off, eval on/off) all produce trajectories bitwise equal
+    to a sequential step() loop — covers segment-boundary arithmetic the
+    fixed tests might miss."""
+    rng = np.random.default_rng(0)
+    x = _rand_imgs(48)
+    xt = _rand_imgs(16)
+    for trial in range(5):
+        epochs = int(rng.integers(1, 18))
+        use_log = bool(rng.integers(0, 2))
+        use_ckpt = bool(rng.integers(0, 2))
+        every = int(rng.integers(1, 8))
+        use_sched = bool(rng.integers(0, 2))
+        use_eval = bool(rng.integers(0, 2))
+        sched = ([float(s) for s in rng.uniform(0.1, 1.0, epochs)]
+                 if use_sched else None)
+
+        m1 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+        t1 = SVItrainer(m1, seed=9)
+        l1 = init_dataloader(x, batch_size=16, seed=3)
+        tl1 = init_dataloader(xt, batch_size=16, seed=5) if use_eval else None
+        for e in range(epochs):
+            t1.step(l1, tl1, scale_factor=sched[e] if sched else 1.0)
+
+        tkw = {}
+        if use_log:
+            tkw["log_file"] = str(tmp_path / f"f{trial}.jsonl")
+        if use_ckpt:
+            tkw["checkpoint_path"] = str(tmp_path / f"f{trial}.msgpack")
+            tkw["checkpoint_every"] = every
+        m2 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+        t2 = SVItrainer(m2, seed=9, **tkw)
+        rkw = {}
+        if sched:
+            rkw["scale_schedule"] = sched
+        if use_eval:
+            rkw["test_loader"] = init_dataloader(xt, batch_size=16, seed=5)
+        out = t2.run(init_dataloader(x, batch_size=16, seed=3), epochs, **rkw)
+
+        cfg = dict(epochs=epochs, log=use_log, ckpt=use_ckpt, every=every,
+                   sched=use_sched, eval=use_eval)
+        np.testing.assert_allclose(t1.loss_history["training_loss"], out,
+                                   rtol=1e-6, err_msg=str(cfg))
+        for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                        jax.tree_util.tree_leaves(m2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(cfg))
+        if use_ckpt and epochs >= every:
+            m3 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
+            t3 = SVItrainer(m3, checkpoint_path=tkw["checkpoint_path"])
+            assert t3.resume() == (epochs // every) * every, cfg
