@@ -397,6 +397,7 @@ class baseVAE:
                 v = trainer.loss_history["test_loss"][-1]
                 if v < best - min_delta:
                     best, best_epoch = v, trainer.current_epoch
+                trainer.best_epoch, trainer.best_metric = best_epoch, best
                 if trainer.current_epoch - best_epoch >= int(patience):
                     trainer.stopped_early = True
                     break

@@ -211,6 +211,7 @@ class ss_reg_iVAE(baseVAE):
                 v = trainer.history["test"][-1]  # val MSE: lower is better
                 if v < best - min_delta:
                     best, best_epoch = v, trainer.current_epoch
+                trainer.best_epoch, trainer.best_metric = best_epoch, best
                 if trainer.current_epoch - best_epoch >= int(patience):
                     trainer.stopped_early = True
                     break

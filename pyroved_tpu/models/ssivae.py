@@ -252,6 +252,8 @@ class ssiVAE(baseVAE):
                 v = sign * trainer.history["test"][-1]
                 if v < best - min_delta:
                     best, best_epoch = v, trainer.current_epoch
+                trainer.best_epoch = best_epoch
+                trainer.best_metric = sign * best
                 if trainer.current_epoch - best_epoch >= int(patience):
                     trainer.stopped_early = True
                     break

@@ -170,13 +170,17 @@ class SegmentedRunsMixin:
 
         def stop_now(n):
             """Fold the segment's ``n`` new metric values into the
-            best-so-far and report whether patience ran out."""
+            best-so-far and report whether patience ran out. Keeps
+            ``best_epoch`` / ``best_metric`` (raw value, un-signed)
+            current on the trainer for user inspection."""
             if patience is None:
                 return False
             for j, v in enumerate(metric_hist[-n:]):
                 if sign * v < es["best"] - min_delta:
                     es["best"] = sign * v
                     es["best_epoch"] = self.current_epoch - n + j + 1
+            self.best_epoch = es["best_epoch"]
+            self.best_metric = sign * es["best"]
             if self.current_epoch - es["best_epoch"] >= int(patience):
                 self.stopped_early = True
                 return True

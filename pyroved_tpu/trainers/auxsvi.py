@@ -69,6 +69,8 @@ class auxSVItrainer(SegmentedRunsMixin):
         self.epoch_times = []
         self.current_epoch = 0
         self.stopped_early = False
+        self.best_epoch = None   # set by patience= runs
+        self.best_metric = None
         self.running_weights: Dict[int, dict] = {}
         self._step_unsup = None
         self._step_sup = None

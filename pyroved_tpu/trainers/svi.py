@@ -88,6 +88,8 @@ class SVItrainer(SegmentedRunsMixin):
         self.epoch_times = []
         self.current_epoch = 0
         self.stopped_early = False
+        self.best_epoch = None   # set by patience= runs
+        self.best_metric = None
         self._train_epoch_jit = None
         self._eval_epoch_jit = None
         self._run_epochs_eval_jit = None

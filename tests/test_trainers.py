@@ -756,3 +756,24 @@ def test_segment_machinery_config_fuzz(tmp_path):
             m3 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
             t3 = SVItrainer(m3, checkpoint_path=tkw["checkpoint_path"])
             assert t3.resume() == (epochs // every) * every, cfg
+
+
+def test_early_stopping_reports_best_epoch():
+    """patience= runs expose best_epoch/best_metric (the monitored
+    held-out loss at its minimum)."""
+    x = _rand_imgs(48)
+    xt = _rand_imgs(24)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    t = SVItrainer(m, seed=9)
+    assert t.best_epoch is None
+    t.run(init_dataloader(x, batch_size=16, seed=3), 40,
+          test_loader=init_dataloader(xt, batch_size=16, seed=5),
+          patience=4, min_delta=5.0)
+    assert t.stopped_early
+    assert 1 <= t.best_epoch <= t.current_epoch
+    te = t.loss_history["test_loss"]
+    # best_metric is the value at best_epoch; with min_delta, "best" only
+    # advances on improvements > min_delta, so it sits within min_delta
+    # of the true minimum (standard early-stopping semantics)
+    assert t.best_metric == te[t.best_epoch - 1]
+    assert t.best_metric <= min(te) + 5.0 + 1e-9
