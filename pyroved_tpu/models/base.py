@@ -28,6 +28,39 @@ from ..utils.nn import as_numpy, set_deterministic_mode
 Array = jax.Array
 
 
+def _aux_fit_step_loop(trainer, loaders, epochs, verbose, kwargs):
+    """Per-epoch fallback loop shared by the semi-supervised ``fit``s
+    (verbose mode / custom trainers): ``step()`` calls with host-side
+    ``on_segment`` records and early stopping on ``history["test"]``
+    (accuracy: higher is better; val MSE: lower is better)."""
+    patience = kwargs.pop("patience", None)
+    min_delta = float(kwargs.pop("min_delta", 0.0))
+    on_segment = kwargs.pop("on_segment", None)
+    if hasattr(trainer, "stopped_early"):
+        trainer.stopped_early = False  # same reset contract as run()
+    sign = -1.0 if getattr(trainer, "task", "") == "classification" else 1.0
+    best, best_epoch = float("inf"), trainer.current_epoch
+    for _ in range(int(epochs)):
+        trainer.step(*loaders, **kwargs)
+        if verbose:
+            trainer.print_statistics()
+        if on_segment is not None:
+            on_segment([{"epoch": trainer.current_epoch,
+                         "training_loss":
+                             trainer.history["training_loss"][-1],
+                         "test": trainer.history["test"][-1]}])
+        if patience is not None:
+            v = sign * trainer.history["test"][-1]
+            if v < best - min_delta:
+                best, best_epoch = v, trainer.current_epoch
+            trainer.best_epoch = best_epoch
+            trainer.best_metric = sign * best
+            if trainer.current_epoch - best_epoch >= int(patience):
+                trainer.stopped_early = True
+                break
+    return trainer
+
+
 class baseVAE:
     """Common machinery for (invariant) variational encoder-decoder models."""
 

@@ -231,33 +231,8 @@ class ssiVAE(baseVAE):
             trainer.run(loaders[0], loaders[1], int(epochs),
                         loader_val=loaders[2], **kwargs)
             return trainer
-        # per-epoch loop (verbose / custom trainer): host-side early stop
-        patience = kwargs.pop("patience", None)
-        min_delta = float(kwargs.pop("min_delta", 0.0))
-        on_segment = kwargs.pop("on_segment", None)
-        if hasattr(trainer, "stopped_early"):
-            trainer.stopped_early = False  # same reset contract as run()
-        sign = -1.0 if getattr(trainer, "task", "") == "classification" else 1.0
-        best, best_epoch = float("inf"), trainer.current_epoch
-        for _ in range(int(epochs)):
-            trainer.step(*loaders, **kwargs)
-            if verbose:
-                trainer.print_statistics()
-            if on_segment is not None:
-                on_segment([{"epoch": trainer.current_epoch,
-                             "training_loss":
-                                 trainer.history["training_loss"][-1],
-                             "test": trainer.history["test"][-1]}])
-            if patience is not None:
-                v = sign * trainer.history["test"][-1]
-                if v < best - min_delta:
-                    best, best_epoch = v, trainer.current_epoch
-                trainer.best_epoch = best_epoch
-                trainer.best_metric = sign * best
-                if trainer.current_epoch - best_epoch >= int(patience):
-                    trainer.stopped_early = True
-                    break
-        return trainer
+        from .base import _aux_fit_step_loop
+        return _aux_fit_step_loop(trainer, loaders, epochs, verbose, kwargs)
 
     def set_classifier(self, cls_net) -> None:
         """Injects a user-defined classifier module; parameters re-initialized

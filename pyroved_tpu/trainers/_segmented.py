@@ -102,6 +102,48 @@ class SegmentedRunsMixin:
         return PIPELINE_SEGMENT
 
     # ------------------------------------------------------------------
+    # run() routing
+    # ------------------------------------------------------------------
+    def _seg_route(self, loaders, epochs: int, kwargs):
+        """Shared ``run()`` prelude: pop + validate the segment-level
+        kwargs (``patience``/``min_delta``/``on_segment``, schedule
+        length) and route to the segmented or pipelined runner when one
+        applies. Returns ``(True, result)`` when the run was handled
+        here, ``(False, None)`` when the caller should continue on its
+        trainer-specific monolithic/fallback paths. NOTE: mutates
+        ``kwargs`` (the popped keys must not reach sub-runs)."""
+        patience = kwargs.pop("patience", None)
+        min_delta = float(kwargs.pop("min_delta", 0.0))
+        on_segment = kwargs.pop("on_segment", None)
+        if patience is not None and not self._seg_has_metric(kwargs):
+            raise ValueError(
+                "patience= (early stopping) requires "
+                f"{self._seg_monitor_kwarg()}= to monitor")
+        self.stopped_early = False
+        schedule = kwargs.get("scale_schedule")
+        if schedule is not None and len(schedule) != int(epochs):
+            raise ValueError(
+                f"scale_schedule has {len(schedule)} entries for "
+                f"{epochs} epochs")
+        if int(epochs) <= 0:
+            return True, []
+        if getattr(self, "_segmenting", False):
+            return False, None  # sub-run of a segment loop: run as-is
+        seg = self._run_segment_len()
+        if (seg is not None or patience is not None
+                or on_segment is not None):
+            return True, self._run_segmented(
+                loaders, int(epochs), seg, schedule, kwargs,
+                patience, min_delta, on_segment)
+        if (self._seg_resident(loaders, kwargs)
+                and int(epochs) > PIPELINE_SEGMENT):
+            # pipelined dispatch beats one monolithic scan even with no
+            # host work configured (see PIPELINE_SEGMENT above)
+            return True, self._run_segmented_pipelined(
+                loaders, int(epochs), schedule, kwargs)
+        return False, None
+
+    # ------------------------------------------------------------------
     # shared host work
     # ------------------------------------------------------------------
     def _copy_state(self, *state):

@@ -25,7 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.data import DataLoader
 from ..utils.nn import average_weights
-from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin
+from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin  # noqa: F401 — PIPELINE_SEGMENT re-exported for back-compat
 
 Array = jax.Array
 
@@ -474,38 +474,12 @@ class auxSVItrainer(SegmentedRunsMixin):
                 ``trainer.stopped_early`` records whether it fired.
         """
         self._ensure_built()
+        handled, result = self._seg_route((loader_unsup, loader_sup),
+                                          int(epochs), kwargs)
+        if handled:
+            return result
         loader_val = kwargs.get("loader_val")
-        patience = kwargs.pop("patience", None)
-        min_delta = float(kwargs.pop("min_delta", 0.0))
-        if patience is not None and loader_val is None:
-            raise ValueError("patience= (early stopping) requires "
-                             "loader_val= to monitor")
-        self.stopped_early = False
-        on_segment = kwargs.pop("on_segment", None)
         schedule = kwargs.get("scale_schedule")
-        if schedule is not None and len(schedule) != int(epochs):
-            raise ValueError(
-                f"scale_schedule has {len(schedule)} entries for "
-                f"{epochs} epochs")
-        if int(epochs) <= 0:
-            return []
-        seg = self._run_segment_len()
-        if ((seg is not None or patience is not None
-             or on_segment is not None)
-                and not getattr(self, "_segmenting", False)):
-            return self._run_segmented((loader_unsup, loader_sup),
-                                       int(epochs), seg, schedule, kwargs,
-                                       patience, min_delta, on_segment)
-        all_resident = all(
-            isinstance(ld, DataLoader) and ld.device_resident
-            for ld in (loader_unsup, loader_sup)
-            + (() if loader_val is None else (loader_val,)))
-        if (all_resident and int(epochs) > PIPELINE_SEGMENT
-                and not getattr(self, "_segmenting", False)):
-            # pipelined dispatch beats one monolithic scan even with no
-            # host work configured (see trainers/_segmented.py)
-            return self._run_segmented_pipelined(
-                (loader_unsup, loader_sup), int(epochs), schedule, kwargs)
         # built only on the non-segmented paths (segment sub-runs build
         # their own slice — don't prep epochs-many device scalars twice)
         aux_mult = self._seg_aux_mult(kwargs)
@@ -593,6 +567,9 @@ class auxSVItrainer(SegmentedRunsMixin):
 
     def _seg_has_metric(self, kwargs):
         return kwargs.get("loader_val") is not None
+
+    def _seg_monitor_kwarg(self):
+        return "loader_val"
 
     def _seg_monitor_sign(self):
         # classification monitors accuracy (higher is better)

@@ -34,7 +34,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.data import DataLoader
-from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin
+from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin  # noqa: F401 — PIPELINE_SEGMENT re-exported for back-compat
 
 Array = jax.Array
 
@@ -404,13 +404,6 @@ class SVItrainer(SegmentedRunsMixin):
         overshoot past the ideal stopping epoch is bounded by that cap).
         ``trainer.stopped_early`` records whether the run stopped early.
         """
-        test_loader = kwargs.get("test_loader")
-        patience = kwargs.pop("patience", None)
-        min_delta = float(kwargs.pop("min_delta", 0.0))
-        if patience is not None and test_loader is None:
-            raise ValueError("patience= (early stopping) requires "
-                             "test_loader= to monitor")
-        self.stopped_early = False
         # on_segment=fn: invoked at every fused-segment drain with a list
         # of {"epoch", "training_loss", "test_loss"?} records (one per new
         # epoch) — custom host work (metric push, progress bars, external
@@ -423,33 +416,12 @@ class SVItrainer(SegmentedRunsMixin):
         # Similarly, epoch_seconds/epoch_times measure drain-to-drain wall
         # time: exact in aggregate, approximate per epoch under pipelining
         # (the first drain absorbs compile + pipeline fill).
-        on_segment = kwargs.pop("on_segment", None)
+        handled, result = self._seg_route((train_loader,), int(epochs),
+                                          kwargs)
+        if handled:
+            return result
+        test_loader = kwargs.get("test_loader")
         schedule = kwargs.get("scale_schedule")
-        if schedule is not None and len(schedule) != int(epochs):
-            raise ValueError(
-                f"scale_schedule has {len(schedule)} entries for "
-                f"{epochs} epochs")
-        if int(epochs) <= 0:
-            return []
-        seg = self._run_segment_len()
-        if ((seg is not None or patience is not None
-             or on_segment is not None)
-                and not getattr(self, "_segmenting", False)):
-            return self._run_segmented((train_loader,), int(epochs), seg,
-                                       schedule, kwargs, patience, min_delta,
-                                       on_segment)
-        resident = (isinstance(train_loader, DataLoader)
-                    and train_loader.device_resident
-                    and (test_loader is None
-                         or (isinstance(test_loader, DataLoader)
-                             and test_loader.device_resident)))
-        if (resident and int(epochs) > PIPELINE_SEGMENT
-                and not getattr(self, "_segmenting", False)):
-            # pipelined dispatch is faster than one monolithic scan even
-            # with no host work configured (see PIPELINE_SEGMENT)
-            return self._run_segmented_pipelined((train_loader,),
-                                                 int(epochs), schedule,
-                                                 kwargs)
         # built only on the non-segmented paths (segment sub-runs build
         # their own slice — don't prep epochs-many device scalars twice)
         if schedule is not None:
@@ -518,6 +490,9 @@ class SVItrainer(SegmentedRunsMixin):
 
     def _seg_has_metric(self, kwargs):
         return kwargs.get("test_loader") is not None
+
+    def _seg_monitor_kwarg(self):
+        return "test_loader"
 
     def _seg_monitor_sign(self):
         return 1.0  # held-out loss: lower is better
