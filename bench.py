@@ -154,7 +154,30 @@ def bench_torch_baseline(data) -> float:
     return best
 
 
+def _require_live_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (exit 3) if the TPU backend never initializes.
+
+    The tunneled chip can wedge so hard that even ``jax.devices()``
+    blocks forever (observed in round 3); without this watchdog the
+    whole benchmark run hangs instead of reporting a clean error."""
+    import threading
+    done = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        log(f"FATAL: jax backend did not initialize within {timeout_s:.0f}s "
+            "(tunneled TPU unreachable?) — aborting instead of hanging")
+        os._exit(3)
+
+
 def main():
+    _require_live_backend()
     data = make_data()
     ours = bench_ours(data)
 
