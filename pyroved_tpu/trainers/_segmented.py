@@ -17,6 +17,8 @@ Hook surface a trainer must provide:
 * ``_seg_history() -> dict`` — the history dict
   (``loss_history`` / ``history``).
 * ``_seg_has_metric(kwargs) -> bool`` — was a held-out loader passed?
+* ``_seg_monitor_kwarg() -> str`` — the loader kwarg name named in the
+  ``patience=`` validation error (``"test_loader"`` / ``"loader_val"``).
 * ``_seg_monitor_sign() -> float`` — +1 if lower metric is better,
   -1 if higher is better (classification accuracy).
 * ``_seg_sub_run(loaders, n, sub_kwargs) -> list`` — blocking fused
