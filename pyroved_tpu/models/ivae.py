@@ -197,7 +197,7 @@ class iVAE(baseVAE):
                 and self.channels == 1  # one-pass kernel head is 1-channel
                 and self.sampler_d.name == "bernoulli" and self._dec_sig
                 and self._dec_act in ("tanh", "tanh_approx", "relu",
-                                      "lrelu", "softplus"))
+                                      "lrelu", "softplus", "gelu"))
         if not fast:
             return jnp.sum(self.loss_fn(params, rng, batch, beta) * weights)
         from ..ops.spatial_decoder import apply_fused_recon_loss

@@ -152,8 +152,9 @@ class jiVAE(baseVAE):
         times. Numerically equivalent per branch (same inputs; op order
         may differ at f32 last-ulp level). Falls back to the module apply for injected custom
         decoders, for activations the shared-head helpers don't cover
-        (ops.spatial_decoder._act implements tanh/relu/lrelu/softplus —
-        gelu must run the true module), AND for hidden widths
+        (ops.spatial_decoder._act implements the full reference menu —
+        tanh/relu/lrelu/softplus/gelu — so only injected custom activations
+        fall back), AND for hidden widths
         that ``_padded_sdecoder_weights`` would zero-pad: the shared
         coordinate head saves only ~2% (measured), so any padded MACs in
         the [K, B, N, Hmax] matmuls immediately outweigh it — unpadded
@@ -161,7 +162,7 @@ class jiVAE(baseVAE):
         from ..ops.spatial_decoder import sdecoder_needs_padding
         if (not isinstance(self.decoder_net, sDecoderNet)
                 or self._dec_act not in ("tanh", "tanh_approx", "relu",
-                                         "lrelu", "softplus")
+                                         "lrelu", "softplus", "gelu")
                 or sdecoder_needs_padding(params["decoder"])):
             coords_k = jnp.broadcast_to(coords, (zc_k.shape[0],) + coords.shape)
             return self.decoder_net.apply({"params": params["decoder"]},

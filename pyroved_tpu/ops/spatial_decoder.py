@@ -166,7 +166,8 @@ def _tuning() -> KernelTuning:
     )
 
 
-def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
+def _select_tiles(B: int, N: int, H: int, n_layers: int,
+                  act: str = "tanh") -> Tuple[int, int]:
     """Choose (B_T, n_t): B_T a multiple of 8 (f32 sublane), n_t a multiple
     of 128 (lanes), minimizing modeled cost within the VMEM row budget.
 
@@ -174,7 +175,9 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
     (us per 1k padded elements: 3.54 @ 1024 rows, 3.16 @ 2048, 2.87 @ 3072,
     2.51 @ 5120): ``padded_elements * (rows + 512) / rows`` — padding is
     wasted MACs, small tiles pay per-tile overhead. Ties prefer more rows,
-    then wider pixel tiles (longer contiguous DMAs)."""
+    then wider pixel tiles (longer contiguous DMAs). Pre-grad activations
+    (gelu) charge one extra [rows, Hp] buffer per layer for the captured
+    act'(pre) stack."""
     if (B_T is None) != (N_T is None):
         raise ValueError("set BOTH B_T and N_T to override tile selection "
                          "(or neither for the automatic choice)")
@@ -182,7 +185,10 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int) -> Tuple[int, int]:
         return B_T, max(128, (N_T * 128) // int(H))
     t = _tuning()
     Hp = _round_up(int(H), 128)
-    rows_max = max(1024, t.vmem_budget // ((int(n_layers) + 4) * Hp * 4))
+    n_bufs = int(n_layers) + 4
+    if act in _PRE_GRAD_ACTS:
+        n_bufs += int(n_layers)
+    rows_max = max(1024, t.vmem_budget // (n_bufs * Hp * 4))
     ovh = t.tile_overhead_rows
     cands = []
     for n_t in range(128, 1025, 128):
@@ -263,13 +269,34 @@ def _pade_tanh(x):
 # Hidden-layer activations supported by the kernel. The coord fusion layer
 # (h0) follows the tanh flavor (exact or Pade), matching the reference's
 # hardcoded coord_latent activation (nets/fc.py:219); only the MLP layers
-# follow `activation`. Every supported derivative is computable from the
-# POST-activation value, which is what the rematerializing backward keeps:
-# tanh' = 1-h^2; relu/lrelu preserve sign so the slope is selectable from h;
-# softplus' = sigmoid(pre) = 1-exp(-h) (h = softplus(pre) >= 0 is stable).
+# follow `activation`. For tanh/relu/lrelu/softplus the derivative is
+# computable from the POST-activation value, which is what the
+# rematerializing backward keeps: tanh' = 1-h^2; relu/lrelu preserve sign so
+# the slope is selectable from h; softplus' = sigmoid(pre) = 1-exp(-h)
+# (h = softplus(pre) >= 0 is stable). gelu is NOT invertible, so for it the
+# backward's recompute loop captures act'(pre) while the pre-activation is
+# live (one extra [rows, H] buffer per layer, charged by _select_tiles).
 # (For 'tanh_approx' the exact-(1-h^2) form applied to the Pade output is
 # itself an approximation, accurate to the same 2e-4.)
-def _act(name, x):
+
+_SQRT_HALF = 0.7071067811865476     # 1/sqrt(2)
+_INV_SQRT_2PI = 0.3989422804014327  # 1/sqrt(2*pi)
+
+
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs error 1.5e-7 — below f32
+    output ulp). Mosaic has no erf lowering rule (only erf_inv), so the
+    kernel-side gelu evaluates this exp+rational form on the VPU instead of
+    ``jax.lax.erf``."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.sign(x) * y
+
+
+def _act(name, x, in_kernel=False):
     if name == "tanh":
         return jnp.tanh(x)
     if name == "tanh_approx":
@@ -278,6 +305,11 @@ def _act(name, x):
         return jnp.where(x >= 0.0, x, 0.01 * x)
     if name == "softplus":
         return jax.nn.softplus(x)
+    if name == "gelu":
+        # exact (erf) flavor, matching torch nn.GELU / utils.nn registry;
+        # inside Pallas the polynomial stands in for the missing erf rule
+        erf = _erf_poly if in_kernel else jax.lax.erf
+        return 0.5 * x * (1.0 + erf(x * jnp.asarray(_SQRT_HALF, x.dtype)))
     return jnp.maximum(x, 0.0)
 
 
@@ -296,6 +328,21 @@ def _act_grad_from_post(name, h):
     if name == "softplus":
         return 1.0 - jnp.exp(-h)
     return (h > 0.0).astype(h.dtype)
+
+
+# Activations whose derivative needs the PRE-activation (captured by the
+# backward's recompute loop at an extra [rows, H] buffer per layer).
+_PRE_GRAD_ACTS = ("gelu",)
+
+
+def _act_grad_from_pre(name, x):
+    """d act / d pre, evaluated while the pre-activation is live (kernel
+    context — gelu's erf goes through :func:`_erf_poly`)."""
+    assert name == "gelu", name
+    # gelu'(x) = Phi(x) + x * phi(x)
+    cdf = 0.5 * (1.0 + _erf_poly(x * jnp.asarray(_SQRT_HALF, x.dtype)))
+    pdf = jnp.asarray(_INV_SQRT_2PI, x.dtype) * jnp.exp(-0.5 * x * x)
+    return cdf + x * pdf
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +390,8 @@ def _fwd_kernel(n_layers, coord_dim, act, sigmoid_out, channels,
     bt, nt, H = h.shape
     h = h.reshape(bt * nt, H)
     for l in range(n_layers):
-        h = _act(act, (_mxu_dot(h, hw_ref[l]) + hb_ref[l]).astype(ACT_DTYPE))
+        h = _act(act, (_mxu_dot(h, hw_ref[l]) + hb_ref[l]).astype(ACT_DTYPE),
+                 in_kernel=True)
     # output head as VPU lane-reduces, one per channel, static-unrolled
     # (wout passed transposed, [C, H]); a (BN, H) @ (H, C) matmul would
     # waste the MXU and trip Mosaic's lane<->sublane reshape restrictions
@@ -493,9 +541,12 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, channels,
     h0 = _h0_act(act, pre0.astype(ACT_DTYPE))
     bt, nt, H = h0.shape
     hs = [h0.reshape(bt * nt, H)]
+    gs = []  # per-layer act'(pre), kept only for pre-grad activations (gelu)
     for l in range(n_layers):
-        hs.append(_act(act, (_mxu_dot(hs[-1], hw_ref[l])
-                             + hb_ref[l]).astype(ACT_DTYPE)))
+        pre = (_mxu_dot(hs[-1], hw_ref[l]) + hb_ref[l]).astype(ACT_DTYPE)
+        hs.append(_act(act, pre, in_kernel=True))
+        if act in _PRE_GRAD_ACTS:
+            gs.append(_act_grad_from_pre(act, pre))
     hf = hs[-1].reshape(bt, nt, H).astype(jnp.float32)
 
     # ---- backprop. Mosaic restriction notes: no lane<->sublane reshapes,
@@ -530,7 +581,8 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, channels,
         contrib = dl_bn * wout_ref[ci:ci + 1, :]
         dh = contrib if dh is None else dh + contrib
     for l in range(n_layers - 1, -1, -1):
-        d_pre = dh * _act_grad_from_post(act, hs[l + 1]).astype(jnp.float32)
+        ag = gs[l] if act in _PRE_GRAD_ACTS else _act_grad_from_post(act, hs[l + 1])
+        d_pre = dh * ag.astype(jnp.float32)
         dhw_ref[l] += _mxu_dot(hs[l].T, d_pre)
         dhb_ref[l] += jnp.sum(d_pre, axis=0)
         dh = _mxu_dot(d_pre, hw_ref[l].T)
@@ -582,7 +634,7 @@ def _bwd(act, sigmoid_out, res, g):
     L = z.shape[1]
     C = wout.shape[1]
     n_layers = hw.shape[0]
-    b_t, n_t = _select_tiles(B, N, H, n_layers)
+    b_t, n_t = _select_tiles(B, N, H, n_layers, act)
     Bp, Np = _round_up(B, b_t), _round_up(N, n_t)
 
     grid_p = _pad_rows(grid, Np)
@@ -952,16 +1004,18 @@ def _fusion_work_ok(hidden) -> bool:
 def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
                              coord: int, channels: int = 1) -> bool:
     """True when an sDecoderNet config maps onto the fused kernel: hidden
-    layers in any activation whose derivative is recoverable from the
-    post-activation value (tanh/relu/lrelu/softplus — the reference's
-    activation menu except gelu, ``utils/nn.py:121-123``), an active
-    coordinate transform, hidden widths whose pad-to-max overhead is
-    acceptable (equal 128-aligned widths run unpadded), and a small channel
-    count (the head is static-unrolled VPU lane-reduces, one per channel)."""
+    layers in any reference activation (``utils/nn.py:121-123`` — the
+    tanh/relu/lrelu/softplus derivatives are recovered from the
+    post-activation values the rematerializing backward keeps; gelu's is
+    captured from the live pre-activation at one extra VMEM buffer per
+    layer), an active coordinate transform, hidden widths whose pad-to-max
+    overhead is acceptable (equal 128-aligned widths run unpadded), and a
+    small channel count (the head is static-unrolled VPU lane-reduces, one
+    per channel)."""
     hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
     del sigmoid_out  # both heads supported
     return (0 < coord < 5
-            and activation in ("tanh", "relu", "lrelu", "softplus")
+            and activation in ("tanh", "relu", "lrelu", "softplus", "gelu")
             and 1 <= int(channels) <= 4
             and _fusion_work_ok(hidden)
             and jax.devices()[0].platform == "tpu"
@@ -985,8 +1039,8 @@ def _padded_sdecoder_weights(dec_params):
     pytree, zero-padding every hidden width to a common lane-aligned Hmax.
 
     Padding is exact, not approximate: padded lanes see zero weights in and
-    zero bias, so they carry ``act(0) = 0`` (tanh/relu/lrelu) through every
-    layer and contribute nothing to real lanes or to the output head, and
+    zero bias, so they carry ``act(0) = 0`` (tanh/relu/lrelu/gelu) through
+    every layer and contribute nothing to real lanes or to the output head, and
     their parameter gradients are identically zero. For softplus the padded
     lanes carry ``softplus(0) = log 2`` instead — still exact, because every
     weight OUT of a padded lane is zero (no contribution to real lanes or to
@@ -1052,7 +1106,7 @@ def _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout,
     H = Wc.shape[1]
     L = z.shape[1]
     n_layers = hw.shape[0]
-    b_t, n_t = _select_tiles(B, N, H, n_layers)
+    b_t, n_t = _select_tiles(B, N, H, n_layers, act)
     Bp, Np = _round_up(B, b_t), _round_up(N, n_t)
 
     grid_p = _pad_rows(grid, Np)

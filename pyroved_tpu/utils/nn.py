@@ -19,7 +19,10 @@ _ACTIVATIONS: Dict[str, Callable[[Array], Array]] = {
     "lrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
     "tanh": jnp.tanh,
     "softplus": jax.nn.softplus,
-    "gelu": jax.nn.gelu,
+    # exact (erf) flavor: torch nn.GELU's default, which is what the
+    # reference registry wires in (reference utils/nn.py:123). jax.nn.gelu
+    # defaults to the tanh approximation (~1e-3 off torch) — override it.
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
 }
 
 

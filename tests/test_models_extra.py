@@ -371,9 +371,9 @@ def test_jivae_trace_no_invariances():
 
 def test_jivae_shared_enum_decode_matches_module_all_activations():
     """The shared-coords enumerated decode must agree with the true
-    decoder module for EVERY supported activation — unsupported ones
-    (lrelu/softplus/gelu) must fall back to the module apply instead of
-    silently substituting relu (round-3 review finding)."""
+    decoder module for EVERY reference activation (all five now ride the
+    shared-head path; the fallback guard remains for injected custom
+    activations — round-3 review finding)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -201,11 +201,12 @@ def test_multichannel_fused_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
 
 
-@pytest.mark.parametrize("act", ["lrelu", "softplus"])
+@pytest.mark.parametrize("act", ["lrelu", "softplus", "gelu"])
 def test_nondefault_activation_fused_matches_xla(act, monkeypatch):
-    """lrelu/softplus decoder stacks (reference ``utils/nn.py:121-123``
-    activation menu) now pass the fusion gate; the kernel's loss must match
-    the XLA module path exactly (f32 interpret mode)."""
+    """lrelu/softplus/gelu decoder stacks (the full reference
+    ``utils/nn.py:121-123`` activation menu) pass the fusion gate; the
+    kernel's loss must match the XLA module path exactly (f32 interpret
+    mode; gelu's in-kernel polynomial erf is within 1.5e-7 of exact)."""
     import types
 
     import pyroved_tpu.ops.spatial_decoder as sd

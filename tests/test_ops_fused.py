@@ -143,8 +143,9 @@ def test_supports_fusion_gate():
         assert sd.sdecoder_supports_fusion((128, 128), "relu", True, 1)
         assert sd.sdecoder_supports_fusion((128, 128), "lrelu", True, 1)
         assert sd.sdecoder_supports_fusion((128, 128), "softplus", True, 1)
+        assert sd.sdecoder_supports_fusion((128, 128), "gelu", True, 1)
         assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 0)  # no coord
-        assert not sd.sdecoder_supports_fusion((128, 128), "gelu", True, 1)  # unsupported act
+        assert not sd.sdecoder_supports_fusion((128, 128), "swish", True, 1)  # unknown act
         assert not sd.sdecoder_supports_fusion((128, 512), "tanh", True, 1)  # heavy padding
         assert sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1, channels=3)
         assert not sd.sdecoder_supports_fusion((128, 128), "tanh", True, 1, channels=5)
@@ -164,7 +165,8 @@ def test_wide_hidden_dim_tiles():
 @pytest.mark.parametrize("act,sig", [("relu", True), ("tanh", False),
                                      ("relu", False), ("lrelu", True),
                                      ("lrelu", False), ("softplus", True),
-                                     ("softplus", False)])
+                                     ("softplus", False), ("gelu", True),
+                                     ("gelu", False)])
 def test_activation_variants_match_reference(act, sig):
     args = _make(2, B=4, N=256, seed=5)
     grid, rest = args[0], args[1:]
@@ -172,7 +174,8 @@ def test_activation_variants_match_reference(act, sig):
     # functions utils.nn.get_activation wires into the real modules
     acts = {"tanh": jnp.tanh, "relu": jax.nn.relu,
             "lrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
-            "softplus": jax.nn.softplus}
+            "softplus": jax.nn.softplus,
+            "gelu": lambda x: jax.nn.gelu(x, approximate=False)}
 
     def ref_fn(rest):
         (phi, dx, sc, z, Wc, bc, Wz, hw, hb, wout, bout) = rest
@@ -442,7 +445,7 @@ def test_forward_routing_by_size(monkeypatch):
 def test_xla_forward_act_variants():
     """The generalized XLA forward matches the kernel for every supported
     activation/head combination."""
-    for act in ("tanh", "relu", "tanh_approx", "lrelu", "softplus"):
+    for act in ("tanh", "relu", "tanh_approx", "lrelu", "softplus", "gelu"):
         for sig in (True, False):
             args = _make(2, B=3, N=192, seed=31)
             out_k = sd.fused_spatial_decoder(*args, act, sig)  # pallas (fixture)
@@ -475,6 +478,10 @@ def test_fusion_work_gate():
                                         # not on act(0) = 0 (see
                                         # _padded_sdecoder_weights docstring)
                                         ((100, 60), "softplus"),
+                                        # gelu(0) = 0 on padded lanes, like
+                                        # tanh/relu; exercises the pre-grad
+                                        # stack under padding too
+                                        ((100, 60), "gelu"),
                                         ((130,), "lrelu")])
 def test_padded_fusion_matches_module(hidden, act):
     """Unequal / non-lane-aligned hidden widths run through the kernel by
@@ -547,7 +554,7 @@ def test_kernel_fuzz_random_configs():
         widths = tuple(int(rng.integers(16, 200)) for _ in range(nl))
         if not sd._fusion_work_ok(widths):
             continue
-        act = ["tanh", "relu"][int(rng.integers(0, 2))]
+        act = ["tanh", "relu", "gelu"][int(rng.integers(0, 3))]
         sig = bool(rng.integers(0, 2))
         C = int(rng.integers(1, 5))
         net = sDecoderNet((8, 8), hidden_dim=widths, activation=act,
@@ -729,3 +736,63 @@ def test_calibrate_crossover_raise_restores_prior_tuning(monkeypatch):
     with pytest.raises(RuntimeError, match="probe exploded"):
         sd.calibrate(verbose=False)
     assert sd.DEVICE_TUNINGS["TPU fake-prior2"] is sentinel
+
+
+def test_erf_poly_accuracy():
+    """In-kernel polynomial erf (A&S 7.1.26, Mosaic has no erf rule):
+    1.5e-7 analytic bound plus f32 evaluation rounding (the ``1 - poly*exp``
+    cancellation near 0 costs a few ulps of 1) stays under 1e-6 abs — and
+    gelu sees that error scaled by 0.5*|x|, so kernel gelu is exact at f32
+    output precision."""
+    x = jnp.linspace(-6.0, 6.0, 20001)
+    np.testing.assert_allclose(np.asarray(sd._erf_poly(x)),
+                               np.asarray(jax.lax.erf(x)), atol=1e-6)
+    # gelu grad identity check against autodiff of the exact activation
+    g_poly = sd._act_grad_from_pre("gelu", x)
+    g_ref = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x)
+    np.testing.assert_allclose(np.asarray(g_poly), np.asarray(g_ref),
+                               atol=2e-6)
+
+
+def test_gelu_one_pass_recon_loss():
+    """One-pass train kernel (loss_mode) with gelu: the pre-activation grad
+    stack captured during the recompute loop must reproduce XLA autodiff
+    through the exact-gelu module path, loss and every gradient."""
+    from pyroved_tpu.nets.fc import sDecoderNet
+    B, N = 4, 64
+    net = sDecoderNet((8, 8), hidden_dim=(128, 128), activation="gelu")
+    rng = np.random.default_rng(11)
+    grid = jnp.asarray(rng.normal(size=(N, 2)) * 0.5, jnp.float32)
+    z = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32)
+    wgt = jnp.asarray([1.0, 0.5, 1.0, 0.0])
+    coords = jnp.broadcast_to(grid, (B, N, 2))
+    params = net.init(jax.random.PRNGKey(0), coords, z)["params"]
+
+    def fused(p, zz):
+        return sd.apply_fused_recon_loss(p, grid, jnp.zeros(B),
+                                         jnp.zeros((B, 2)), jnp.ones(B), zz,
+                                         x, wgt, act="gelu")
+
+    def ref(p, zz):
+        probs = net.apply({"params": p}, coords, zz)
+        lp = x * jnp.log(probs) + (1 - x) * jnp.log1p(-probs)
+        return -jnp.sum(wgt[:, None] * lp)
+
+    np.testing.assert_allclose(float(fused(params, z)), float(ref(params, z)),
+                               rtol=1e-5)
+    gf = jax.grad(fused, argnums=(0, 1))(params, z)
+    gr = jax.grad(ref, argnums=(0, 1))(params, z)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_gelu_tile_budget_accounts_grad_stack():
+    """gelu charges n_layers extra [rows, Hp] buffers, so at equal shapes
+    its selected tile can never hold MORE rows than tanh's."""
+    for nl in (1, 2, 3):
+        bt_t, nt_t = sd._select_tiles(200, 784, 128, nl, "tanh")
+        bt_g, nt_g = sd._select_tiles(200, 784, 128, nl, "gelu")
+        assert bt_g * nt_g <= bt_t * nt_t

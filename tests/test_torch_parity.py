@@ -170,3 +170,27 @@ def test_classifier_regressor_match_torch():
         ref = out2(torch.tanh(l2(torch.tanh(l1(_t(x)))))).numpy()
     np.testing.assert_allclose(np.asarray(reg.apply(v, jnp.asarray(x))), ref,
                                atol=_ATOL)
+
+
+def test_gelu_matches_torch_exact():
+    """The registry's gelu is torch ``nn.GELU``'s exact-erf default — the
+    flavor the reference wires in (reference ``utils/nn.py:123``) — not
+    jax.nn.gelu's tanh approximation (~1e-3 off)."""
+    enc = fcEncoderNet((8, 8), latent_dim=3, activation="gelu")
+    x = np.random.default_rng(3).normal(size=(5, 64)).astype(np.float32)
+    variables = enc.init(KEY, jnp.asarray(x))
+    p = variables["params"]
+
+    l1, l2 = tnn.Linear(64, 128), tnn.Linear(128, 128)
+    mu_l, sig_l = tnn.Linear(128, 3), tnn.Linear(128, 3)
+    _copy_dense(l1, p["MLP_0"]["Dense_0"])
+    _copy_dense(l2, p["MLP_0"]["Dense_1"])
+    _copy_dense(mu_l, p["fc11"])
+    _copy_dense(sig_l, p["fc12"])
+    act = tnn.GELU()  # torch default: exact erf
+    with torch.no_grad():
+        h = act(l2(act(l1(_t(x)))))
+        mu_ref = mu_l(h).numpy()
+
+    mu, _ = enc.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=_ATOL)
