@@ -191,13 +191,13 @@ class iVAE(baseVAE):
         XLA ops, but it halves peak kernel-working-set), the reconstruction
         term and ALL its gradients come from the single-pass train-gradient
         kernel; otherwise this weights ``loss_fn``."""
+        from ..ops.spatial_decoder import KERNEL_ACTS_WITH_APPROX
         fast = (getattr(self, "one_pass_train", False)
                 and self.coord > 0 and self.num_particles == 1
                 and self._fused_for_batch(batch[0].shape[0])
                 and self.channels == 1  # one-pass kernel head is 1-channel
                 and self.sampler_d.name == "bernoulli" and self._dec_sig
-                and self._dec_act in ("tanh", "tanh_approx", "relu",
-                                      "lrelu", "softplus", "gelu"))
+                and self._dec_act in KERNEL_ACTS_WITH_APPROX)
         if not fast:
             return jnp.sum(self.loss_fn(params, rng, batch, beta) * weights)
         from ..ops.spatial_decoder import apply_fused_recon_loss

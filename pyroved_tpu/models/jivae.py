@@ -159,10 +159,10 @@ class jiVAE(baseVAE):
         coordinate head saves only ~2% (measured), so any padded MACs in
         the [K, B, N, Hmax] matmuls immediately outweigh it — unpadded
         stacks (equal, lane-aligned widths) are the only win region."""
-        from ..ops.spatial_decoder import sdecoder_needs_padding
+        from ..ops.spatial_decoder import (KERNEL_ACTS_WITH_APPROX,
+                                           sdecoder_needs_padding)
         if (not isinstance(self.decoder_net, sDecoderNet)
-                or self._dec_act not in ("tanh", "tanh_approx", "relu",
-                                         "lrelu", "softplus", "gelu")
+                or self._dec_act not in KERNEL_ACTS_WITH_APPROX
                 or sdecoder_needs_padding(params["decoder"])):
             coords_k = jnp.broadcast_to(coords, (zc_k.shape[0],) + coords.shape)
             return self.decoder_net.apply({"params": params["decoder"]},

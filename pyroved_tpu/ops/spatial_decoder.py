@@ -61,7 +61,9 @@ B_T = None
 N_T = None
 
 # Per-tile activation working set the backward may use: (n_layers + 1)
-# rematerialized hs + d_pre + dh + dl_bn buffers of [rows, Hp] f32.
+# rematerialized hs + d_pre + dh + dl_bn buffers of [rows, Hp] f32 — plus
+# n_layers captured act'(pre) buffers for pre-grad activations (gelu); see
+# _select_tiles for the authoritative accounting.
 # Calibrated on v5e: rows=5120 at H=128/nl=2 (15.7 MB) compiles, rows>=6144
 # does not.
 _VMEM_BUDGET = 16 * 1024 * 1024
@@ -287,13 +289,18 @@ def _erf_poly(x):
     """Abramowitz & Stegun 7.1.26 erf (max abs error 1.5e-7 — below f32
     output ulp). Mosaic has no erf lowering rule (only erf_inv), so the
     kernel-side gelu evaluates this exp+rational form on the VPU instead of
-    ``jax.lax.erf``."""
+    ``jax.lax.erf``. Evaluated in f32 regardless of input dtype: the
+    alternating-sign polynomial and the ``1 - poly*exp`` cancellation would
+    lose ~1e-2 in bf16 (ACT_DTYPE lever), and the tile budget already
+    charges 4 bytes/element."""
+    dt = x.dtype
+    x = x.astype(jnp.float32)
     a = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * a)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
                 + t * (-1.453152027 + t * 1.061405429))))
     y = 1.0 - poly * jnp.exp(-a * a)
-    return jnp.sign(x) * y
+    return (jnp.sign(x) * y).astype(dt)
 
 
 def _act(name, x, in_kernel=False):
@@ -306,10 +313,14 @@ def _act(name, x, in_kernel=False):
     if name == "softplus":
         return jax.nn.softplus(x)
     if name == "gelu":
-        # exact (erf) flavor, matching torch nn.GELU / utils.nn registry;
-        # inside Pallas the polynomial stands in for the missing erf rule
-        erf = _erf_poly if in_kernel else jax.lax.erf
-        return 0.5 * x * (1.0 + erf(x * jnp.asarray(_SQRT_HALF, x.dtype)))
+        if in_kernel:
+            # inside Pallas the polynomial stands in for the missing erf rule
+            return 0.5 * x * (1.0 + _erf_poly(x * jnp.asarray(_SQRT_HALF,
+                                                              x.dtype)))
+        # exact (erf) flavor — the registry's own function, so XLA-context
+        # callers (e.g. the shared-coords enumerated decode) match the
+        # module apply bitwise
+        return jax.nn.gelu(x, approximate=False)
     return jnp.maximum(x, 0.0)
 
 
@@ -334,6 +345,13 @@ def _act_grad_from_post(name, h):
 # backward's recompute loop at an extra [rows, H] buffer per layer).
 _PRE_GRAD_ACTS = ("gelu",)
 
+# The kernel's hidden-activation menu: the reference's full registry
+# (utils/nn.py:121-123) plus the opt-in Pade tanh. Single source of truth
+# for every fusion gate (sdecoder_supports_fusion and the model-level
+# fast-path gates import it) — do NOT duplicate this tuple.
+KERNEL_ACTS = ("tanh", "relu", "lrelu", "softplus", "gelu")
+KERNEL_ACTS_WITH_APPROX = KERNEL_ACTS + ("tanh_approx",)
+
 
 def _act_grad_from_pre(name, x):
     """d act / d pre, evaluated while the pre-activation is live (kernel
@@ -343,6 +361,20 @@ def _act_grad_from_pre(name, x):
     cdf = 0.5 * (1.0 + _erf_poly(x * jnp.asarray(_SQRT_HALF, x.dtype)))
     pdf = jnp.asarray(_INV_SQRT_2PI, x.dtype) * jnp.exp(-0.5 * x * x)
     return cdf + x * pdf
+
+
+def _act_and_grad_from_pre(name, x):
+    """(act(x), act'(x)) sharing the expensive subexpression — the
+    backward's recompute loop calls this so gelu's erf polynomial is
+    evaluated ONCE per layer instead of once in ``_act`` and again in
+    :func:`_act_grad_from_pre` (the backward is VPU-pass-bound; don't rely
+    on downstream CSE)."""
+    assert name == "gelu", name
+    e = _erf_poly(x * jnp.asarray(_SQRT_HALF, x.dtype))
+    h = 0.5 * x * (1.0 + e)
+    cdf = 0.5 * (1.0 + e)
+    pdf = jnp.asarray(_INV_SQRT_2PI, x.dtype) * jnp.exp(-0.5 * x * x)
+    return h, cdf + x * pdf
 
 
 # ---------------------------------------------------------------------------
@@ -544,9 +576,12 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, channels,
     gs = []  # per-layer act'(pre), kept only for pre-grad activations (gelu)
     for l in range(n_layers):
         pre = (_mxu_dot(hs[-1], hw_ref[l]) + hb_ref[l]).astype(ACT_DTYPE)
-        hs.append(_act(act, pre, in_kernel=True))
         if act in _PRE_GRAD_ACTS:
-            gs.append(_act_grad_from_pre(act, pre))
+            h, g = _act_and_grad_from_pre(act, pre)
+            hs.append(h)
+            gs.append(g)
+        else:
+            hs.append(_act(act, pre, in_kernel=True))
     hf = hs[-1].reshape(bt, nt, H).astype(jnp.float32)
 
     # ---- backprop. Mosaic restriction notes: no lane<->sublane reshapes,
@@ -1015,7 +1050,7 @@ def sdecoder_supports_fusion(hidden_dim, activation: str, sigmoid_out: bool,
     hidden = tuple(hidden_dim) if hidden_dim is not None else (128, 128)
     del sigmoid_out  # both heads supported
     return (0 < coord < 5
-            and activation in ("tanh", "relu", "lrelu", "softplus", "gelu")
+            and activation in KERNEL_ACTS
             and 1 <= int(channels) <= 4
             and _fusion_work_ok(hidden)
             and jax.devices()[0].platform == "tpu"

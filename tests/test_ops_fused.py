@@ -796,3 +796,36 @@ def test_gelu_tile_budget_accounts_grad_stack():
         bt_t, nt_t = sd._select_tiles(200, 784, 128, nl, "tanh")
         bt_g, nt_g = sd._select_tiles(200, 784, 128, nl, "gelu")
         assert bt_g * nt_g <= bt_t * nt_t
+
+
+def test_erf_poly_bf16_inputs_stay_accurate():
+    """_erf_poly evaluates in f32 internally, so bf16 ACT_DTYPE inputs lose
+    only output quantization (~bf16 eps), not polynomial-cancellation
+    accuracy (review finding)."""
+    x = jnp.linspace(-4.0, 4.0, 513).astype(jnp.bfloat16)
+    out = sd._erf_poly(x)
+    assert out.dtype == jnp.bfloat16
+    ref = jax.lax.erf(x.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, np.float32)[None][0],
+                               np.asarray(ref), atol=8e-3)
+
+
+def test_act_and_grad_from_pre_matches_split_forms():
+    """The shared-erf recompute helper must be bitwise-identical to the
+    split _act/_act_grad_from_pre forms it replaces in the backward."""
+    x = jnp.linspace(-5.0, 5.0, 1001)
+    h, g = sd._act_and_grad_from_pre("gelu", x)
+    np.testing.assert_array_equal(np.asarray(h),
+                                  np.asarray(sd._act("gelu", x, in_kernel=True)))
+    np.testing.assert_array_equal(np.asarray(g),
+                                  np.asarray(sd._act_grad_from_pre("gelu", x)))
+
+
+def test_xla_context_gelu_is_registry_gelu():
+    """Outside the kernel, _act('gelu') must be the registry's exact
+    jax.nn.gelu(approximate=False) bitwise, so the shared-coords enumerated
+    decode matches the module apply."""
+    x = jnp.linspace(-5.0, 5.0, 1001)
+    np.testing.assert_array_equal(
+        np.asarray(sd._act("gelu", x)),
+        np.asarray(jax.nn.gelu(x, approximate=False)))
