@@ -11,6 +11,10 @@ from dataclasses import asdict, dataclass
 from typing import Optional, Tuple
 
 from . import models
+from .utils.nn import _ACTIVATIONS
+
+# single source of truth: the registry menu (reference utils/nn.py:116-124)
+_ACTIVATION_MENU = tuple(_ACTIVATIONS)
 
 
 def _clean(cfg, skip=("extra",)):
@@ -42,8 +46,7 @@ class iVAEConfig:
 
     def __post_init__(self):
         _validate_invariances(self.data_dim, self.invariances)
-        _validate_choice("activation", self.activation,
-                         ("relu", "lrelu", "tanh", "softplus", "gelu"))
+        _validate_choice("activation", self.activation, _ACTIVATION_MENU)
         _validate_choice("sampler_d", self.sampler_d,
                          ("bernoulli", "continuous_bernoulli", "gaussian"))
         _validate_choice("kl", self.kl, ("mc", "analytic"))
@@ -117,8 +120,7 @@ class VEDConfig:
     extra: Optional[dict] = None
 
     def __post_init__(self):
-        _validate_choice("activation", self.activation,
-                         ("relu", "lrelu", "tanh", "softplus", "gelu"))
+        _validate_choice("activation", self.activation, _ACTIVATION_MENU)
         _validate_choice("sampler_d", self.sampler_d,
                          ("bernoulli", "continuous_bernoulli", "gaussian"))
         _validate_choice("kl", self.kl, ("mc", "analytic"))
