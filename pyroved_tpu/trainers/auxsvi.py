@@ -52,6 +52,12 @@ class auxSVItrainer(SegmentedRunsMixin):
             raise ValueError("Choose between 'classification' and 'regression' tasks")
         self.task = task
         self.model = model
+        if int(kwargs.pop("grad_accum", 1) or 1) != 1:
+            raise ValueError(
+                "grad_accum is supported on SVItrainer only: the aux trainer "
+                "interleaves supervised and unsupervised objectives per step "
+                "(reference auxsvi.py:102-130), so cross-batch gradient "
+                "averaging would mix the two into one update")
         lr = kwargs.get("lr", 5e-4)
         self.optimizer = optimizer if optimizer is not None else optax.adam(lr)
         self.opt_state = self.optimizer.init(model.params)

@@ -59,6 +59,15 @@ class SVItrainer(SegmentedRunsMixin):
         lr: learning rate for the default optimizer (default 1e-3).
         mesh: optional ``jax.sharding.Mesh`` with a ``'data'`` axis for
             data-parallel training.
+        grad_accum: accumulate (average) gradients over this many
+            consecutive batches and apply ONE optimizer update
+            (``optax.MultiSteps``) — an effective batch of
+            ``grad_accum * batch_size`` examples without their activations
+            ever being resident at once. Composes with the scan epochs, the
+            fused multi-epoch ``run()``, mesh DP, and checkpointing (the
+            accumulator lives inside ``opt_state``). Accumulation carries
+            across epoch boundaries when ``num_batches`` is not a multiple
+            of ``grad_accum``.
     """
 
     def __init__(self, model, optimizer: Optional[optax.GradientTransformation] = None,
@@ -69,7 +78,12 @@ class SVItrainer(SegmentedRunsMixin):
             loss.configure(model)
         self.model = model
         lr = kwargs.get("lr", 1e-3)
-        self.optimizer = optimizer if optimizer is not None else optax.adam(lr)
+        base_opt = optimizer if optimizer is not None else optax.adam(lr)
+        self.grad_accum = int(kwargs.get("grad_accum", 1))
+        if self.grad_accum > 1:
+            base_opt = optax.MultiSteps(base_opt,
+                                        every_k_schedule=self.grad_accum)
+        self.optimizer = base_opt
         self.opt_state = self.optimizer.init(model.params)
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = kwargs.get("mesh")

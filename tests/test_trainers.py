@@ -777,3 +777,100 @@ def test_early_stopping_reports_best_epoch():
     # of the true minimum (standard early-stopping semantics)
     assert t.best_metric == te[t.best_epoch - 1]
     assert t.best_metric <= min(te) + 5.0 + 1e-9
+
+
+def test_grad_accum_matches_manual_mean_grad_step():
+    """grad_accum=k averages k consecutive microbatch gradients and applies
+    ONE base-optimizer update (optax.MultiSteps semantics), replicating the
+    trainer's per-step PRNG chain exactly."""
+    import jax.numpy as jnp
+    import optax
+
+    X = _rand_imgs(200)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    # numpy snapshot: the jitted epoch donates the live params buffers
+    p0 = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a)), m.params)
+    tr = SVItrainer(m, grad_accum=4, seed=3, lr=1e-3)
+    loader = init_dataloader(X, batch_size=50, shuffle=False)
+    tr.train(loader)  # 4 microbatches -> exactly one adam update
+
+    # manual reference: same rng chain (split once per epoch, fold_in(step))
+    rng = jax.random.PRNGKey(3)
+    _, epoch_rng = jax.random.split(rng)
+    idx, w = loader.epoch_indices(0)
+    grads = None
+    for step in range(4):
+        bidx = jnp.asarray(idx[step])
+        bw = jnp.asarray(w[step])
+        step_rng = jax.random.fold_in(epoch_rng, step)
+        g = jax.grad(lambda p: m.weighted_loss_fn(
+            p, step_rng, (jnp.asarray(X)[bidx],), bw, jnp.asarray(1.0)))(p0)
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
+    mean_g = jax.tree_util.tree_map(lambda a: a / 4.0, grads)
+    adam = optax.adam(1e-3)
+    upd, _ = adam.update(mean_g, adam.init(p0), p0)
+    p_ref = optax.apply_updates(p0, upd)
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_grad_accum_carries_across_epochs():
+    """With grad_accum > num_batches, the first epoch applies NO update
+    (params unchanged) and the accumulator carries into the next epoch."""
+    X = _rand_imgs(200)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=7)
+    p0 = jax.tree_util.tree_map(np.asarray, m.params)  # pre-donation snapshot
+    tr = SVItrainer(m, grad_accum=8, seed=3)
+    loader = init_dataloader(X, batch_size=50, shuffle=False)
+    tr.train(loader)   # 4 of 8 accumulation steps: no update yet
+    assert not _params_changed(p0, m.params)
+    tr.train(loader)   # steps 5-8 complete the window: update fires
+    assert _params_changed(p0, m.params)
+
+
+def test_grad_accum_fused_run_matches_sequential():
+    """The fused multi-epoch run() must carry the MultiSteps accumulator
+    bitwise-identically to sequential train() calls."""
+    X = _rand_imgs(150)
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=5)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=5)
+    t1 = SVItrainer(m1, grad_accum=2, seed=2)
+    t2 = SVItrainer(m2, grad_accum=2, seed=2)
+    l1 = init_dataloader(X, batch_size=50, seed=0)
+    l2 = init_dataloader(X, batch_size=50, seed=0)
+    for _ in range(3):
+        t1.train(l1)
+    t2.run(l2, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_checkpoint_roundtrip(tmp_path):
+    """MultiSteps opt_state (accumulator + counters) survives a msgpack
+    checkpoint save/restore."""
+    from pyroved_tpu.utils.checkpoint import save_checkpoint
+    X = _rand_imgs(100)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=1)
+    path = str(tmp_path / "ck.msgpack")
+    tr = SVItrainer(m, grad_accum=3, seed=2, checkpoint_path=path)
+    loader = init_dataloader(X, batch_size=25, shuffle=False)
+    tr.train(loader)
+    save_checkpoint(path, m, tr)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=9)
+    t2 = SVItrainer(m2, grad_accum=3, checkpoint_path=path)
+    t2.resume()
+    for a, b in zip(jax.tree_util.tree_leaves(tr.opt_state),
+                    jax.tree_util.tree_leaves(t2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_rejected_by_aux_trainer():
+    from pyroved_tpu.models import ssiVAE
+    from pyroved_tpu.trainers import auxSVItrainer
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3)
+    with pytest.raises(ValueError, match="SVItrainer only"):
+        auxSVItrainer(m, grad_accum=4)
