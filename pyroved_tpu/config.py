@@ -139,6 +139,11 @@ class TrainConfig:
     batch_size: int = 100
     scale_factor: float = 1.0
     seed: int = 1
+    grad_accum: int = 1  # SVItrainer only (optax.MultiSteps accumulation)
+
+    def __post_init__(self):
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
 
 
 def _validate_invariances(data_dim, invariances):

@@ -12,7 +12,7 @@ The reference is notebook-driven with no entry point (SURVEY.md section 1:
       "model_config": {"data_dim": [28, 28], "latent_dim": 2,
                         "invariances": ["r"]},
       "train": {"epochs": 100, "batch_size": 200, "lr": 1e-3,
-                 "scale_factor": 1.0, "seed": 1},
+                 "scale_factor": 1.0, "seed": 1, "grad_accum": 1},
       "data": "X.npy",                      # [N, *data_dim]
       "labels": "y.npy",                    # optional (cVAE / VED targets)
       "unsup_data": "...", "sup_data": [...], "val_data": [...],
@@ -23,8 +23,10 @@ The reference is notebook-driven with no entry point (SURVEY.md section 1:
       "export_path": "model.pvtx"           # optional serving export
     }
 
-Fully-specified epochs with no per-epoch host work run through the fused
-multi-epoch ``run()`` path automatically (one device dispatch).
+All runs dispatch through the fused multi-epoch ``run()`` path; with
+``checkpoint_path`` / ``log_file`` configured it self-splits into fused
+segments with the host work between them (live JSONL + auto-checkpoints at
+~fused speed).
 """
 import json
 import sys
@@ -52,7 +54,8 @@ def _tupled(d: dict) -> dict:
 _JOB_KEYS = {"model", "model_config", "train", "data", "labels",
              "unsup_data", "sup_data", "val_data", "checkpoint_path",
              "checkpoint_every", "log_file", "save_weights", "export_path"}
-_TRAIN_KEYS = {"lr", "epochs", "batch_size", "scale_factor", "seed"}
+_TRAIN_KEYS = {"lr", "epochs", "batch_size", "scale_factor", "seed",
+               "grad_accum"}
 
 
 def run_job(job: dict) -> dict:
@@ -76,6 +79,9 @@ def run_job(job: dict) -> dict:
 
     summary = {"model": name}
     semi = isinstance(model, (models.ssiVAE, models.ss_reg_iVAE))
+    if semi and tc.grad_accum != 1:
+        raise ValueError("grad_accum applies to SVItrainer jobs only "
+                         "(the aux trainer rejects it; see its docstring)")
     if semi:
         loaders = init_ssvae_dataloaders(
             np.load(job["unsup_data"]),
@@ -87,8 +93,9 @@ def run_job(job: dict) -> dict:
             checkpoint_path=job.get("checkpoint_path"),
             checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))
-        for _ in range(tc.epochs):
-            trainer.step(*loaders, scale_factor=tc.scale_factor)
+        # fused multi-epoch dispatch; self-segments for log/checkpoint work
+        trainer.run(loaders[0], loaders[1], tc.epochs,
+                    scale_factor=tc.scale_factor, loader_val=loaders[2])
         summary["training_loss"] = trainer.history["training_loss"][-1]
         summary["val_metric"] = trainer.history["test"][-1]
     else:
@@ -97,15 +104,12 @@ def run_job(job: dict) -> dict:
             arrays = arrays + (np.load(job["labels"]),)
         loader = init_dataloader(*arrays, batch_size=tc.batch_size)
         trainer = trainers.SVItrainer(
-            model, lr=tc.lr, seed=tc.seed,
+            model, lr=tc.lr, seed=tc.seed, grad_accum=tc.grad_accum,
             checkpoint_path=job.get("checkpoint_path"),
             checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))
-        if trainer.checkpoint_path or trainer.log_file:
-            for _ in range(tc.epochs):
-                trainer.step(loader, scale_factor=tc.scale_factor)
-        else:
-            trainer.run(loader, tc.epochs, scale_factor=tc.scale_factor)
+        # fused multi-epoch dispatch; self-segments for log/checkpoint work
+        trainer.run(loader, tc.epochs, scale_factor=tc.scale_factor)
         summary["training_loss"] = trainer.loss_history["training_loss"][-1]
 
     if job.get("checkpoint_path"):

@@ -101,3 +101,50 @@ def test_cli_final_checkpoint_always_written(tmp_path):
     m = iVAE((8, 8))
     t = SVItrainer(m, checkpoint_path=ck)
     assert t.resume() == 2
+
+
+def test_cli_grad_accum_and_fused_observability(tmp_path):
+    """grad_accum reaches the trainer through the job config, and
+    log_file/checkpoint jobs run through the segmented fused path (one
+    JSONL record per epoch, checkpoint present)."""
+    import json
+
+    import numpy as np
+
+    from pyroved_tpu.train import run_job
+
+    X = str(tmp_path / "X.npy")
+    np.save(X, np.random.default_rng(0).uniform(0, 1, (64, 8, 8)).astype(np.float32))
+    log = str(tmp_path / "log.jsonl")
+    ck = str(tmp_path / "ck.msgpack")
+    summary = run_job({
+        "model": "iVAE",
+        "model_config": {"data_dim": [8, 8], "latent_dim": 2},
+        "train": {"epochs": 4, "batch_size": 16, "grad_accum": 2},
+        "data": X, "log_file": log, "checkpoint_path": ck})
+    assert summary["epochs"] == 4
+    recs = [json.loads(l) for l in open(log)]
+    assert [r["epoch"] for r in recs] == [1, 2, 3, 4]
+    import os
+    assert os.path.exists(ck)
+
+
+def test_cli_semisup_rejects_grad_accum(tmp_path):
+    import numpy as np
+    import pytest
+
+    from pyroved_tpu.train import run_job
+
+    Xu = str(tmp_path / "Xu.npy")
+    Xs = str(tmp_path / "Xs.npy")
+    ys = str(tmp_path / "ys.npy")
+    np.save(Xu, np.random.default_rng(0).uniform(0, 1, (32, 8, 8)).astype(np.float32))
+    np.save(Xs, np.random.default_rng(1).uniform(0, 1, (16, 8, 8)).astype(np.float32))
+    np.save(ys, np.eye(3, dtype=np.float32)[np.arange(16) % 3])
+    with pytest.raises(ValueError, match="SVItrainer jobs only"):
+        run_job({"model": "ssiVAE",
+                 "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                                   "num_classes": 3},
+                 "train": {"epochs": 1, "batch_size": 8, "grad_accum": 2},
+                 "unsup_data": Xu, "sup_data": [Xs, ys],
+                 "val_data": [Xs, ys]})
