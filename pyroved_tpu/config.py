@@ -140,10 +140,14 @@ class TrainConfig:
     scale_factor: float = 1.0
     seed: int = 1
     grad_accum: int = 1  # SVItrainer only (optax.MultiSteps accumulation)
+    patience: Optional[int] = None  # early stop (requires test_data)
+    min_delta: float = 0.0
 
     def __post_init__(self):
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if self.patience is not None and self.patience < 1:
+            raise ValueError(f"patience must be >= 1, got {self.patience}")
 
 
 def _validate_invariances(data_dim, invariances):

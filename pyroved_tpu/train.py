@@ -15,6 +15,9 @@ The reference is notebook-driven with no entry point (SURVEY.md section 1:
                  "scale_factor": 1.0, "seed": 1, "grad_accum": 1},
       "data": "X.npy",                      # [N, *data_dim]
       "labels": "y.npy",                    # optional (cVAE / VED targets)
+      "test_data": "Xtest.npy",             # optional held-out set, evaluated
+                                            # every epoch inside the dispatch
+                                            # (enables "patience" early stop)
       "unsup_data": "...", "sup_data": [...], "val_data": [...],
                                             # semi-supervised alternative
       "checkpoint_path": "ckpt.npz",        # optional auto-checkpoint
@@ -52,10 +55,11 @@ def _tupled(d: dict) -> dict:
 
 
 _JOB_KEYS = {"model", "model_config", "train", "data", "labels",
-             "unsup_data", "sup_data", "val_data", "checkpoint_path",
-             "checkpoint_every", "log_file", "save_weights", "export_path"}
+             "test_data", "unsup_data", "sup_data", "val_data",
+             "checkpoint_path", "checkpoint_every", "log_file",
+             "save_weights", "export_path"}
 _TRAIN_KEYS = {"lr", "epochs", "batch_size", "scale_factor", "seed",
-               "grad_accum"}
+               "grad_accum", "patience", "min_delta"}
 
 
 def run_job(job: dict) -> dict:
@@ -108,9 +112,21 @@ def run_job(job: dict) -> dict:
             checkpoint_path=job.get("checkpoint_path"),
             checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))
+        run_kw = {"scale_factor": tc.scale_factor}
+        if job.get("test_data"):
+            run_kw["test_loader"] = init_dataloader(
+                np.load(job["test_data"]), batch_size=tc.batch_size,
+                shuffle=False)
+        if tc.patience is not None:
+            run_kw.update(patience=tc.patience, min_delta=tc.min_delta)
         # fused multi-epoch dispatch; self-segments for log/checkpoint work
-        trainer.run(loader, tc.epochs, scale_factor=tc.scale_factor)
+        trainer.run(loader, tc.epochs, **run_kw)
         summary["training_loss"] = trainer.loss_history["training_loss"][-1]
+        if job.get("test_data"):
+            summary["test_loss"] = trainer.loss_history["test_loss"][-1]
+        if tc.patience is not None:
+            summary["stopped_early"] = trainer.stopped_early
+            summary["best_epoch"] = trainer.best_epoch
 
     if job.get("checkpoint_path"):
         # always leave a FINAL checkpoint, whatever the epoch cadence

@@ -148,3 +148,26 @@ def test_cli_semisup_rejects_grad_accum(tmp_path):
                  "train": {"epochs": 1, "batch_size": 8, "grad_accum": 2},
                  "unsup_data": Xu, "sup_data": [Xs, ys],
                  "val_data": [Xs, ys]})
+
+
+def test_cli_test_data_and_early_stop(tmp_path):
+    """test_data evaluates inside the fused dispatch; patience stops a
+    plateaued run early and the summary records it."""
+    import numpy as np
+
+    from pyroved_tpu.train import run_job
+
+    rng = np.random.default_rng(0)
+    X = str(tmp_path / "X.npy")
+    Xt = str(tmp_path / "Xt.npy")
+    np.save(X, rng.uniform(0, 1, (64, 8, 8)).astype(np.float32))
+    np.save(Xt, rng.uniform(0, 1, (32, 8, 8)).astype(np.float32))
+    summary = run_job({
+        "model": "iVAE",
+        "model_config": {"data_dim": [8, 8], "latent_dim": 2},
+        "train": {"epochs": 40, "batch_size": 16, "patience": 2,
+                  "min_delta": 1000.0},  # impossible bar -> stops fast
+        "data": X, "test_data": Xt})
+    assert "test_loss" in summary
+    assert summary["stopped_early"] is True
+    assert summary["best_epoch"] is not None
