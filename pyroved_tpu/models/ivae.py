@@ -20,6 +20,7 @@ import numpy as np
 from ..infer.dists import get_sampler
 from ..infer.elbo import normal_latent_site, obs_site
 from ..nets.fc import fcDecoderNet, fcEncoderNet, sDecoderNet
+from ..ops.spatial_decoder import KERNEL_ACTS_WITH_APPROX
 from ..utils.coord import generate_latent_grid
 from .base import baseVAE
 
@@ -191,7 +192,6 @@ class iVAE(baseVAE):
         XLA ops, but it halves peak kernel-working-set), the reconstruction
         term and ALL its gradients come from the single-pass train-gradient
         kernel; otherwise this weights ``loss_fn``."""
-        from ..ops.spatial_decoder import KERNEL_ACTS_WITH_APPROX
         fast = (getattr(self, "one_pass_train", False)
                 and self.coord > 0 and self.num_particles == 1
                 and self._fused_for_batch(batch[0].shape[0])

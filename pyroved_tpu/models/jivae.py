@@ -24,6 +24,7 @@ import numpy as np
 from ..infer.dists import get_sampler
 from ..infer.elbo import normal_latent_site, obs_site
 from ..nets.fc import fcDecoderNet, jfcEncoderNet, sDecoderNet
+from ..ops.spatial_decoder import KERNEL_ACTS_WITH_APPROX
 from ..utils.coord import generate_latent_grid, generate_latent_grid_traversal
 from ..utils.nn import to_onehot
 from .base import baseVAE
@@ -159,8 +160,7 @@ class jiVAE(baseVAE):
         coordinate head saves only ~2% (measured), so any padded MACs in
         the [K, B, N, Hmax] matmuls immediately outweigh it — unpadded
         stacks (equal, lane-aligned widths) are the only win region."""
-        from ..ops.spatial_decoder import (KERNEL_ACTS_WITH_APPROX,
-                                           sdecoder_needs_padding)
+        from ..ops.spatial_decoder import sdecoder_needs_padding
         if (not isinstance(self.decoder_net, sDecoderNet)
                 or self._dec_act not in KERNEL_ACTS_WITH_APPROX
                 or sdecoder_needs_padding(params["decoder"])):

@@ -314,9 +314,13 @@ def _act(name, x, in_kernel=False):
         return jax.nn.softplus(x)
     if name == "gelu":
         if in_kernel:
-            # inside Pallas the polynomial stands in for the missing erf rule
-            return 0.5 * x * (1.0 + _erf_poly(x * jnp.asarray(_SQRT_HALF,
-                                                              x.dtype)))
+            # inside Pallas the polynomial stands in for the missing erf
+            # rule. The whole combine runs in f32 — the `1 + erf` term
+            # cancels catastrophically in bf16 on the negative tail
+            # (~200x the output-quantization error) — with ONE cast back.
+            xf = x.astype(jnp.float32)
+            h = 0.5 * xf * (1.0 + _erf_poly(xf * _SQRT_HALF))
+            return h.astype(x.dtype)
         # exact (erf) flavor — the registry's own function, so XLA-context
         # callers (e.g. the shared-coords enumerated decode) match the
         # module apply bitwise
@@ -353,28 +357,27 @@ KERNEL_ACTS = ("tanh", "relu", "lrelu", "softplus", "gelu")
 KERNEL_ACTS_WITH_APPROX = KERNEL_ACTS + ("tanh_approx",)
 
 
-def _act_grad_from_pre(name, x):
-    """d act / d pre, evaluated while the pre-activation is live (kernel
-    context — gelu's erf goes through :func:`_erf_poly`)."""
-    assert name == "gelu", name
-    # gelu'(x) = Phi(x) + x * phi(x)
-    cdf = 0.5 * (1.0 + _erf_poly(x * jnp.asarray(_SQRT_HALF, x.dtype)))
-    pdf = jnp.asarray(_INV_SQRT_2PI, x.dtype) * jnp.exp(-0.5 * x * x)
-    return cdf + x * pdf
-
-
 def _act_and_grad_from_pre(name, x):
     """(act(x), act'(x)) sharing the expensive subexpression — the
     backward's recompute loop calls this so gelu's erf polynomial is
-    evaluated ONCE per layer instead of once in ``_act`` and again in
-    :func:`_act_grad_from_pre` (the backward is VPU-pass-bound; don't rely
-    on downstream CSE)."""
+    evaluated ONCE per layer instead of twice (the backward is
+    VPU-pass-bound; don't rely on downstream CSE). gelu'(x) =
+    Phi(x) + x*phi(x). Everything runs in f32 (the `1 + erf` combine
+    cancels catastrophically in bf16) with one cast back at the end."""
     assert name == "gelu", name
-    e = _erf_poly(x * jnp.asarray(_SQRT_HALF, x.dtype))
-    h = 0.5 * x * (1.0 + e)
+    xf = x.astype(jnp.float32)
+    e = _erf_poly(xf * _SQRT_HALF)
+    h = 0.5 * xf * (1.0 + e)
     cdf = 0.5 * (1.0 + e)
-    pdf = jnp.asarray(_INV_SQRT_2PI, x.dtype) * jnp.exp(-0.5 * x * x)
-    return h, cdf + x * pdf
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * xf * xf)
+    return h.astype(x.dtype), (cdf + xf * pdf).astype(x.dtype)
+
+
+def _act_grad_from_pre(name, x):
+    """d act / d pre, evaluated while the pre-activation is live (kernel
+    context). Defined via :func:`_act_and_grad_from_pre` so the two can
+    never diverge."""
+    return _act_and_grad_from_pre(name, x)[1]
 
 
 # ---------------------------------------------------------------------------

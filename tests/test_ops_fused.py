@@ -806,8 +806,27 @@ def test_erf_poly_bf16_inputs_stay_accurate():
     out = sd._erf_poly(x)
     assert out.dtype == jnp.bfloat16
     ref = jax.lax.erf(x.astype(jnp.float32))
-    np.testing.assert_allclose(np.asarray(out, np.float32)[None][0],
+    np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref), atol=8e-3)
+
+
+def test_gelu_bf16_combine_stays_accurate():
+    """The in-kernel gelu runs its whole `0.5*x*(1+erf)` combine in f32 —
+    a bf16 `1 + erf` cancels catastrophically on the negative tail (~200x
+    output quantization; second-pass review finding). Relative error of
+    both value and grad must stay at bf16-output level even at x = -3."""
+    x = jnp.linspace(-5.0, 5.0, 513).astype(jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+    ref_h = jax.nn.gelu(xf, approximate=False)
+    ref_g = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(xf)
+    h = sd._act("gelu", x, in_kernel=True)
+    hh, g = sd._act_and_grad_from_pre("gelu", x)
+    assert h.dtype == jnp.bfloat16 and g.dtype == jnp.bfloat16
+    for got, ref in ((h, ref_h), (hh, ref_h), (g, ref_g)):
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(ref))
+        # bf16 quantization of the RESULT only: eps ~ 2^-8 relative
+        bound = np.maximum(np.abs(np.asarray(ref)) * 2 ** -7, 2e-4)
+        assert (err <= bound).all(), float(err.max())
 
 
 def test_act_and_grad_from_pre_matches_split_forms():
@@ -822,10 +841,12 @@ def test_act_and_grad_from_pre_matches_split_forms():
 
 
 def test_xla_context_gelu_is_registry_gelu():
-    """Outside the kernel, _act('gelu') must be the registry's exact
-    jax.nn.gelu(approximate=False) bitwise, so the shared-coords enumerated
-    decode matches the module apply."""
+    """Outside the kernel, _act('gelu') must match the ACTUAL registry
+    entry (utils.nn.get_activation) bitwise, so the shared-coords
+    enumerated decode matches the module apply — guarding against the
+    registry and _act drifting apart."""
+    from pyroved_tpu.utils.nn import get_activation
     x = jnp.linspace(-5.0, 5.0, 1001)
     np.testing.assert_array_equal(
         np.asarray(sd._act("gelu", x)),
-        np.asarray(jax.nn.gelu(x, approximate=False)))
+        np.asarray(get_activation("gelu")(x)))
