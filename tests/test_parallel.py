@@ -253,3 +253,25 @@ def test_pipelined_run_under_dp_mesh():
     for a, b in zip(jax.tree_util.tree_leaves(m1.params),
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_grad_accum_matches_single_device():
+    """grad_accum under a DP mesh: the MultiSteps accumulator (carried in
+    opt_state) must reproduce the single-device trajectory — including the
+    no-update epochs where only the accumulator advances."""
+    x = _imgs(64)
+    m1 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    t1 = SVItrainer(m1, seed=5, grad_accum=2)
+    l1 = [t1.train(init_dataloader(x, batch_size=16, seed=2))
+          for _ in range(2)]
+
+    mesh = data_parallel_mesh()
+    m2 = iVAE(DATA, latent_dim=2, invariances=["r"])
+    m2.params = replicate_params(m2.params, mesh)
+    t2 = SVItrainer(m2, seed=5, grad_accum=2, mesh=mesh)
+    l2 = [t2.train(init_dataloader(x, batch_size=16, seed=2))
+          for _ in range(2)]
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
