@@ -132,7 +132,22 @@ def _variant_kernel(n_layers, mode, *refs):
     dl2 = g_ref[:] * out * (1.0 - out)
     dbout_ref[0, 0] += jnp.sum(dl2)
     dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
-    dwout_ref[0:1, :] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
+    if mode == "mxu_dwout":
+        # dwout as an MXU contraction instead of the VPU mult+reduce pair:
+        # every column of dl_bn is dl2 flat, so hs[-1]^T @ dl_bn[:, 0:1]
+        # is exactly dwout^T, computed on the MXU (127/128 lanes idle but
+        # zero VPU [BN, H] passes). [H, 1] result can't be stored into the
+        # [1, H] ref without a lane<->sublane move, so for TIMING the
+        # variant keeps only a scalar dependence — the question measured
+        # is purely "is the MXU form cheaper than the two VPU passes".
+        a, b = hs[-1], dl_bn[:, 0:1]
+        if sd.BF16_MATMUL:
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        dwoutT = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dz_ref[:] += jnp.sum(dwoutT)
+    else:
+        dwout_ref[0:1, :] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
     dh = dl_bn * wout_ref[0:1, :]
 
     def mm_at_b(a, b):
@@ -312,7 +327,7 @@ def main(argv=None):
           f"nl={args.layers} (chain {CHAIN_LEN}):")
     t = {}
     for mode in ("dma_floor", "fwd_noact", "fwd_remat", "no_breduce", "full",
-                 "full_dg"):
+                 "full_dg", "mxu_dwout"):
         t[mode] = time_variant(mode, args.B, args.N, args.H,
                                n_layers=args.layers)
     print("\nattribution:")
@@ -323,6 +338,9 @@ def main(argv=None):
     print(f"  per-batch reduce loop     : {t['full'] - t['no_breduce']:8.1f} us")
     print(f"  transpose-free dot_general: {t['full_dg']:8.1f} us "
           f"({t['full'] - t['full_dg']:+.1f} vs full)")
+    print(f"  dwout on MXU              : {t['mxu_dwout']:8.1f} us "
+          f"({t['full'] - t['mxu_dwout']:+.1f} vs full; positive = the "
+          f"MXU form saves VPU time)")
     # MXU-bound reference: fwd 3 matmul-equivalents, bwd ~2x fwd
     return 0
 
