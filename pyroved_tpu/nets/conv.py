@@ -66,12 +66,24 @@ def _default_dec_filters(f):
 class UpsampleBlock(nn.Module):
     """x2 interpolation (bilinear for 2-D, nearest for 1-D/3-D, mirroring the
     reference's auto-downgrade at ``nets/conv.py:121-130``) followed by a
-    1x1 conv (reference: ``nets/conv.py:105-143``)."""
+    1x1 conv (reference: ``nets/conv.py:105-143``).
+
+    With ``conv_first=True`` (default) the 1x1 conv runs BEFORE the
+    resize. The two ops commute exactly — the conv is a per-pixel channel
+    map and the resize a per-channel linear pixel map (interpolation
+    weights sum to 1, so the bias passes through constants unchanged) —
+    but conv-first computes the conv on ``scale_factor**ndim`` fewer
+    pixels and skips one full-resolution HBM round-trip, the measured
+    bottleneck of the VED decode path (docs/PERFORMANCE.md). Same
+    parameter tree, same output: bitwise for nearest, ~1e-6 f32
+    reassociation for bilinear (equivalence pinned by tests). Set
+    ``conv_first=False`` for the literal reference op order."""
     ndim: int
     output_channels: int
     scale_factor: int = 2
     mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
+    conv_first: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -79,10 +91,13 @@ class UpsampleBlock(nn.Module):
             raise NotImplementedError("Use 'bilinear' or 'nearest' for upsampling mode")
         mode = self.mode if self.ndim == 2 else "nearest"
         method = "linear" if mode == "bilinear" else "nearest"
+        conv = _conv(self.ndim, self.output_channels, kernel_size=1,
+                     dtype=self.dtype)
+        if self.conv_first:
+            x = conv(x)
         spatial = tuple(s * self.scale_factor for s in x.shape[1:-1])
         x = jax.image.resize(x, (x.shape[0],) + spatial + (x.shape[-1],), method=method)
-        return _conv(self.ndim, self.output_channels, kernel_size=1,
-                     dtype=self.dtype)(x)
+        return x if self.conv_first else conv(x)
 
 
 class FeatureExtractor(nn.Module):

@@ -211,3 +211,40 @@ def test_ved_pool_modes_roundtrip():
         z, s = m.encode(x)
         assert z.shape == (4, 2)
         assert m.decode(np.zeros((3, 2), np.float32)).shape == (3, 64)
+
+
+def test_upsample_block_conv_first_equivalent():
+    """conv-first UpsampleBlock (default) equals the literal
+    resize-then-conv reference order with the SAME parameters: a 1x1 conv
+    commutes with a linear resize (bitwise for nearest, f32 reassociation
+    for bilinear). The conv-first form runs the conv on 4x fewer pixels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyroved_tpu.nets.conv import UpsampleBlock
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (2, (2, 7, 9, 5), "bilinear"),
+        (2, (2, 8, 8, 3), "nearest"),
+        (1, (3, 11, 4), "nearest"),
+        (3, (1, 4, 5, 6, 2), "bilinear"),  # 3-D auto-downgrades to nearest
+    ]
+    for ndim, shape, mode in cases:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        fast = UpsampleBlock(ndim, shape[-1], mode=mode)
+        ref = UpsampleBlock(ndim, shape[-1], mode=mode, conv_first=False)
+        params = fast.init(jax.random.PRNGKey(0), x)
+        out_fast = fast.apply(params, x)
+        out_ref = ref.apply(params, x)  # same tree: one Conv_0 either way
+        assert out_fast.shape == out_ref.shape
+        np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                                   atol=3e-6, err_msg=f"{ndim}D {mode}")
+        # gradients agree too (both orders are the same linear map)
+        g_fast = jax.grad(lambda p: jnp.sum(jnp.sin(fast.apply(p, x))))(params)
+        g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(ref.apply(p, x))))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
