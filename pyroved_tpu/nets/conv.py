@@ -86,13 +86,18 @@ class UpsampleBlock(nn.Module):
     conv_first: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, skip_resize: bool = False) -> Array:
         if self.mode not in ("bilinear", "nearest"):
             raise NotImplementedError("Use 'bilinear' or 'nearest' for upsampling mode")
         mode = self.mode if self.ndim == 2 else "nearest"
         method = "linear" if mode == "bilinear" else "nearest"
         conv = _conv(self.ndim, self.output_channels, kernel_size=1,
                      dtype=self.dtype)
+        if skip_resize:
+            # caller takes over the resize (to slide MORE commuting 1x1
+            # convs under it — see Upsampler); only valid conv-first
+            assert self.conv_first, "skip_resize requires conv_first"
+            return conv(x)
         if self.conv_first:
             x = conv(x)
         spatial = tuple(s * self.scale_factor for s in x.shape[1:-1])
@@ -154,6 +159,14 @@ class Upsampler(nn.Module):
     activation: str = "lrelu"
     upsampling_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
+    # conv_first=True (default) slides the commuting 1x1 convs under the
+    # final resize: the last block's conv AND the output head both run at
+    # pre-upsample resolution, and the last full-size resize moves only
+    # ``output_channels`` (usually 1) instead of the block width. Exact
+    # rewrite — same parameter tree, same output up to f32 reassociation
+    # (the caller's output nonlinearity stays AFTER the resize, where the
+    # reference applies it). False restores the literal reference order.
+    conv_first: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -161,7 +174,7 @@ class Upsampler(nn.Module):
         filters = _default_dec_filters(self.conv_filters)
         ch = None
         x = x.astype(self.dtype)
-        for block in filters:
+        for bi, block in enumerate(filters):
             for ch in block:
                 x = _conv(self.ndim, ch, dtype=self.dtype)(x)
                 if act is not None:
@@ -169,10 +182,22 @@ class Upsampler(nn.Module):
                 if self.batchnorm:
                     x = nn.BatchNorm(use_running_average=not train,
                                      dtype=self.dtype)(x)
-            x = UpsampleBlock(self.ndim, ch, mode=self.upsampling_mode,
-                              dtype=self.dtype)(x)
-        # the final output conv is the observation head: keep it f32 even
-        # under a bf16 compute dtype (its input is promoted by flax)
+            up = UpsampleBlock(self.ndim, ch, mode=self.upsampling_mode,
+                               dtype=self.dtype, conv_first=self.conv_first)
+            if self.conv_first and bi == len(filters) - 1:
+                x = up(x, skip_resize=True)
+                # the final output conv is the observation head: keep it f32
+                # even under a bf16 compute dtype; at pre-upsample
+                # resolution it commutes with the resize below
+                x = _conv(self.ndim, self.output_channels, kernel_size=1,
+                          dtype=jnp.float32)(x)
+                mode = (self.upsampling_mode if self.ndim == 2 else "nearest")
+                method = "linear" if mode == "bilinear" else "nearest"
+                spatial = tuple(s * 2 for s in x.shape[1:-1])
+                return jax.image.resize(
+                    x, (x.shape[0],) + spatial + (x.shape[-1],), method=method)
+            x = up(x)
+        # literal order (conv_first=False): head after the full-size resize
         return _conv(self.ndim, self.output_channels, kernel_size=1,
                      dtype=jnp.float32)(x)
 

@@ -248,3 +248,38 @@ def test_upsample_block_conv_first_equivalent():
                         jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_upsampler_conv_first_equivalent():
+    """Upsampler's conv-first form (last block conv AND output head slid
+    under the final resize) equals the literal reference order with the
+    same parameter tree, forward and gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyroved_tpu.nets.conv import Upsampler
+
+    rng = np.random.default_rng(1)
+    for ndim, shape, mode in [(2, (2, 4, 4, 8), "bilinear"),
+                              (2, (2, 3, 5, 8), "nearest"),
+                              (1, (3, 6, 8), "nearest")]:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        fast = Upsampler(ndim, output_channels=2, upsampling_mode=mode)
+        ref = Upsampler(ndim, output_channels=2, upsampling_mode=mode,
+                        conv_first=False)
+        params = fast.init(jax.random.PRNGKey(0), x)
+        p_ref = ref.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p_ref))  # same tree
+        out_fast = fast.apply(params, x)
+        out_ref = ref.apply(params, x)
+        assert out_fast.shape == out_ref.shape
+        np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                                   atol=5e-6, err_msg=f"{ndim}D {mode}")
+        g_fast = jax.grad(lambda p: jnp.sum(jnp.sin(fast.apply(p, x))))(params)
+        g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(ref.apply(p, x))))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
