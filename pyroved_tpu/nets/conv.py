@@ -37,6 +37,23 @@ def _conv(ndim: int, features: int, kernel_size=3, strides=1, name=None,
     )
 
 
+def _upsample(x: Array, factor: int, method: str) -> Array:
+    """x[B, *spatial, C] -> each spatial axis scaled by ``factor``.
+
+    Nearest replication runs as reshape+broadcast (``jnp.repeat``) —
+    bitwise-equal to ``jax.image.resize(method='nearest')`` for integer
+    factors but WITHOUT the gather that resize lowers to (gathers are
+    slow on TPU; verified in the compiled HLO). Linear interpolation
+    stays on ``jax.image.resize``."""
+    if method == "nearest":
+        for ax in range(1, x.ndim - 1):
+            x = jnp.repeat(x, factor, axis=ax)
+        return x
+    spatial = tuple(s * factor for s in x.shape[1:-1])
+    return jax.image.resize(x, (x.shape[0],) + spatial + (x.shape[-1],),
+                            method=method)
+
+
 def _max_pool(x: Array, ndim: int) -> Array:
     # Keep the stock reduce_window / select-and-scatter pair: two measured
     # alternatives LOSE on TPU (docs/PERFORMANCE.md kernel-experiments
@@ -100,8 +117,7 @@ class UpsampleBlock(nn.Module):
             return conv(x)
         if self.conv_first:
             x = conv(x)
-        spatial = tuple(s * self.scale_factor for s in x.shape[1:-1])
-        x = jax.image.resize(x, (x.shape[0],) + spatial + (x.shape[-1],), method=method)
+        x = _upsample(x, self.scale_factor, method)
         return x if self.conv_first else conv(x)
 
 
@@ -193,9 +209,7 @@ class Upsampler(nn.Module):
                           dtype=jnp.float32)(x)
                 mode = (self.upsampling_mode if self.ndim == 2 else "nearest")
                 method = "linear" if mode == "bilinear" else "nearest"
-                spatial = tuple(s * 2 for s in x.shape[1:-1])
-                return jax.image.resize(
-                    x, (x.shape[0],) + spatial + (x.shape[-1],), method=method)
+                return _upsample(x, 2, method)
             x = up(x)
         # literal order (conv_first=False): head after the full-size resize
         return _conv(self.ndim, self.output_channels, kernel_size=1,

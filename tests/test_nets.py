@@ -283,3 +283,32 @@ def test_upsampler_conv_first_equivalent():
                         jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_nearest_upsample_is_gather_free_and_bitwise():
+    """Nearest x2 upsampling runs as reshape+broadcast — bitwise-equal to
+    jax.image.resize(method='nearest') but without the gather resize
+    lowers to (gathers are slow on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyroved_tpu.nets.conv import _upsample
+
+    rng = np.random.default_rng(2)
+    for shape in [(2, 7, 9, 5), (3, 11, 4), (1, 4, 5, 6, 2)]:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        target = (shape[0],) + tuple(s * 2 for s in shape[1:-1]) + (shape[-1],)
+        ref = jax.image.resize(x, target, method="nearest")
+        np.testing.assert_array_equal(np.asarray(_upsample(x, 2, "nearest")),
+                                      np.asarray(ref))
+    hlo = jax.jit(lambda v: _upsample(v, 2, "nearest")).lower(
+        jnp.zeros((1, 4, 4, 2))).compile().as_text()
+    # match gather OPS ('... = gather(...'), not the '+prefer-no-gather'
+    # machine-feature string the compile options embed
+    import re
+    assert not re.search(r"\bgather\(", hlo)
+    ref_hlo = jax.jit(lambda v: jax.image.resize(
+        v, (1, 8, 8, 2), method="nearest")).lower(
+        jnp.zeros((1, 4, 4, 2))).compile().as_text()
+    assert re.search(r"\bgather\(", ref_hlo)  # the path we avoided
