@@ -127,6 +127,14 @@ def _variant_kernel(n_layers, mode, *refs):
         return
 
     # ---- full backprop (modes: full, full_dg, no_breduce) ----
+    def mm_at_b(a, b):
+        """a^T @ b without materializing the [H, BN] transpose: contract
+        the sublane (row) axis of both operands directly on the MXU."""
+        if sd.BF16_MATMUL:
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
     logit = jnp.sum(hf * wout_ref[0:1, :], axis=-1) + bout_ref[0, 0]
     out = jax.nn.sigmoid(logit)
     dl2 = g_ref[:] * out * (1.0 - out)
@@ -140,23 +148,10 @@ def _variant_kernel(n_layers, mode, *refs):
         # [1, H] ref without a lane<->sublane move, so for TIMING the
         # variant keeps only a scalar dependence — the question measured
         # is purely "is the MXU form cheaper than the two VPU passes".
-        a, b = hs[-1], dl_bn[:, 0:1]
-        if sd.BF16_MATMUL:
-            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
-        dwoutT = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        dz_ref[:] += jnp.sum(dwoutT)
+        dz_ref[:] += jnp.sum(mm_at_b(hs[-1], dl_bn[:, 0:1]))
     else:
         dwout_ref[0:1, :] += jnp.sum(hs[-1] * dl_bn, axis=0, keepdims=True)
     dh = dl_bn * wout_ref[0:1, :]
-
-    def mm_at_b(a, b):
-        """a^T @ b without materializing the [H, BN] transpose: contract
-        the sublane (row) axis of both operands directly on the MXU."""
-        if sd.BF16_MATMUL:
-            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
-        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
 
     def mm_bt(a, b):
         """a @ b^T via lane-axis contraction (A B^T MXU form)."""

@@ -37,6 +37,13 @@ def _conv(ndim: int, features: int, kernel_size=3, strides=1, name=None,
     )
 
 
+def _resize_method(ndim: int, mode: str) -> str:
+    """Reference's auto-downgrade: bilinear only exists for 2-D
+    (``/root/reference`` nets/conv.py:121-130); 1-D/3-D fall to nearest."""
+    mode = mode if ndim == 2 else "nearest"
+    return "linear" if mode == "bilinear" else "nearest"
+
+
 def _upsample(x: Array, factor: int, method: str) -> Array:
     """x[B, *spatial, C] -> each spatial axis scaled by ``factor``.
 
@@ -93,8 +100,12 @@ class UpsampleBlock(nn.Module):
     pixels and skips one full-resolution HBM round-trip, the measured
     bottleneck of the VED decode path (docs/PERFORMANCE.md). Same
     parameter tree, same output: bitwise for nearest, ~1e-6 f32
-    reassociation for bilinear (equivalence pinned by tests). Set
-    ``conv_first=False`` for the literal reference op order."""
+    reassociation for bilinear (equivalence pinned by tests). Under
+    ``dtype=bfloat16`` with bilinear the two orders differ by ~bf16 eps
+    instead — conv-first interpolates the f32 head output where the
+    literal order quantizes to bf16 before the head (conv-first is the
+    MORE accurate of the two). Set ``conv_first=False`` for the literal
+    reference op order."""
     ndim: int
     output_channels: int
     scale_factor: int = 2
@@ -106,8 +117,7 @@ class UpsampleBlock(nn.Module):
     def __call__(self, x: Array, skip_resize: bool = False) -> Array:
         if self.mode not in ("bilinear", "nearest"):
             raise NotImplementedError("Use 'bilinear' or 'nearest' for upsampling mode")
-        mode = self.mode if self.ndim == 2 else "nearest"
-        method = "linear" if mode == "bilinear" else "nearest"
+        method = _resize_method(self.ndim, self.mode)
         conv = _conv(self.ndim, self.output_channels, kernel_size=1,
                      dtype=self.dtype)
         if skip_resize:
@@ -207,9 +217,8 @@ class Upsampler(nn.Module):
                 # resolution it commutes with the resize below
                 x = _conv(self.ndim, self.output_channels, kernel_size=1,
                           dtype=jnp.float32)(x)
-                mode = (self.upsampling_mode if self.ndim == 2 else "nearest")
-                method = "linear" if mode == "bilinear" else "nearest"
-                return _upsample(x, 2, method)
+                return _upsample(x, up.scale_factor,
+                                 _resize_method(self.ndim, self.upsampling_mode))
             x = up(x)
         # literal order (conv_first=False): head after the full-size resize
         return _conv(self.ndim, self.output_channels, kernel_size=1,

@@ -17,7 +17,8 @@ The reference is notebook-driven with no entry point (SURVEY.md section 1:
       "labels": "y.npy",                    # optional (cVAE / VED targets)
       "test_data": "Xtest.npy",             # optional held-out set, evaluated
                                             # every epoch inside the dispatch
-                                            # (enables "patience" early stop)
+                                            # (enables "patience" early stop);
+                                            # labeled jobs add "test_labels"
       "unsup_data": "...", "sup_data": [...], "val_data": [...],
                                             # semi-supervised alternative
       "checkpoint_path": "ckpt.npz",        # optional auto-checkpoint
@@ -55,8 +56,8 @@ def _tupled(d: dict) -> dict:
 
 
 _JOB_KEYS = {"model", "model_config", "train", "data", "labels",
-             "test_data", "unsup_data", "sup_data", "val_data",
-             "checkpoint_path", "checkpoint_every", "log_file",
+             "test_data", "test_labels", "unsup_data", "sup_data",
+             "val_data", "checkpoint_path", "checkpoint_every", "log_file",
              "save_weights", "export_path"}
 _TRAIN_KEYS = {"lr", "epochs", "batch_size", "scale_factor", "seed",
                "grad_accum", "patience", "min_delta"}
@@ -86,6 +87,9 @@ def run_job(job: dict) -> dict:
     if semi and tc.grad_accum != 1:
         raise ValueError("grad_accum applies to SVItrainer jobs only "
                          "(the aux trainer rejects it; see its docstring)")
+    if semi and (job.get("test_data") or job.get("test_labels")):
+        raise ValueError("semi-supervised jobs monitor val_data (the labeled "
+                         "validation loader); test_data does not apply")
     if semi:
         loaders = init_ssvae_dataloaders(
             np.load(job["unsup_data"]),
@@ -97,11 +101,16 @@ def run_job(job: dict) -> dict:
             checkpoint_path=job.get("checkpoint_path"),
             checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))
+        run_kw = {"scale_factor": tc.scale_factor, "loader_val": loaders[2]}
+        if tc.patience is not None:  # monitors the val metric
+            run_kw.update(patience=tc.patience, min_delta=tc.min_delta)
         # fused multi-epoch dispatch; self-segments for log/checkpoint work
-        trainer.run(loaders[0], loaders[1], tc.epochs,
-                    scale_factor=tc.scale_factor, loader_val=loaders[2])
+        trainer.run(loaders[0], loaders[1], tc.epochs, **run_kw)
         summary["training_loss"] = trainer.history["training_loss"][-1]
         summary["val_metric"] = trainer.history["test"][-1]
+        if tc.patience is not None:
+            summary["stopped_early"] = trainer.stopped_early
+            summary["best_epoch"] = trainer.best_epoch
     else:
         arrays = (np.load(job["data"]),)
         if job.get("labels"):
@@ -114,10 +123,23 @@ def run_job(job: dict) -> dict:
             log_file=job.get("log_file"))
         run_kw = {"scale_factor": tc.scale_factor}
         if job.get("test_data"):
+            # the held-out tuple must mirror the train tuple: labeled jobs
+            # (VED targets / conditional y) need test_labels too, or the
+            # eval batch would be missing its second element
+            if job.get("labels") and not job.get("test_labels"):
+                raise ValueError('jobs with "labels" need "test_labels" '
+                                 'alongside "test_data"')
+            test_arrays = (np.load(job["test_data"]),)
+            if job.get("test_labels"):
+                test_arrays = test_arrays + (np.load(job["test_labels"]),)
             run_kw["test_loader"] = init_dataloader(
-                np.load(job["test_data"]), batch_size=tc.batch_size,
-                shuffle=False)
+                *test_arrays, batch_size=tc.batch_size, shuffle=False)
+        elif job.get("test_labels"):
+            raise ValueError('"test_labels" given without "test_data"')
         if tc.patience is not None:
+            if "test_loader" not in run_kw:
+                raise ValueError('"patience" needs "test_data" (the early '
+                                 "stop monitors the held-out loss)")
             run_kw.update(patience=tc.patience, min_delta=tc.min_delta)
         # fused multi-epoch dispatch; self-segments for log/checkpoint work
         trainer.run(loader, tc.epochs, **run_kw)

@@ -312,3 +312,26 @@ def test_nearest_upsample_is_gather_free_and_bitwise():
         v, (1, 8, 8, 2), method="nearest")).lower(
         jnp.zeros((1, 4, 4, 2))).compile().as_text()
     assert re.search(r"\bgather\(", ref_hlo)  # the path we avoided
+
+
+def test_upsampler_conv_first_bf16_tolerance():
+    """Under dtype=bfloat16 + bilinear, conv-first differs from the literal
+    order by ~bf16 eps (the literal order quantizes the interpolation input
+    to bf16; conv-first interpolates the f32 head output) — bounded, and
+    never worse than bf16 output quantization."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyroved_tpu.nets.conv import Upsampler
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)), jnp.float32)
+    fast = Upsampler(2, output_channels=1, dtype=jnp.bfloat16)
+    ref = Upsampler(2, output_channels=1, dtype=jnp.bfloat16,
+                    conv_first=False)
+    params = fast.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(fast.apply(params, x), np.float32)
+    b = np.asarray(ref.apply(params, x), np.float32)
+    scale = np.maximum(np.abs(b), 1e-2)
+    assert (np.abs(a - b) <= scale * 2 ** -7).all(), float(np.abs(a - b).max())

@@ -171,3 +171,50 @@ def test_cli_test_data_and_early_stop(tmp_path):
     assert "test_loss" in summary
     assert summary["stopped_early"] is True
     assert summary["best_epoch"] is not None
+
+
+def test_cli_semisup_patience_and_test_data_validation(tmp_path):
+    """Semi-supervised jobs forward patience to the aux run (monitoring the
+    val metric) and reject test_data; labeled SVI jobs require test_labels
+    with test_data."""
+    import numpy as np
+    import pytest
+
+    from pyroved_tpu.train import run_job
+
+    rng = np.random.default_rng(0)
+    Xu = str(tmp_path / "Xu.npy"); np.save(Xu, rng.uniform(0, 1, (32, 8, 8)).astype(np.float32))
+    Xs = str(tmp_path / "Xs.npy"); np.save(Xs, rng.uniform(0, 1, (16, 8, 8)).astype(np.float32))
+    ys = str(tmp_path / "ys.npy"); np.save(ys, np.eye(3, dtype=np.float32)[np.arange(16) % 3])
+    semi = {"model": "ssiVAE",
+            "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                              "num_classes": 3},
+            "unsup_data": Xu, "sup_data": [Xs, ys], "val_data": [Xs, ys]}
+    with pytest.raises(ValueError, match="val_data"):
+        run_job({**semi, "test_data": Xu,
+                 "train": {"epochs": 1, "batch_size": 8}})
+    summary = run_job({**semi, "train": {"epochs": 30, "batch_size": 8,
+                                          "patience": 2, "min_delta": 1.0}})
+    assert "stopped_early" in summary and "best_epoch" in summary
+
+    X = str(tmp_path / "X.npy"); np.save(X, rng.uniform(0, 1, (32, 8, 8)).astype(np.float32))
+    y = str(tmp_path / "y.npy"); np.save(y, rng.uniform(0, 1, (32, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="test_labels"):
+        run_job({"model": "iVAE",
+                 "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                                   "c_dim": 4},
+                 "train": {"epochs": 1, "batch_size": 8},
+                 "data": X, "labels": y, "test_data": X})
+    with pytest.raises(ValueError, match="patience"):
+        run_job({"model": "iVAE",
+                 "model_config": {"data_dim": [8, 8], "latent_dim": 2},
+                 "train": {"epochs": 1, "batch_size": 8, "patience": 2},
+                 "data": X})
+    # labeled job WITH test_labels trains and evaluates conditioned
+    summary = run_job({"model": "iVAE",
+                       "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                                         "c_dim": 4},
+                       "train": {"epochs": 2, "batch_size": 8},
+                       "data": X, "labels": y, "test_data": X,
+                       "test_labels": y})
+    assert "test_loss" in summary
