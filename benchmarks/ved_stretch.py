@@ -37,11 +37,16 @@ def make_data(seed=0):
 
 
 def run_variant(tag: str, profile: bool = False) -> float:
-    cd, pool = tag.split(":")
+    # tag grammar: dtype:pool[:literal] — the optional third element
+    # restores the literal reference upsampler order (conv after resize)
+    # for A/B-ing the conv_first rewrite on identical timing.
+    parts = tag.split(":")
+    cd, pool = parts[0], parts[1]
+    conv_first = "literal" not in parts[2:]
     cd = {"f32": "float32", "bf16": "bfloat16"}.get(cd, cd)
     x, y = make_data()
     model = pv.models.VED(IN_DIM, OUT_DIM, compute_dtype=cd, pool=pool,
-                          seed=1)
+                          seed=1, conv_first=conv_first)
     loader = pv.utils.init_dataloader(x, y, batch_size=BATCH)
     trainer = pv.trainers.SVItrainer(model)
     nb = len(loader)

@@ -265,6 +265,7 @@ class convDecoderNet(nn.Module):
     sigmoid_out: bool = True
     upsampling_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
+    conv_first: bool = True
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
@@ -275,7 +276,7 @@ class convDecoderNet(nn.Module):
         x = x.reshape((z.shape[0],) + in_spatial + (ch0,))
         x = Upsampler(len(self.output_dim), filters, self.output_channels,
                       self.batchnorm, self.activation, self.upsampling_mode,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, conv_first=self.conv_first)(x, train)
         # Upsampler's final output conv already runs f32 (the observation
         # head stays full precision under a bf16 compute dtype)
         return jax.nn.sigmoid(x) if self.sigmoid_out else x

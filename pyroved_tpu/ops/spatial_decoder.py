@@ -179,7 +179,15 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int,
     wasted MACs, small tiles pay per-tile overhead. Ties prefer more rows,
     then wider pixel tiles (longer contiguous DMAs). Pre-grad activations
     (gelu) charge one extra [rows, Hp] buffer per layer for the captured
-    act'(pre) stack."""
+    act'(pre) stack.
+
+    The kernel's FIXED VMEM footprint — resident weight stacks, their
+    gradient accumulators (2 x nl x Hp^2 f32 dominates), and Mosaic block
+    I/O / stack slack — is charged against the budget before dividing by
+    the per-row cost. Without it, a selection whose [rows, Hp] buffers
+    alone exactly fill the budget OOMs the 16 MB scoped-vmem limit on real
+    hardware (observed on v5e: gelu one-pass at the flagship shape picked
+    4096 rows = 16.00 MB modeled and compiled to 16.53 MB actual)."""
     if (B_T is None) != (N_T is None):
         raise ValueError("set BOTH B_T and N_T to override tile selection "
                          "(or neither for the automatic choice)")
@@ -190,7 +198,8 @@ def _select_tiles(B: int, N: int, H: int, n_layers: int,
     n_bufs = int(n_layers) + 4
     if act in _PRE_GRAD_ACTS:
         n_bufs += int(n_layers)
-    rows_max = max(1024, t.vmem_budget // (n_bufs * Hp * 4))
+    fixed = 4 * (2 * int(n_layers) * Hp * Hp + 16 * Hp) + 256 * 1024
+    rows_max = max(1024, (t.vmem_budget - fixed) // (n_bufs * Hp * 4))
     ovh = t.tile_overhead_rows
     cands = []
     for n_t in range(128, 1025, 128):

@@ -435,3 +435,24 @@ def test_jivae_shared_enum_decode_gates_on_padding(monkeypatch):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, err_msg=f"hidden={hidden}")
         assert bool(calls) == expect_shared, f"hidden={hidden}"
+
+
+def test_ved_conv_first_kwarg():
+    """VED(conv_first=False) restores the literal reference upsampler order
+    (1x1 convs after each resize); the default commuted form decodes the
+    same output with the same parameter tree."""
+    rng = np.random.default_rng(4)
+    z = rng.normal(size=(3, 2)).astype(np.float32)
+    models = {}
+    for cf in (True, False):
+        m = VED((16, 16), (32, 32), latent_dim=2, seed=1, conv_first=cf,
+                hidden_dim_e=((4,), (8,)), hidden_dim_d=((8,), (4,)))
+        assert m.decoder_net.conv_first is cf
+        models[cf] = m
+    assert (jax.tree_util.tree_structure(models[True].params)
+            == jax.tree_util.tree_structure(models[False].params))
+    out_fast = models[True].decode(z)
+    out_ref = models[False].decoder_net.apply(
+        {"params": models[True].params["decoder"]}, z)
+    np.testing.assert_allclose(np.asarray(out_fast).reshape(3, -1),
+                               np.asarray(out_ref).reshape(3, -1), atol=5e-6)

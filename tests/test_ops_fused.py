@@ -850,3 +850,27 @@ def test_xla_context_gelu_is_registry_gelu():
     np.testing.assert_array_equal(
         np.asarray(sd._act("gelu", x)),
         np.asarray(get_activation("gelu")(x)))
+
+
+def test_tile_budget_charges_fixed_footprint():
+    """The selected tile's modeled working set PLUS the kernel's fixed
+    footprint (weight stacks + grad accumulators + block I/O slack) must
+    fit the VMEM budget. The pre-fix selector filled the whole budget with
+    [rows, Hp] buffers alone, which OOM'd the 16 MB scoped-vmem limit on
+    real v5e for the gelu one-pass kernel (16.53 M actual vs 16.00 M
+    modeled at the flagship shape)."""
+    budget = sd._tuning().vmem_budget
+    for act in ("tanh", "relu", "lrelu", "softplus", "gelu"):
+        for nl in (1, 2, 3):
+            for H in (64, 128, 256):
+                bt, nt = sd._select_tiles(200, 784, H, nl, act)
+                Hp = ((H + 127) // 128) * 128
+                n_bufs = nl + 4 + (nl if act in sd._PRE_GRAD_ACTS else 0)
+                fixed = 4 * (2 * nl * Hp * Hp + 16 * Hp) + 256 * 1024
+                total = n_bufs * bt * nt * Hp * 4 + fixed
+                assert total <= budget, (act, nl, H, bt, nt, total)
+    # the flagship tanh selection is unchanged by the footprint charge
+    # (its measured 1659 steps/s tile) while gelu drops below 4096 rows
+    assert sd._select_tiles(200, 784, 128, 2, "tanh") == (40, 128)
+    bt, nt = sd._select_tiles(200, 784, 128, 2, "gelu")
+    assert bt * nt < 4096
