@@ -167,6 +167,13 @@ def _variant_kernel(n_layers, mode, *refs):
             dhw_ref[l] += mm_at_b(hs[l], d_pre)
             dhb_ref[l] += jnp.sum(d_pre, axis=0)
             dh = mm_bt(d_pre, hw_ref[l])
+        elif mode == "mxu_dhb":
+            # per-layer bias grads as a ones^T @ d_pre MXU contraction
+            # instead of the [BN, H] axis-0 VPU reduce
+            dhw_ref[l] += sd._mxu_dot(hs[l].T, d_pre)
+            ones = jnp.ones((d_pre.shape[0], 1), d_pre.dtype)
+            dhb_ref[l] += sd._mxu_dot_at(d_pre, ones)[:, 0]
+            dh = sd._mxu_dot(d_pre, hw_ref[l].T)
         else:
             dhw_ref[l] += sd._mxu_dot(hs[l].T, d_pre)
             dhb_ref[l] += jnp.sum(d_pre, axis=0)
@@ -322,7 +329,7 @@ def main(argv=None):
           f"nl={args.layers} (chain {CHAIN_LEN}):")
     t = {}
     for mode in ("dma_floor", "fwd_noact", "fwd_remat", "no_breduce", "full",
-                 "full_dg", "mxu_dwout"):
+                 "full_dg", "mxu_dwout", "mxu_dhb"):
         t[mode] = time_variant(mode, args.B, args.N, args.H,
                                n_layers=args.layers)
     print("\nattribution:")
@@ -336,6 +343,8 @@ def main(argv=None):
     print(f"  dwout on MXU              : {t['mxu_dwout']:8.1f} us "
           f"({t['full'] - t['mxu_dwout']:+.1f} vs full; positive = the "
           f"MXU form saves VPU time)")
+    print(f"  dhb on MXU (ones^T @ dpre): {t['mxu_dhb']:8.1f} us "
+          f"({t['full'] - t['mxu_dhb']:+.1f} vs full)")
     # MXU-bound reference: fwd 3 matmul-equivalents, bwd ~2x fwd
     return 0
 

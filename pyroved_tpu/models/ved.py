@@ -72,13 +72,14 @@ class VED(baseVAE):
         self.encoder_net = convEncoderNet(
             self.input_dim, latent_dim, hidden_dim_e, batchnorm, activation,
             softplus_out=True, dtype=dtype, pool=pool)
-        # conv_first=False restores the literal reference upsampler order
-        # (1x1 convs after each resize); True (default) is the exact
-        # commuted rewrite benchmarked in docs/PERFORMANCE.md.
+        # conv_first=True opts into the commuted upsampler rewrite (1x1
+        # convs before each resize — exact, same parameter tree). Measured
+        # speed-neutral-to-slower on v5e (docs/PERFORMANCE.md), so the
+        # literal reference order is the default.
         self.decoder_net = convDecoderNet(
             self.output_dim, latent_dim, output_channels, hidden_dim_d,
             batchnorm, activation, sigmoid_out=sigmoid_d, dtype=dtype,
-            conv_first=bool(kwargs.get("conv_first", True)))
+            conv_first=bool(kwargs.get("conv_first", False)))
         self.sampler_d = get_sampler(sampler_d, **kwargs)
 
         self._init_params()

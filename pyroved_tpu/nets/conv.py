@@ -92,26 +92,30 @@ class UpsampleBlock(nn.Module):
     reference's auto-downgrade at ``nets/conv.py:121-130``) followed by a
     1x1 conv (reference: ``nets/conv.py:105-143``).
 
-    With ``conv_first=True`` (default) the 1x1 conv runs BEFORE the
-    resize. The two ops commute exactly — the conv is a per-pixel channel
-    map and the resize a per-channel linear pixel map (interpolation
-    weights sum to 1, so the bias passes through constants unchanged) —
-    but conv-first computes the conv on ``scale_factor**ndim`` fewer
-    pixels and skips one full-resolution HBM round-trip, the measured
-    bottleneck of the VED decode path (docs/PERFORMANCE.md). Same
+    With ``conv_first=True`` the 1x1 conv runs BEFORE the resize. The two
+    ops commute exactly — the conv is a per-pixel channel map and the
+    resize a per-channel linear pixel map (interpolation weights sum to 1,
+    so the bias passes through constants unchanged) — and conv-first
+    computes the conv on ``scale_factor**ndim`` fewer pixels. Same
     parameter tree, same output: bitwise for nearest, ~1e-6 f32
     reassociation for bilinear (equivalence pinned by tests). Under
     ``dtype=bfloat16`` with bilinear the two orders differ by ~bf16 eps
     instead — conv-first interpolates the f32 head output where the
-    literal order quantizes to bf16 before the head (conv-first is the
-    MORE accurate of the two). Set ``conv_first=False`` for the literal
-    reference op order."""
+    literal order quantizes to bf16 before the head.
+
+    MEASURED NEGATIVE RESULT (v5e, 256x256 stretch config): despite the
+    4x-fewer-pixels argument, conv-first times speed-neutral to ~3-7%
+    SLOWER end-to-end than the literal order (XLA fuses the resize into
+    the adjacent elementwise chain either way, and the low-resolution
+    conv tiles the MXU worse) — so the DEFAULT is the literal reference
+    order (``conv_first=False``); the rewrite stays available as an
+    opt-in. Numbers in docs/PERFORMANCE.md."""
     ndim: int
     output_channels: int
     scale_factor: int = 2
     mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
-    conv_first: bool = True
+    conv_first: bool = False
 
     @nn.compact
     def __call__(self, x: Array, skip_resize: bool = False) -> Array:
@@ -185,14 +189,16 @@ class Upsampler(nn.Module):
     activation: str = "lrelu"
     upsampling_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
-    # conv_first=True (default) slides the commuting 1x1 convs under the
-    # final resize: the last block's conv AND the output head both run at
+    # conv_first=True slides the commuting 1x1 convs under the final
+    # resize: the last block's conv AND the output head both run at
     # pre-upsample resolution, and the last full-size resize moves only
     # ``output_channels`` (usually 1) instead of the block width. Exact
     # rewrite — same parameter tree, same output up to f32 reassociation
     # (the caller's output nonlinearity stays AFTER the resize, where the
-    # reference applies it). False restores the literal reference order.
-    conv_first: bool = True
+    # reference applies it). Measured speed-neutral-to-slower on v5e
+    # (docs/PERFORMANCE.md), so the literal reference order is the
+    # default and the rewrite is opt-in.
+    conv_first: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -265,7 +271,7 @@ class convDecoderNet(nn.Module):
     sigmoid_out: bool = True
     upsampling_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
-    conv_first: bool = True
+    conv_first: bool = False
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:

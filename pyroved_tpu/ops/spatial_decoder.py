@@ -253,6 +253,17 @@ def _mxu_dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _mxu_dot_at(a, b):
+    """``a^T @ b`` contracting the sublane (row) axis of both operands
+    directly on the MXU — no materialized transpose (Mosaic cannot
+    lane<->sublane move inside the kernel)."""
+    if BF16_MATMUL:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 # NOTE on the backward's transposed matmuls (hs.T @ d_pre, d_pre @ hw.T):
 # a transpose-free dot_general formulation (contracting sublane/lane axes
 # directly, MXU A^T B / A B^T forms) measured -4% on the isolated ablation
@@ -603,6 +614,7 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, channels,
     # Head gradients accumulate per channel (static unroll; C == 1 keeps
     # the original single-pass shapes).
     dh = None
+    dl_cols = []
     for ci in range(channels):
         logit = jnp.sum(hf * wout_ref[ci:ci + 1, :], axis=-1)  # [bt,nt]
         logit = logit + bout_ref[0, ci]
@@ -623,10 +635,16 @@ def _bwd_kernel(n_layers, coord_dim, act, sigmoid_out, loss_mode, channels,
             dl2 = g_ref[:] if channels == 1 else g_ref[ci]
         dbout_ref[0, ci] += jnp.sum(dl2)
         dl_bn = jnp.broadcast_to(dl2[..., None], (bt, nt, H)).reshape(bt * nt, H)
-        dwout_ref[ci:ci + 1, :] += jnp.sum(hs[-1].astype(jnp.float32) * dl_bn,
-                                           axis=0, keepdims=True)
+        dl_cols.append(dl_bn[:, 0:1])
         contrib = dl_bn * wout_ref[ci:ci + 1, :]
         dh = contrib if dh is None else dh + contrib
+    # Head weight grad as ONE MXU contraction: every column of dl_bn is
+    # dl2 flat, so hs[-1]^T @ [per-channel dl2 columns] is exactly dwout
+    # [H, C] — replacing the two full [BN, H] VPU passes (mult + axis-0
+    # reduce) per channel. Measured -41 us (6.9%) on the flagship
+    # backward (benchmarks/bwd_ablation.py, mxu_dwout variant).
+    dl_mat = dl_cols[0] if channels == 1 else jnp.concatenate(dl_cols, axis=1)
+    dwout_ref[:] += _mxu_dot_at(hs[-1], dl_mat)
     for l in range(n_layers - 1, -1, -1):
         ag = gs[l] if act in _PRE_GRAD_ACTS else _act_grad_from_post(act, hs[l + 1])
         d_pre = dh * ag.astype(jnp.float32)
@@ -732,7 +750,7 @@ def _bwd(act, sigmoid_out, res, g):
             pl.BlockSpec((L, H), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H, H), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, H), full, memory_space=pltpu.VMEM),  # dwout^T
+            pl.BlockSpec((H, C), full, memory_space=pltpu.VMEM),  # dwout
             pl.BlockSpec((1, C), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -745,14 +763,14 @@ def _bwd(act, sigmoid_out, res, g):
             jax.ShapeDtypeStruct((L, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H), jnp.float32),
-            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
     )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2, g_p)
-    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwoutT, dbout) = outs
+    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwout, dbout) = outs
     return (None,                      # grid
             dphi[:B, 0], ddx[:B], dsc[:B, 0], dz[:B],
-            dwc, dbc[0], dwz, dhw, dhb, dwoutT.T,
+            dwc, dbc[0], dwz, dhw, dhb, dwout,
             dbout.reshape(jnp.shape(bout)))
 
 
@@ -1198,7 +1216,7 @@ def _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout,
             pl.BlockSpec((L, H), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H, H), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((int(n_layers), H), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), full, memory_space=pltpu.VMEM),  # dwout
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # loss
         ],
@@ -1212,15 +1230,15 @@ def _train_call(grid, phi, dx, sc, z, x, wgt, Wc, bc, Wz, hw, hb, wout, bout,
             jax.ShapeDtypeStruct((L, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H, H), jnp.float32),
             jax.ShapeDtypeStruct((int(n_layers), H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
     )(grid_p, phi_p, dx_p, sc_p, z_p, Wc, bc2, Wz, hw, hb, wout.T, bout2,
       x_p, wgt_p, mask)
-    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwoutT, dbout, loss) = outs
+    (dphi, ddx, dsc, dz, dwc, dbc, dwz, dhw, dhb, dwout, dbout, loss) = outs
     grads = (dphi[:B, 0], ddx[:B], dsc[:B, 0], dz[:B],
-             dwc, dbc[0], dwz, dhw, dhb, dwoutT.T, dbout.reshape(()))
+             dwc, dbc[0], dwz, dhw, dhb, dwout, dbout.reshape(()))
     return loss.reshape(()), grads
 
 

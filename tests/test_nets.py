@@ -214,10 +214,11 @@ def test_ved_pool_modes_roundtrip():
 
 
 def test_upsample_block_conv_first_equivalent():
-    """conv-first UpsampleBlock (default) equals the literal
-    resize-then-conv reference order with the SAME parameters: a 1x1 conv
+    """The opt-in conv-first UpsampleBlock equals the literal
+    resize-then-conv default order with the SAME parameters: a 1x1 conv
     commutes with a linear resize (bitwise for nearest, f32 reassociation
-    for bilinear). The conv-first form runs the conv on 4x fewer pixels."""
+    for bilinear). Measured speed-neutral-to-slower on v5e, so literal is
+    the default (docs/PERFORMANCE.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -233,8 +234,8 @@ def test_upsample_block_conv_first_equivalent():
     ]
     for ndim, shape, mode in cases:
         x = jnp.asarray(rng.normal(size=shape), jnp.float32)
-        fast = UpsampleBlock(ndim, shape[-1], mode=mode)
-        ref = UpsampleBlock(ndim, shape[-1], mode=mode, conv_first=False)
+        fast = UpsampleBlock(ndim, shape[-1], mode=mode, conv_first=True)
+        ref = UpsampleBlock(ndim, shape[-1], mode=mode)  # literal default
         params = fast.init(jax.random.PRNGKey(0), x)
         out_fast = fast.apply(params, x)
         out_ref = ref.apply(params, x)  # same tree: one Conv_0 either way
@@ -265,9 +266,9 @@ def test_upsampler_conv_first_equivalent():
                               (2, (2, 3, 5, 8), "nearest"),
                               (1, (3, 6, 8), "nearest")]:
         x = jnp.asarray(rng.normal(size=shape), jnp.float32)
-        fast = Upsampler(ndim, output_channels=2, upsampling_mode=mode)
-        ref = Upsampler(ndim, output_channels=2, upsampling_mode=mode,
-                        conv_first=False)
+        fast = Upsampler(ndim, output_channels=2, upsampling_mode=mode,
+                         conv_first=True)
+        ref = Upsampler(ndim, output_channels=2, upsampling_mode=mode)
         params = fast.init(jax.random.PRNGKey(0), x)
         p_ref = ref.init(jax.random.PRNGKey(0), x)
         assert (jax.tree_util.tree_structure(params)
@@ -327,9 +328,9 @@ def test_upsampler_conv_first_bf16_tolerance():
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)), jnp.float32)
-    fast = Upsampler(2, output_channels=1, dtype=jnp.bfloat16)
-    ref = Upsampler(2, output_channels=1, dtype=jnp.bfloat16,
-                    conv_first=False)
+    fast = Upsampler(2, output_channels=1, dtype=jnp.bfloat16,
+                     conv_first=True)
+    ref = Upsampler(2, output_channels=1, dtype=jnp.bfloat16)
     params = fast.init(jax.random.PRNGKey(0), x)
     a = np.asarray(fast.apply(params, x), np.float32)
     b = np.asarray(ref.apply(params, x), np.float32)
