@@ -287,9 +287,13 @@ class SVItrainer(SegmentedRunsMixin):
         batches at a time and scan them on device in ONE dispatch (the
         fused-run machinery with global step offsets). Amortizes the
         per-batch dispatch latency that dominates plain streaming on
-        remote/tunneled devices — measured 42.7 -> 513 steps/s on the
-        4.4 GB-memmap flagship (benchmarks/streaming_scale.py) — while
-        holding only one chunk in device memory. Parameter trajectory
+        remote/tunneled devices while holding only one chunk in device
+        memory. Measured on the 4.4 GB-memmap flagship
+        (benchmarks/streaming_scale.py, docs/PERFORMANCE.md "Streaming at
+        scale"): 47-64 steps/s under this tunnel's H2D
+        transfer-degradation pathology — wire-time-bound like every
+        streaming variant there; the dispatch amortization pays off on a
+        healthy transport where gather + H2D run at GB/s rates. Parameter trajectory
         matches the per-batch streaming and device-resident paths to
         last-ulp f32 tolerance (same shuffle, same
         fold_in(epoch_rng, global_step) chain; separate compiled program).
