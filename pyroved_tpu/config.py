@@ -139,7 +139,7 @@ class TrainConfig:
     batch_size: int = 100
     scale_factor: float = 1.0
     seed: int = 1
-    grad_accum: int = 1  # SVItrainer only (optax.MultiSteps accumulation)
+    grad_accum: int = 1  # optax.MultiSteps accumulation (both trainers)
     patience: Optional[int] = None  # early stop (requires test_data)
     min_delta: float = 0.0
 

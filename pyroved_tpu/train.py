@@ -84,9 +84,6 @@ def run_job(job: dict) -> dict:
 
     summary = {"model": name}
     semi = isinstance(model, (models.ssiVAE, models.ss_reg_iVAE))
-    if semi and tc.grad_accum != 1:
-        raise ValueError("grad_accum applies to SVItrainer jobs only "
-                         "(the aux trainer rejects it; see its docstring)")
     if semi and (job.get("test_data") or job.get("test_labels")):
         raise ValueError("semi-supervised jobs monitor val_data (the labeled "
                          "validation loader); test_data does not apply")
@@ -97,7 +94,7 @@ def run_job(job: dict) -> dict:
             tuple(np.load(p) for p in job["val_data"]),
             batch_size=tc.batch_size)
         trainer = trainers.auxSVItrainer(
-            model, lr=tc.lr, seed=tc.seed,
+            model, lr=tc.lr, seed=tc.seed, grad_accum=tc.grad_accum,
             checkpoint_path=job.get("checkpoint_path"),
             checkpoint_every=job.get("checkpoint_every", 10),
             log_file=job.get("log_file"))

@@ -43,6 +43,14 @@ class auxSVItrainer(SegmentedRunsMixin):
             training state (params + both opt states + PRNG + epoch) every
             N epochs.
         log_file: append one JSONL record per epoch.
+        grad_accum: average the basic objective's gradients over this many
+            consecutive basic micro-steps (unlabeled steps AND the basic
+            half of labeled steps — they share one optimizer, reference
+            ``auxsvi.py:88-100``) and apply ONE update
+            (``optax.MultiSteps``). The auxiliary encoder_y Adam keeps its
+            per-labeled-step cadence. Composes with the scan epochs, the
+            fused ``run()``, mesh DP, and checkpointing (the accumulator
+            lives inside ``opt_state``).
     """
 
     def __init__(self, model, task: Optional[str] = None, optimizer=None,
@@ -52,14 +60,23 @@ class auxSVItrainer(SegmentedRunsMixin):
             raise ValueError("Choose between 'classification' and 'regression' tasks")
         self.task = task
         self.model = model
-        if int(kwargs.pop("grad_accum", 1) or 1) != 1:
-            raise ValueError(
-                "grad_accum is supported on SVItrainer only: the aux trainer "
-                "interleaves supervised and unsupervised objectives per step "
-                "(reference auxsvi.py:102-130), so cross-batch gradient "
-                "averaging would mix the two into one update")
         lr = kwargs.get("lr", 5e-4)
-        self.optimizer = optimizer if optimizer is not None else optax.adam(lr)
+        base_opt = optimizer if optimizer is not None else optax.adam(lr)
+        # grad_accum=k accumulates (averages) the BASIC objective's
+        # gradients over k consecutive basic micro-steps into ONE optimizer
+        # update (optax.MultiSteps, same machinery as SVItrainer). Unlabeled
+        # steps and the basic half of labeled steps both count toward the
+        # window: the reference steps loss_basic for BOTH batch kinds
+        # against the same optimizer (auxsvi.py:88-100), so an
+        # "unlabeled-only" window would need a second Adam state over the
+        # same parameters with interleaved application — corrupting the
+        # second-moment estimates. The auxiliary (encoder_y-only) Adam keeps
+        # its per-labeled-step cadence, unaccumulated.
+        self.grad_accum = int(kwargs.pop("grad_accum", 1) or 1)
+        if self.grad_accum > 1:
+            base_opt = optax.MultiSteps(base_opt,
+                                        every_k_schedule=self.grad_accum)
+        self.optimizer = base_opt
         self.opt_state = self.optimizer.init(model.params)
         # Separate Adam state for the aux objective's (encoder_y-only) step,
         # mirroring Pyro's per-parameter optimizers that are only advanced by

@@ -683,3 +683,176 @@ def test_aux_segmented_everything_enabled(tmp_path):
                 seed=5)
     t3 = auxSVItrainer(m3, checkpoint_path=ckpt)
     assert t3.resume() == 6
+
+
+# ---------------------------------------------------------------------------
+# grad_accum (round-4: the aux analogue of SVItrainer's MultiSteps battery)
+# ---------------------------------------------------------------------------
+
+def _accum_setup(seed=7, grad_accum=4, trainer_seed=3):
+    from pyroved_tpu.utils import init_dataloader
+    rng = np.random.default_rng(0)
+    Xu = _data(32, rng)                       # 4 unsup batches at bs=8
+    Xs = _data(16, rng)                       # 2 sup batches at bs=8
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+    m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+               seed=seed)
+    tr = auxSVItrainer(m, grad_accum=grad_accum, seed=trainer_seed)
+    lu = init_dataloader(Xu, batch_size=8, shuffle=False)
+    ls = init_dataloader(Xs, ys, batch_size=8, shuffle=False)
+    return m, tr, lu, ls, (Xu, Xs, ys)
+
+
+def test_aux_grad_accum_matches_manual_mean_grad_with_interleave():
+    """grad_accum=k averages the BASIC objective's gradients over k
+    consecutive basic micro-steps — unlabeled steps AND the basic half of
+    the interleaved labeled step — into ONE Adam update, while the aux
+    encoder_y Adam fires per labeled step unaccumulated. Replicates the
+    resident epoch's exact schedule and PRNG chain by hand.
+
+    Schedule here: nb=4 unsup, n_sup=2 -> p=3 -> one labeled step at i=1;
+    basic micro-steps: u0, u1, s1-basic, u2 (window of 4 -> update), u3
+    (carries into the next window)."""
+    import jax.numpy as jnp
+    import optax
+
+    m, tr, lu, ls, (Xu, Xs, ys) = _accum_setup()
+    p0 = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a)),
+                                m.params)
+    tr.train(lu, ls)
+
+    # --- manual replication -------------------------------------------
+    rng = jax.random.PRNGKey(3)
+    _, e = jax.random.split(rng)
+    beta = jnp.asarray(1.0, jnp.float32)
+    am = jnp.asarray(20.0, jnp.float32)
+    from pyroved_tpu.utils import init_dataloader
+    idx_u, w_u = init_dataloader(Xu, batch_size=8,
+                                 shuffle=False).epoch_indices(0)
+    idx_s, w_s = init_dataloader(Xs, ys, batch_size=8,
+                                 shuffle=False).epoch_indices(0)
+    Xuj, Xsj, ysj = map(jnp.asarray, (Xu, Xs, ys))
+
+    def basic_grad(p, r, batch, w):
+        return jax.grad(lambda q: jnp.sum(
+            m.loss_fn(q, r, batch, beta) * jnp.asarray(w)))(p)
+
+    p = p0
+    acc = [basic_grad(p, jax.random.fold_in(e, 0), (Xuj[idx_u[0]],), w_u[0]),
+           basic_grad(p, jax.random.fold_in(e, 2), (Xuj[idx_u[1]],), w_u[1]),
+           basic_grad(p, jax.random.fold_in(e, 3),
+                      (Xsj[idx_s[0]], ysj[idx_s[0]]), w_s[0])]
+    # aux update (labeled step i=1): encoder_y only, immediate
+    aux_adam = optax.adam(5e-4)
+    ga = jax.grad(lambda py: jnp.sum(m.aux_loss_fn(
+        {**p, "encoder_y": py}, jax.random.fold_in(e, 3),
+        (Xsj[idx_s[0]], ysj[idx_s[0]]), am) * jnp.asarray(w_s[0])))(
+            p["encoder_y"])
+    au, _ = aux_adam.update(ga, aux_adam.init(p0["encoder_y"]),
+                            p["encoder_y"])
+    p = dict(p)
+    p["encoder_y"] = optax.apply_updates(p["encoder_y"], au)
+    acc.append(basic_grad(p, jax.random.fold_in(e, 4),
+                          (Xuj[idx_u[2]],), w_u[2]))
+    mean_g = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / float(len(gs)), *acc)
+    adam = optax.adam(5e-4)
+    u, _ = adam.update(mean_g, adam.init(p0), p)
+    p = optax.apply_updates(p, u)
+    # u3 only accumulates: no parameter change
+
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_aux_grad_accum_window_spans_epochs_and_aux_keeps_cadence():
+    """With grad_accum > basic-steps-per-epoch (here 5: 4 unsup + 1 sup
+    basic), epoch 1 applies NO basic update — every non-encoder_y leaf is
+    bitwise unchanged — while the aux Adam still updates encoder_y at its
+    per-labeled-step cadence. Epoch 2 completes the window and the basic
+    update fires."""
+    m, tr, lu, ls, _ = _accum_setup(grad_accum=10)
+    p0 = jax.device_get(m.params)
+    tr.train(lu, ls)
+    for k in m.params:
+        same = all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(jax.tree_util.tree_leaves(p0[k]),
+                                   jax.tree_util.tree_leaves(m.params[k])))
+        assert same == (k != "encoder_y"), k
+    tr.train(lu, ls)  # micro-steps 6-10 complete the window
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for k in m.params if k != "encoder_y"
+                  for a, b in zip(jax.tree_util.tree_leaves(p0[k]),
+                                  jax.tree_util.tree_leaves(m.params[k])))
+    assert changed
+
+
+def test_aux_grad_accum_fused_run_matches_sequential():
+    """The fused multi-epoch run() must carry the MultiSteps accumulator
+    bitwise-identically to sequential train() calls."""
+    from pyroved_tpu.utils import init_dataloader
+    rng = np.random.default_rng(1)
+    Xu, Xs = _data(32, rng), _data(16, rng)
+    ys = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+
+    def build(seed):
+        m = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+                   seed=5)
+        t = auxSVItrainer(m, grad_accum=2, seed=2)
+        lu = init_dataloader(Xu, batch_size=8, seed=0)
+        ls = init_dataloader(Xs, ys, batch_size=8, seed=1)
+        return m, t, lu, ls
+
+    m1, t1, lu1, ls1 = build(5)
+    for _ in range(3):
+        t1.train(lu1, ls1)
+    m2, t2, lu2, ls2 = build(5)
+    t2.run(lu2, ls2, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aux_grad_accum_dp_mesh_matches_single_device():
+    """grad_accum under the DP mesh reproduces single-device numerics."""
+    from pyroved_tpu.parallel import data_parallel_mesh, replicate_params
+
+    def run(mesh):
+        loaders = _cls_setup()
+        model = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"])
+        if mesh is not None:
+            model.params = replicate_params(model.params, mesh)
+        trainer = auxSVItrainer(model, seed=3, mesh=mesh, grad_accum=2)
+        for _ in range(2):
+            trainer.step(*loaders)
+        return trainer.history, model.params
+
+    h1, p1 = run(None)
+    h2, p2 = run(data_parallel_mesh())
+    np.testing.assert_allclose(h1["training_loss"], h2["training_loss"],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_aux_grad_accum_checkpoint_roundtrip(tmp_path):
+    """Both MultiSteps opt_states (accumulator + counters) and the aux
+    Adam state survive a checkpoint save/restore."""
+    from pyroved_tpu.utils.checkpoint import save_checkpoint
+    m, tr, lu, ls, _ = _accum_setup(grad_accum=3)
+    path = str(tmp_path / "aux_ck.msgpack")
+    tr.checkpoint_path = path
+    tr.train(lu, ls)
+    save_checkpoint(path, m, tr)
+    m2 = ssiVAE(DATA, latent_dim=2, num_classes=3, invariances=["r"],
+                seed=9)
+    t2 = auxSVItrainer(m2, grad_accum=3, checkpoint_path=path)
+    t2.resume()
+    for st1, st2 in ((tr.opt_state, t2.opt_state),
+                     (tr.aux_opt_state, t2.aux_opt_state)):
+        for a, b in zip(jax.tree_util.tree_leaves(st1),
+                        jax.tree_util.tree_leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

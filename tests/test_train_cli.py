@@ -129,9 +129,10 @@ def test_cli_grad_accum_and_fused_observability(tmp_path):
     assert os.path.exists(ck)
 
 
-def test_cli_semisup_rejects_grad_accum(tmp_path):
+def test_cli_semisup_grad_accum(tmp_path):
+    """Round 4: semi-supervised jobs accept grad_accum (the aux trainer
+    accumulates the basic objective via optax.MultiSteps)."""
     import numpy as np
-    import pytest
 
     from pyroved_tpu.train import run_job
 
@@ -141,13 +142,15 @@ def test_cli_semisup_rejects_grad_accum(tmp_path):
     np.save(Xu, np.random.default_rng(0).uniform(0, 1, (32, 8, 8)).astype(np.float32))
     np.save(Xs, np.random.default_rng(1).uniform(0, 1, (16, 8, 8)).astype(np.float32))
     np.save(ys, np.eye(3, dtype=np.float32)[np.arange(16) % 3])
-    with pytest.raises(ValueError, match="SVItrainer jobs only"):
-        run_job({"model": "ssiVAE",
-                 "model_config": {"data_dim": [8, 8], "latent_dim": 2,
-                                   "num_classes": 3},
-                 "train": {"epochs": 1, "batch_size": 8, "grad_accum": 2},
-                 "unsup_data": Xu, "sup_data": [Xs, ys],
-                 "val_data": [Xs, ys]})
+    summary = run_job({"model": "ssiVAE",
+                       "model_config": {"data_dim": [8, 8], "latent_dim": 2,
+                                        "num_classes": 3},
+                       "train": {"epochs": 2, "batch_size": 8,
+                                 "grad_accum": 2},
+                       "unsup_data": Xu, "sup_data": [Xs, ys],
+                       "val_data": [Xs, ys]})
+    assert np.isfinite(summary["training_loss"])
+    assert 0.0 <= summary["val_metric"] <= 1.0
 
 
 def test_cli_test_data_and_early_stop(tmp_path):

@@ -868,9 +868,14 @@ def test_grad_accum_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_grad_accum_rejected_by_aux_trainer():
+def test_grad_accum_accepted_by_aux_trainer():
+    """Round 4: the aux trainer accumulates the basic objective too (its
+    full battery lives in tests/test_auxtrainer.py)."""
+    import optax
+
     from pyroved_tpu.models import ssiVAE
     from pyroved_tpu.trainers import auxSVItrainer
     m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3)
-    with pytest.raises(ValueError, match="SVItrainer only"):
-        auxSVItrainer(m, grad_accum=4)
+    tr = auxSVItrainer(m, grad_accum=4)
+    assert tr.grad_accum == 4
+    assert isinstance(tr.opt_state, optax.MultiStepsState)
