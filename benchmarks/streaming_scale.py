@@ -13,6 +13,9 @@ Variants measured (same model, same batch size, steps/s over one pass):
   sync       DataLoader(device_resident=False): gather_rows + upload per
              step, no overlap
   prefetch   same + utils.data.prefetch (GIL-releasing producer thread)
+  chunked    DataLoader(stream_chunks=64): c-batch uploads + device scans
+  chunked_u8 same from a uint8 memmap with on-device cast+scale
+             (DataLoader(scale=1/255)) — 1/4 the wire bytes per batch
   pipeline   native.BatchPipeline ring buffer, zero-copy consume
 
 Usage: python benchmarks/streaming_scale.py [--rows 1400000]
@@ -120,6 +123,30 @@ def main(argv=None):
     tr.train(loader)
     results["chunked"] = loader.num_batches / (time.perf_counter() - t0)
     print(f"  (chunked first epoch incl. compiles: {full_epoch:.1f}s)")
+
+    # chunked streaming from a UINT8 memmap with on-device cast+scale
+    # (DataLoader(scale=1/255)): the wire carries 1/4 the bytes per batch —
+    # the round-4 mitigation for wire-bound transports (see the
+    # transfer-degradation verdict in docs/PERFORMANCE.md)
+    u8_path = args.file.replace(".npy", "_u8.npy")
+    if not os.path.exists(u8_path):
+        out = np.lib.format.open_memmap(
+            u8_path, mode="w+", dtype=np.uint8, shape=(args.rows,) + DATA_DIM)
+        rng = np.random.default_rng(0)
+        for s in range(0, args.rows, 50_000):
+            e = min(s + 50_000, args.rows)
+            out[s:e] = rng.integers(0, 256, (e - s,) + DATA_DIM, dtype=np.uint8)
+        out.flush()
+        del out
+    data_u8 = np.load(u8_path, mmap_mode="r")
+    tr = fresh()
+    loader = pv.utils.init_dataloader(
+        data_u8, batch_size=BATCH, device_resident=False, stream_chunks=64,
+        scale=1.0 / 255.0)
+    tr.train(loader)  # compile + trigger the degradation like every variant
+    t0 = time.perf_counter()
+    tr.train(loader)
+    results["chunked_u8"] = loader.num_batches / (time.perf_counter() - t0)
 
     pipe = pv.native.BatchPipeline(np.asarray(data, copy=False), BATCH, seed=2)
     try:

@@ -340,9 +340,9 @@ class auxSVItrainer(SegmentedRunsMixin):
             # current chunk's scan runs, so the host gather overlaps compute
             def staged(start):
                 rows = idx_u[start:start + cb]
-                return rows.shape[0], tuple(
-                    jax.device_put(a)
-                    for a in loader_unsup.gather_chunk(rows.reshape(-1)))
+                # put_batch keeps the wire dtype narrow under scale=
+                return rows.shape[0], loader_unsup.put_batch(
+                    loader_unsup.gather_chunk(rows.reshape(-1)))
 
             c, (xu_chunk,) = staged(0)
             for start in range(0, nb, cb):

@@ -311,9 +311,9 @@ class SVItrainer(SegmentedRunsMixin):
             # the current chunk's scan runs on device
             def staged(start):
                 rows = idx[start:start + cb]
-                return rows.shape[0], tuple(
-                    jax.device_put(a)
-                    for a in loader.gather_chunk(rows.reshape(-1)))
+                # put_batch keeps the wire dtype narrow under scale=
+                return rows.shape[0], loader.put_batch(
+                    loader.gather_chunk(rows.reshape(-1)))
 
             c, chunk = staged(0)
             for start in range(0, nb, cb):

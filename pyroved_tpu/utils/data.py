@@ -22,6 +22,14 @@ import numpy as np
 from .nn import as_numpy
 
 
+@jax.jit
+def _dev_cast_scale(a: jax.Array, s: jax.Array) -> jax.Array:
+    """On-device f32 cast + scale (one fused kernel) for narrow-wire
+    uploads: the host->device transfer carries the source dtype (uint8:
+    4x fewer bytes than f32) and the normalization runs on device."""
+    return a.astype(jnp.float32) * s
+
+
 class DataLoader:
     """Mini-batch loader, device-resident by default.
 
@@ -36,7 +44,7 @@ class DataLoader:
 
     def __init__(self, *arrays, batch_size: int = 100, shuffle: bool = True,
                  seed: int = 0, device_resident: bool = True,
-                 stream_chunks: int = 0, **kwargs):
+                 stream_chunks: int = 0, scale=None, **kwargs):
         """``stream_chunks=c`` (with ``device_resident=False``) uploads the
         dataset in c-batch chunks and lets the trainer scan each chunk on
         device in ONE dispatch — amortizing the per-step dispatch latency
@@ -45,7 +53,18 @@ class DataLoader:
         matches the per-batch streaming AND device-resident paths to
         last-ulp f32 tolerance (same shuffle, same RNG chain; the chunk
         scan compiles as a separate program, so bit-level equality is not
-        guaranteed)."""
+        guaranteed).
+
+        ``scale=s`` keeps the HOST arrays in their stored dtype and
+        normalizes ON DEVICE after each upload (``x.astype(f32) * s``):
+        a uint8 image memmap with ``scale=1/255`` moves 4x fewer bytes
+        over the wire on every streaming path — the effective-bandwidth
+        lever for wire-bound out-of-core training
+        (docs/PERFORMANCE.md "Streaming at scale"). A scalar applies to
+        the FIRST (signal) array only; pass a tuple with one entry per
+        array (``None`` = untouched) for per-array control. Training on
+        ``DataLoader(u8, scale=1/255)`` matches training on the
+        pre-converted f32 data bitwise (same values after the cast)."""
         if not arrays:
             raise ValueError("At least one data array is required")
         host = [as_numpy(a) for a in arrays]
@@ -53,7 +72,15 @@ class DataLoader:
         for a in host:
             if a.shape[0] != n:
                 raise ValueError("All arrays must share the leading dimension")
+        if isinstance(scale, (tuple, list)):
+            if len(scale) != len(host):
+                raise ValueError(
+                    f"scale has {len(scale)} entries for {len(host)} arrays")
+            scale = tuple(None if s is None else float(s) for s in scale)
+        elif scale is not None:
+            scale = (float(scale),) + (None,) * (len(host) - 1)
         self._host = host
+        self.scale = scale
         self.dataset_size = n
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
@@ -66,12 +93,34 @@ class DataLoader:
     # -- fast path -----------------------------------------------------------
     @property
     def device_arrays(self) -> Tuple[jax.Array, ...]:
-        """The full dataset on device (uploaded once, cached)."""
+        """The full dataset on device (uploaded once, cached). With
+        ``scale`` set the upload carries the host dtype and the cast+scale
+        runs on device, same as the streaming paths."""
         if self._device_arrays is None:
-            self._device_arrays = tuple(
-                jnp.asarray(a, jnp.float32 if np.issubdtype(a.dtype, np.floating) else None)
-                for a in self._host)
+            if self.scale is not None:
+                self._device_arrays = self.put_batch(self._host)
+            else:
+                self._device_arrays = tuple(
+                    jnp.asarray(a, jnp.float32 if np.issubdtype(a.dtype, np.floating) else None)
+                    for a in self._host)
         return self._device_arrays
+
+    def put_batch(self, host_arrays) -> Tuple[jax.Array, ...]:
+        """Upload one batch/chunk; the wire carries each array's HOST
+        dtype, then ``scale`` entries apply as an on-device f32
+        cast+multiply. Trainers route every streaming upload through
+        here so narrow-dtype sources stay narrow on the wire."""
+        out = []
+        for i, a in enumerate(host_arrays):
+            d = jax.device_put(a)
+            s = self.scale[i] if self.scale is not None else None
+            if s is not None:
+                d = _dev_cast_scale(d, jnp.float32(s))
+            elif isinstance(a, np.ndarray) and np.issubdtype(a.dtype, np.floating) \
+                    and a.dtype != np.float32:
+                d = d.astype(jnp.float32)
+            out.append(d)
+        return tuple(out)
 
     @property
     def num_batches(self) -> int:
@@ -122,7 +171,8 @@ class DataLoader:
             from ..native import gather_rows
             for start in range(0, self.dataset_size, self.batch_size):
                 sl = order[start:start + self.batch_size]
-                yield tuple(jnp.asarray(gather_rows(a, sl)) for a in self._host)
+                yield self.put_batch(
+                    tuple(gather_rows(a, sl) for a in self._host))
 
     def __len__(self) -> int:
         return self.num_batches

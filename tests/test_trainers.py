@@ -879,3 +879,60 @@ def test_grad_accum_accepted_by_aux_trainer():
     tr = auxSVItrainer(m, grad_accum=4)
     assert tr.grad_accum == 4
     assert isinstance(tr.opt_state, optax.MultiStepsState)
+
+
+def test_uint8_wire_scale_matches_f32_training():
+    """`DataLoader(scale=1/255)` on uint8 host data must train IDENTICALLY
+    to pre-converted f32 data on every path (resident / per-batch
+    streaming / chunked streaming): the upload carries uint8 over the wire
+    (4x fewer bytes — the round-4 mitigation for wire-bound out-of-core
+    training) and the f32 cast+scale runs on device, producing the same
+    values the host conversion would."""
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (52,) + DATA_2D).astype(np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0)
+
+    def run(data, resident, chunks=0, **kw):
+        m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+        t = SVItrainer(m, seed=9)
+        loader = init_dataloader(data, batch_size=16, seed=3,
+                                 device_resident=resident,
+                                 stream_chunks=chunks, **kw)
+        losses = [t.train(loader) for _ in range(2)]
+        return losses, m.params
+
+    l_ref, p_ref = run(f32, True)
+    for resident, chunks in ((True, 0), (False, 0), (False, 3)):
+        l_u8, p_u8 = run(u8, resident, chunks, scale=1.0 / 255.0)
+        np.testing.assert_allclose(l_ref, l_u8, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_u8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7)
+
+
+def test_wire_scale_tuple_leaves_labels_untouched():
+    """Scalar scale applies to the FIRST array only; a tuple gives
+    per-array control and None entries pass through unchanged."""
+    import jax.numpy as jnp
+
+    from pyroved_tpu.utils.data import DataLoader
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (8, 4, 4)).astype(np.uint8)
+    y = rng.normal(size=(8, 3)).astype(np.float32)
+    dl = DataLoader(u8, y, batch_size=4, shuffle=False, scale=1 / 255.0)
+    xb, yb = dl.device_arrays
+    assert xb.dtype == jnp.float32 and float(xb.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(yb), y)
+    dl2 = DataLoader(u8, y, batch_size=4, shuffle=False,
+                     scale=(1 / 255.0, 2.0))
+    _, yb2 = dl2.device_arrays
+    np.testing.assert_allclose(np.asarray(yb2), 2.0 * y, rtol=1e-7)
+    # streaming batches go through the same transform
+    dl3 = DataLoader(u8, y, batch_size=4, shuffle=False,
+                     device_resident=False, scale=1 / 255.0)
+    xb3, yb3 = next(iter(dl3))
+    assert xb3.dtype == jnp.float32 and float(xb3.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(yb3), y[:4])
+    with pytest.raises(ValueError, match="scale has"):
+        DataLoader(u8, y, batch_size=4, scale=(1.0,))
