@@ -61,6 +61,16 @@ class jiVAE(baseVAE):
         self.discrete_dim = int(discrete_dim)
         self.kl_mode = kwargs.get("kl", "mc")
         self.num_particles = int(kwargs.get("num_particles", 1))
+        # Opt-in truncated enumeration (MODEL CHANGE, docs/DEVIATIONS.md):
+        # decode only the enum_topk highest-probability classes per example
+        # and renormalize their weights; the discrete KL term stays exact
+        # (it needs no decodes). enum_topk == discrete_dim is the exact
+        # expectation (branches merely reordered); 0 disables truncation.
+        self.enum_topk = int(kwargs.get("enum_topk", 0) or 0)
+        if self.enum_topk and not 1 <= self.enum_topk <= self.discrete_dim:
+            raise ValueError(
+                f"enum_topk must be in [1, discrete_dim={self.discrete_dim}]"
+                f", got {self.enum_topk}")
 
         self.encoder_net = jfcEncoderNet(
             self.out_shape, self.z_dim, self.discrete_dim, hidden_dim_e,
@@ -108,16 +118,23 @@ class jiVAE(baseVAE):
         ``beta`` is ``[beta_cont, beta_disc]``."""
         return self._particle_loss(self._loss_single, params, rng, batch, beta)
 
-    def _enum_decode(self, params, z: Array, fused: bool):
+    def _enum_decode(self, params, z: Array, fused: bool, onehots=None):
         """Shared K-enumeration decode for the loss and the trace: split the
         transform latents, broadcast the content latents over the K one-hot
         codes, and decode all branches in one batched call. Returns
         ``((phi, dx, sc), coords, loc[K, B, N])`` — transform parts and
         coords are None for invariance-free models (and coords is None on
-        the fused path, which never materializes the warped grid)."""
-        K = self.discrete_dim
+        the fused path, which never materializes the warped grid).
+
+        ``onehots`` overrides the enumerated codes with per-example one-hot
+        rows of shape ``[K_eff, B, discrete_dim]`` (the ``enum_topk``
+        truncation path); default is the full K-way identity broadcast."""
         B = z.shape[0]
-        eye = jnp.eye(K, dtype=z.dtype)
+        if onehots is None:
+            eye = jnp.eye(self.discrete_dim, dtype=z.dtype)
+            onehots = jnp.broadcast_to(
+                eye[:, None, :], (self.discrete_dim, B, self.discrete_dim))
+        K = onehots.shape[0]
         phi = dx = sc = coords = None
         if self.coord > 0:
             phi, dx, sc, zc = self.split_latent_full(z)
@@ -125,8 +142,8 @@ class jiVAE(baseVAE):
             zc = z
         zc_k = jnp.concatenate([
             jnp.broadcast_to(zc, (K,) + zc.shape),
-            jnp.broadcast_to(eye[:, None, :], (K, B, K)),
-        ], axis=-1)  # [K, B, latent+K]
+            onehots,
+        ], axis=-1)  # [K, B, latent+discrete_dim]
         if self.coord > 0 and fused:
             from ..ops.spatial_decoder import apply_fused_sdecoder
             loc = apply_fused_sdecoder(
@@ -190,14 +207,30 @@ class jiVAE(baseVAE):
         mu, sig, alpha = self.encoder_net.apply({"params": params["encoder_z"]}, xf)
         z, latent_term = normal_latent_site(rng, mu, sig, beta[0], self.kl_mode)
 
-        # Discrete term: exact expectation over the enumerated classes.
+        # Discrete term: exact expectation over the enumerated classes
+        # (no decodes needed — stays exact even under enum_topk).
         log_alpha = jnp.log(jnp.clip(alpha, 1e-12))
         disc_term = beta[1] * jnp.sum(alpha * (-math.log(K) - log_alpha), axis=-1)
 
-        _, _, loc = self._enum_decode(
-            params, z, self._fused_for_batch(K * z.shape[0]))
-        recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
-        recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
+        if self.enum_topk:
+            # truncated enumeration: decode only the top-k classes under
+            # q(k|x) and renormalize their weights (enum_topk == K is the
+            # exact expectation with branches sorted by probability)
+            kk = self.enum_topk
+            a_top, idx = jax.lax.top_k(alpha, kk)             # [B, kk]
+            w_top = a_top / jnp.sum(a_top, axis=-1, keepdims=True)
+            eye = jnp.eye(K, dtype=xf.dtype)
+            onehots = jnp.transpose(eye[idx], (1, 0, 2))       # [kk, B, K]
+            _, _, loc = self._enum_decode(
+                params, z, self._fused_for_batch(kk * z.shape[0]),
+                onehots=onehots)
+            recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(kk, B, -1))
+            recon = jnp.sum(w_top.T * recon_k, axis=0)
+        else:
+            _, _, loc = self._enum_decode(
+                params, z, self._fused_for_batch(K * z.shape[0]))
+            recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
+            recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
         return -(recon + latent_term + disc_term)
 
     def trace(self, rng: Array, batch: Tuple[Array, ...], beta=1.0,

@@ -54,6 +54,18 @@ class ssiVAE(baseVAE):
         self.num_classes = int(num_classes)
         self.kl_mode = kwargs.get("kl", "mc")
         self.num_particles = int(kwargs.get("num_particles", 1))
+        # Opt-in truncated enumeration (MODEL CHANGE, docs/DEVIATIONS.md):
+        # unlabeled batches run only the enum_topk highest-probability
+        # class branches under q(y|x), renormalized. enum_topk ==
+        # num_classes keeps the exact expectation (branches reordered by
+        # probability; each branch's reparameterization noise follows its
+        # position, so trajectories differ from the untruncated path at
+        # sampling level while the estimator stays exact); 0 disables.
+        self.enum_topk = int(kwargs.get("enum_topk", 0) or 0)
+        if self.enum_topk and not 1 <= self.enum_topk <= self.num_classes:
+            raise ValueError(
+                f"enum_topk must be in [1, num_classes={self.num_classes}]"
+                f", got {self.enum_topk}")
         self.task = "classification"
 
         self.encoder_net = fcEncoderNet(
@@ -143,6 +155,19 @@ class ssiVAE(baseVAE):
             return -elbo
         alpha = self.encoder_y_net.apply({"params": params["encoder_y"]}, xf)  # [B,K]
         eye = jnp.eye(K, dtype=xf.dtype)
+        if self.enum_topk:
+            # truncated enumeration: only the top-k branches under q(y|x),
+            # with renormalized weights; - log q(y|x) still scores the TRUE
+            # (untruncated) guide probabilities
+            kk = self.enum_topk
+            a_top, idx = jax.lax.top_k(alpha, kk)             # [B, kk]
+            w_top = a_top / jnp.sum(a_top, axis=-1, keepdims=True)
+            ys_k = jnp.transpose(eye[idx], (1, 0, 2))          # [kk, B, K]
+            xf_k = jnp.broadcast_to(xf, (kk, B, xf.shape[-1]))
+            elbo_k = self._branch_elbo(params, rng, xf_k, ys_k, beta)
+            log_a_top = jnp.log(jnp.clip(a_top, 1e-12))
+            branch = elbo_k + log_prior_y - log_a_top.T
+            return -jnp.sum(w_top.T * branch, axis=0)
         ys_k = jnp.broadcast_to(eye[:, None, :], (K, B, K))
         xf_k = jnp.broadcast_to(xf, (K, B, xf.shape[-1]))
         elbo_k = self._branch_elbo(params, rng, xf_k, ys_k, beta)  # [K,B]

@@ -456,3 +456,116 @@ def test_ved_conv_first_kwarg():
         {"params": models[True].params["decoder"]}, z)
     np.testing.assert_allclose(np.asarray(out_fast).reshape(3, -1),
                                np.asarray(out_ref).reshape(3, -1), atol=5e-6)
+
+
+# ---------------- enum_topk truncated enumeration ----------------
+
+@pytest.mark.parametrize("invariances", [None, ["r"]])
+def test_jivae_enum_topk_full_k_matches_exact(invariances):
+    """enum_topk == K is the exact expectation: jiVAE shares one z across
+    the enumerated branches, so sorting branches by probability only
+    reorders the alpha-weighted sum (f32 reassociation level)."""
+    kw = dict(latent_dim=2, discrete_dim=4, invariances=invariances,
+              seed=1)
+    m_exact = jiVAE(DATA_2D, **kw)
+    m_topk = jiVAE(DATA_2D, enum_topk=4, **kw)
+    x = _imgs(5)
+    beta = m_exact.prep_beta(1.0)
+    l_exact = np.asarray(m_exact.loss_fn(m_exact.params, RNG, (x,), beta))
+    l_topk = np.asarray(m_topk.loss_fn(m_topk.params, RNG, (x,), beta))
+    np.testing.assert_allclose(l_topk, l_exact, rtol=2e-5)
+
+
+def test_jivae_enum_topk_truncated_shapes_and_grad():
+    m = jiVAE(DATA_2D, latent_dim=2, discrete_dim=6, enum_topk=2, seed=1)
+    x = _imgs(4)
+    beta = m.prep_beta(1.0)
+    loss = m.loss_fn(m.params, RNG, (x,), beta)
+    assert loss.shape == (4,)
+    assert np.isfinite(np.asarray(loss)).all()
+    g = jax.grad(lambda p: jnp.mean(m.loss_fn(p, RNG, (x,), beta)))(m.params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in flat)
+    # the classifier itself must receive gradient through the top-k weights
+    enc_grads = jax.tree_util.tree_leaves(g["encoder_z"])
+    assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in enc_grads)
+
+
+def test_jivae_enum_topk_gap_shrinks_with_concentration():
+    """When q(k|x) concentrates on one class, the k=1 truncation converges
+    to the exact expectation (the renormalized tail it drops carries
+    vanishing weight)."""
+    def with_alpha(model, conc):
+        """Wrap the encoder so alpha is a fixed mixture of uniform and
+        one-hot at concentration ``conc``."""
+        orig_apply = model.encoder_net.apply
+
+        def apply(variables, xf):
+            mu, sig, alpha = orig_apply(variables, xf)
+            onehot = jnp.zeros_like(alpha).at[:, 0].set(1.0)
+            uni = jnp.full_like(alpha, 1.0 / alpha.shape[-1])
+            return mu, sig, conc * onehot + (1 - conc) * uni
+        model.encoder_net.apply = apply
+
+    x = _imgs(4)
+    beta = jnp.asarray([1.0, 1.0], jnp.float32)
+    gaps = []
+    for conc in (0.5, 0.99, 0.999999):
+        m_e = jiVAE(DATA_2D, latent_dim=2, discrete_dim=4, seed=1,
+                    invariances=None)
+        m_1 = jiVAE(DATA_2D, latent_dim=2, discrete_dim=4, seed=1,
+                    invariances=None, enum_topk=1)
+        with_alpha(m_e, conc)
+        with_alpha(m_1, conc)
+        l_e = np.asarray(m_e.loss_fn(m_e.params, RNG, (x,), beta))
+        l_1 = np.asarray(m_1.loss_fn(m_1.params, RNG, (x,), beta))
+        gaps.append(np.abs(l_e - l_1).max())
+    assert gaps[1] < gaps[0]
+    assert gaps[2] < 1e-3
+
+
+def test_ssivae_enum_topk_full_k_matches_exact_zero_noise():
+    """With the reparameterization noise pinned to zero, enum_topk == K
+    reproduces the exact unlabeled ELBO (branch order is the only
+    difference; each branch's z depends only on its own (x, y_k))."""
+    import pyroved_tpu.models.ssivae as ssivae_mod
+    kw = dict(latent_dim=2, num_classes=4, invariances=None, seed=1)
+    m_exact = ssiVAE(DATA_2D, **kw)
+    m_topk = ssiVAE(DATA_2D, enum_topk=4, **kw)
+    x = _imgs(5)
+    orig = ssivae_mod.normal_sample
+    ssivae_mod.normal_sample = lambda rng, mu, sig: mu
+    try:
+        l_exact = np.asarray(
+            m_exact.loss_fn(m_exact.params, RNG, (x,), jnp.asarray(1.0)))
+        l_topk = np.asarray(
+            m_topk.loss_fn(m_topk.params, RNG, (x,), jnp.asarray(1.0)))
+    finally:
+        ssivae_mod.normal_sample = orig
+    np.testing.assert_allclose(l_topk, l_exact, rtol=2e-5)
+
+
+def test_ssivae_enum_topk_truncated_shapes_and_labeled_unchanged():
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=5, enum_topk=2, seed=1)
+    m_ref = ssiVAE(DATA_2D, latent_dim=2, num_classes=5, seed=1)
+    x = _imgs(4)
+    y = jax.nn.one_hot(jnp.asarray([0, 1, 2, 3]), 5)
+    l_unsup = m.loss_fn(m.params, RNG, (x,), jnp.asarray(1.0))
+    assert l_unsup.shape == (4,)
+    assert np.isfinite(np.asarray(l_unsup)).all()
+    # the labeled path never enumerates: bitwise-identical to untruncated
+    np.testing.assert_array_equal(
+        np.asarray(m.loss_fn(m.params, RNG, (x, y), jnp.asarray(1.0))),
+        np.asarray(m_ref.loss_fn(m_ref.params, RNG, (x, y), jnp.asarray(1.0))))
+
+
+def test_enum_topk_validation():
+    with pytest.raises(ValueError, match="enum_topk"):
+        jiVAE(DATA_2D, latent_dim=2, discrete_dim=3, enum_topk=4)
+    with pytest.raises(ValueError, match="enum_topk"):
+        ssiVAE(DATA_2D, latent_dim=2, num_classes=3, enum_topk=-1)
+    # 0 / None disable cleanly
+    assert jiVAE(DATA_2D, latent_dim=2, discrete_dim=3,
+                 enum_topk=0).enum_topk == 0
+    assert ssiVAE(DATA_2D, latent_dim=2, num_classes=3,
+                  enum_topk=None).enum_topk == 0
