@@ -806,6 +806,10 @@ _DEFAULTS.update(_VMEM_BUDGET=_VMEM_BUDGET, XLA_FWD_MAX_BN=XLA_FWD_MAX_BN,
                  PALLAS_FWD_MAX_PAD=PALLAS_FWD_MAX_PAD,
                  FUSED_MIN_BNH=FUSED_MIN_BNH)
 
+# calibrate() probe chain length: calls per jitted fori_loop measurement
+# (dispatch latency amortizes over the chain; see calibrate docstring).
+_CAL_CHAIN = 50
+
 
 def fused_profitable(rows: int, n_pixels: int, h_max: int) -> bool:
     """True when the Pallas train path is expected to beat XLA autodiff
@@ -834,14 +838,15 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     it. Thresholds are coarse on purpose: routing only needs the right side
     of each crossover, not the exact knee.
 
-    Bias note (validated on v5e by re-running with the table cleared): the
-    VMEM probe reproduces the hand-measured 16 MB budget exactly, but the
-    crossover probes are WALL-CLOCK timings — on high-dispatch-latency
-    attachments (tunneled chips) they under-credit the kernel and resolve
-    to always-XLA routing. That outcome is safe (never slower than pure
-    XLA, never a miscompile); squeezing out the kernel's measured 1.3-1.9x
-    on a new generation still warrants a profile-based session like
-    docs/PERFORMANCE.md's, recorded as a DEVICE_TUNINGS entry.
+    Latency immunity (round 4): every crossover probe chains ``_CAL_CHAIN``
+    calls inside ONE jit with a genuine data dependence
+    (``z_{i+1} = z_i + 1e-9 * dz_i`` — the technique from
+    ``benchmarks/bwd_ablation.py``), so per-call time is
+    (one dispatch + chain)/chain and dispatch latency — dominant on
+    tunneled attachments at ~ms per call — amortizes away. A calibrate()
+    run THROUGH the tunnel now resolves the same crossovers as a local
+    attachment; the round-4 tunnel run reproduces the hand-measured v5e
+    routing (log: ``benchmarks/logs/calibrate_tunnel_r04.log``).
     """
     import time as _time
     global B_T, N_T
@@ -869,13 +874,16 @@ def calibrate(verbose: bool = False) -> KernelTuning:
                 1.0 + jax.random.normal(ks[7], (B,)) * 0.05,
                 jax.random.normal(ks[8], (B, 2)))
 
-    def timed(fn, *args):
-        fn(*args)  # compile + warm
+    def timed_chain(step, z0):
+        """Per-call seconds of ``step`` (z -> z, same shape) chained
+        ``_CAL_CHAIN`` times inside one jitted fori_loop: tunnel dispatch
+        latency is paid once per measurement instead of once per call."""
+        f = jax.jit(lambda z: jax.lax.fori_loop(
+            0, _CAL_CHAIN, lambda _, zc: step(zc), z))
+        jax.block_until_ready(f(z0))  # compile + warm
         t0 = _time.perf_counter()
-        for _ in range(10):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (_time.perf_counter() - t0) / 10
+        jax.block_until_ready(f(z0))
+        return (_time.perf_counter() - t0) / _CAL_CHAIN
 
     # 1. VMEM budget: force 8-row tiles of descending widths through the
     # Pallas backward until one compiles and runs.
@@ -932,17 +940,19 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     def xla_grad(B, N):
         grid, phi, dx, sc, z = batch(B, N)
         x = jax.random.uniform(ks[9], (B, N))
-        f = jax.jit(jax.grad(lambda args: _recon(_xla_forward(
-            grid, phi, dx, sc, args[0], *args[1], "tanh", True), x)))
-        return timed(f, (z, w))
+        g = jax.grad(lambda args: _recon(_xla_forward(
+            grid, phi, dx, sc, args[0], *args[1], "tanh", True), x))
+        # full weight grads each call (the expensive dhw accumulations);
+        # only dz feeds the chain's data dependence
+        return timed_chain(lambda zc: zc + 1e-9 * g((zc, w))[0], z)
 
     def pallas_grad(B, N):
         grid, phi, dx, sc, z = batch(B, N)
         x = jax.random.uniform(ks[9], (B, N))
         # the custom-VJP op: routed forward + the Pallas backward kernel
-        f = jax.jit(jax.grad(lambda args: _recon(fused_spatial_decoder(
-            grid, phi, dx, sc, args[0], *args[1]), x)))
-        return timed(f, (z, w))
+        g = jax.grad(lambda args: _recon(fused_spatial_decoder(
+            grid, phi, dx, sc, args[0], *args[1]), x))
+        return timed_chain(lambda zc: zc + 1e-9 * g((zc, w))[0], z)
 
     try:
         lo_bnh, hi_bnh = 64 * 784 * H, 200 * 784 * H
@@ -957,12 +967,14 @@ def calibrate(verbose: bool = False) -> KernelTuning:
         if verbose:
             print(f"calibrate: fused_min_bnh = {fused_min}")
 
-        # 3. Forward crossover at a pad-free 512k-element shape.
+        # 3. Forward crossover at a pad-free 512k-element shape. The chain
+        # feeds a [B, L] slice of the [B, N] output back into z.
         grid_f, phi_f, dx_f, sc_f, z_f = batch(32, 16384)
-        t_xla = timed(jax.jit(lambda z: _xla_forward(
-            grid_f, phi_f, dx_f, sc_f, z, *w, "tanh", True)), z_f)
-        t_pal = timed(jax.jit(lambda z: _fwd(
-            grid_f, phi_f, dx_f, sc_f, z, *w)), z_f)
+        L_f = z_f.shape[-1]
+        t_xla = timed_chain(lambda zc: zc + 1e-9 * _xla_forward(
+            grid_f, phi_f, dx_f, sc_f, zc, *w, "tanh", True)[:, :L_f], z_f)
+        t_pal = timed_chain(lambda zc: zc + 1e-9 * _fwd(
+            grid_f, phi_f, dx_f, sc_f, zc, *w)[:, :L_f], z_f)
         fwd_max = (1 << 19) if t_pal < t_xla else float("inf")
         if verbose:
             print(f"calibrate: xla_fwd_max_bn = {fwd_max} "

@@ -673,6 +673,7 @@ def test_calibrate_smoke_interpret(monkeypatch):
     import types
     monkeypatch.setattr(sd, "INTERPRET", True)
     monkeypatch.setattr(sd, "BF16_MATMUL", False)
+    monkeypatch.setattr(sd, "_CAL_CHAIN", 2)  # interpret mode is slow
     monkeypatch.setattr(
         sd.jax, "devices",
         lambda: [types.SimpleNamespace(platform="tpu",
