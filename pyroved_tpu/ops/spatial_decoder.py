@@ -826,8 +826,13 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     This opt-in probe mirrors how the v5e entry was derived, at calibration
     cost of a handful of compiles (minutes on a cold compile cache):
 
-    1. **VMEM row budget** — the largest backward-tile working set that
-       actually compiles and runs (probed descending from 32 MB).
+    1. **VMEM row budget** — probed descending from 32 MB. Each trial
+       budget is validated by compiling AND running the exact chained
+       crossover programs step 2 times (probe-what-you-fly): a budget only
+       counts if ``_select_tiles``' own choice under it survives the
+       platform's scoped-VMEM limit inside the chained loop. The surviving
+       budget's compiles stay warm in the cache, so step 2 pays no extra
+       compiles.
     2. **Train-path crossover** (``fused_min_bnh``) — XLA autodiff vs the
        fused Pallas backward at a below-cliff and an above-cliff shape.
     3. **Forward crossover** (``xla_fwd_max_bn``) — XLA vs Pallas forward
@@ -849,7 +854,6 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     routing (log: ``benchmarks/logs/calibrate_tunnel_r04.log``).
     """
     import time as _time
-    global B_T, N_T
     # A pre-existing entry (built-in or user-registered) is the fallback on
     # every failure path below: a failed re-calibration must not close the
     # gate on a platform that already had a validated tuning.
@@ -874,90 +878,104 @@ def calibrate(verbose: bool = False) -> KernelTuning:
                 1.0 + jax.random.normal(ks[7], (B,)) * 0.05,
                 jax.random.normal(ks[8], (B, 2)))
 
-    def timed_chain(step, z0):
-        """Per-call seconds of ``step`` (z -> z, same shape) chained
-        ``_CAL_CHAIN`` times inside one jitted fori_loop: tunnel dispatch
-        latency is paid once per measurement instead of once per call."""
+    w = weights()
+
+    def chain(step, z0):
+        """One-jit chain of ``_CAL_CHAIN`` data-dependent calls of ``step``
+        (z -> z, same shape): tunnel dispatch latency is paid once per
+        measurement instead of once per call."""
         f = jax.jit(lambda z: jax.lax.fori_loop(
             0, _CAL_CHAIN, lambda _, zc: step(zc), z))
+        return f, z0
+
+    def warm(fz):
+        f, z0 = fz
         jax.block_until_ready(f(z0))  # compile + warm
+        return f, z0
+
+    def timed(f, z0):
+        """Per-call seconds of an already-warmed chained jit."""
         t0 = _time.perf_counter()
         jax.block_until_ready(f(z0))
         return (_time.perf_counter() - t0) / _CAL_CHAIN
 
-    # 1. VMEM budget: force 8-row tiles of descending widths through the
-    # Pallas backward until one compiles and runs.
-    grid_b, phi_b, dx_b, sc_b, z_b = batch(64, 8192)
-    w = weights()
-    vmem = _CONSERVATIVE_TUNING.vmem_budget
-    pallas_bwd_ok = False
-    for budget in (32, 24, 16, 12, 8):
-        budget_b = budget * 1024 * 1024
-        rows = budget_b // ((nl + 4) * H * 4)
-        n_t = min(1024, max(128, (rows // 8) // 128 * 128))
-        try:
-            B_T, N_T = 8, n_t
-            g = jax.jit(jax.grad(lambda z: jnp.sum(fused_spatial_decoder(
-                grid_b, phi_b, dx_b, sc_b, z, *w))))
-            jax.block_until_ready(g(z_b))
-            vmem, pallas_bwd_ok = budget_b, True
-            break
-        except Exception as e:  # compile/VMEM failure: shrink and retry
-            if verbose:
-                print(f"calibrate: {budget} MB tile failed ({type(e).__name__})")
-        finally:
-            B_T = N_T = None
-    if verbose:
-        print(f"calibrate: vmem_budget = {vmem // (1024*1024)} MB")
-    if not pallas_bwd_ok:  # kernel unusable here: keep the prior entry
-        if prior is not None:
-            DEVICE_TUNINGS[_device_kind()] = prior
-            warnings.warn("calibrate(): the Pallas backward failed to compile"
-                          " at every probed tile size; keeping the existing "
-                          f"{_device_kind()!r} tuning unchanged.")
-            return prior
-        DEVICE_TUNINGS.pop(_device_kind(), None)
-        warnings.warn("calibrate(): the Pallas backward failed to compile "
-                      "at every probed tile size; keeping pure-XLA routing.")
-        return _CONSERVATIVE_TUNING
-    trial = KernelTuning(vmem_budget=vmem, xla_fwd_max_bn=float("inf"),
-                         pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
-    # Register the trial so _select_tiles sees the probed budget below;
-    # rolled back if a later probe raises (the gate must not stay open on
-    # a half-calibrated platform).
-    DEVICE_TUNINGS[_device_kind()] = trial
-
-    # 2. Train-path crossover at N=784 (the flagship grid): BNH ~ 6.4M
-    # (below the v5e cliff) and ~ 20M (above it). The probe loss is shaped
-    # like the real train objective — Bernoulli reconstruction with
-    # gradients for EVERY weight (the expensive dhw accumulations), not a
-    # sum-of-output toy — so the crossover reflects the production path.
+    # The probe loss is shaped like the real train objective — Bernoulli
+    # reconstruction with gradients for EVERY weight (the expensive dhw
+    # accumulations), not a sum-of-output toy — so the crossovers reflect
+    # the production path.
     def _recon(out, x):
         eps = 1e-7
         return -jnp.sum(x * jnp.log(out + eps)
                         + (1 - x) * jnp.log(1 - out + eps))
 
-    def xla_grad(B, N):
+    def xla_grad_chain(B, N):
         grid, phi, dx, sc, z = batch(B, N)
         x = jax.random.uniform(ks[9], (B, N))
         g = jax.grad(lambda args: _recon(_xla_forward(
             grid, phi, dx, sc, args[0], *args[1], "tanh", True), x))
         # full weight grads each call (the expensive dhw accumulations);
         # only dz feeds the chain's data dependence
-        return timed_chain(lambda zc: zc + 1e-9 * g((zc, w))[0], z)
+        return chain(lambda zc: zc + 1e-9 * g((zc, w))[0], z)
 
-    def pallas_grad(B, N):
+    def pallas_grad_chain(B, N, act="tanh"):
         grid, phi, dx, sc, z = batch(B, N)
         x = jax.random.uniform(ks[9], (B, N))
         # the custom-VJP op: routed forward + the Pallas backward kernel
         g = jax.grad(lambda args: _recon(fused_spatial_decoder(
-            grid, phi, dx, sc, args[0], *args[1]), x))
-        return timed_chain(lambda zc: zc + 1e-9 * g((zc, w))[0], z)
+            grid, phi, dx, sc, args[0], *args[1], act), x))
+        return chain(lambda zc: zc + 1e-9 * g((zc, w))[0], z)
 
+    # 1. VMEM budget, probed descending. Validation = compile AND run the
+    # two chained Pallas crossover programs step 2 times, with the trial
+    # budget registered so _select_tiles makes its real choice under it.
+    # A budget whose selected tiles blow the platform's scoped-VMEM limit
+    # fails HERE (cheap compile-time failure) instead of poisoning step 2
+    # — the round-3 probe validated budgets with small forced tiles and
+    # let the crossover compile OOM at 32 MB on a 16 MB-scoped platform.
+    vmem, pallas_chains = _CONSERVATIVE_TUNING.vmem_budget, None
+    for budget in (32, 24, 16, 12, 8):
+        budget_b = budget * 1024 * 1024
+        DEVICE_TUNINGS[_device_kind()] = KernelTuning(
+            vmem_budget=budget_b, xla_fwd_max_bn=float("inf"),
+            pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
+        try:
+            trial_chains = (warm(pallas_grad_chain(64, 784)),
+                            warm(pallas_grad_chain(200, 784)))
+            # The pre-grad-act config must fit under the budget too: its
+            # captured act'(pre) stacks carry the largest per-row footprint
+            # (v5e's hand-measured 16 MB budget was set by a gelu one-pass
+            # scoped-VMEM OOM, not by tanh — _select_tiles docstring).
+            warm(pallas_grad_chain(200, 784, act="gelu"))
+            vmem, pallas_chains = budget_b, trial_chains
+            break
+        except Exception as e:  # compile/VMEM failure: shrink and retry
+            if verbose:
+                print(f"calibrate: {budget} MB budget failed "
+                      f"({type(e).__name__})")
+    if verbose:
+        print(f"calibrate: vmem_budget = {vmem // (1024*1024)} MB")
+    if pallas_chains is None:  # kernel unusable here: keep the prior entry
+        if prior is not None:
+            DEVICE_TUNINGS[_device_kind()] = prior
+            warnings.warn("calibrate(): the Pallas backward failed to compile"
+                          " at every probed VMEM budget; keeping the existing "
+                          f"{_device_kind()!r} tuning unchanged.")
+            return prior
+        DEVICE_TUNINGS.pop(_device_kind(), None)
+        warnings.warn("calibrate(): the Pallas backward failed to compile "
+                      "at every probed VMEM budget; keeping pure-XLA routing.")
+        return _CONSERVATIVE_TUNING
+    # The surviving trial stays registered so steps 2-3 compile under it;
+    # rolled back if a later probe raises (the gate must not stay open on
+    # a half-calibrated platform).
+
+    # 2. Train-path crossover at N=784 (the flagship grid): BNH ~ 6.4M
+    # (below the v5e cliff) and ~ 20M (above it). The Pallas chains are
+    # already compiled + warm from the budget probe.
     try:
         lo_bnh, hi_bnh = 64 * 784 * H, 200 * 784 * H
-        pallas_lo = pallas_grad(64, 784) < xla_grad(64, 784)
-        pallas_hi = pallas_grad(200, 784) < xla_grad(200, 784)
+        pallas_lo = timed(*pallas_chains[0]) < timed(*warm(xla_grad_chain(64, 784)))
+        pallas_hi = timed(*pallas_chains[1]) < timed(*warm(xla_grad_chain(200, 784)))
         if pallas_lo and pallas_hi:
             fused_min = lo_bnh // 2
         elif pallas_hi:
@@ -967,14 +985,16 @@ def calibrate(verbose: bool = False) -> KernelTuning:
         if verbose:
             print(f"calibrate: fused_min_bnh = {fused_min}")
 
-        # 3. Forward crossover at a pad-free 512k-element shape. The chain
+        # 3. Forward crossover at a pad-free 1M-element shape — clearly
+        # ABOVE the v5e 512k knee (probing AT the knee is a coin flip: the
+        # round-4 tunnel run measured 972 vs 974 us at 512k). The chain
         # feeds a [B, L] slice of the [B, N] output back into z.
-        grid_f, phi_f, dx_f, sc_f, z_f = batch(32, 16384)
+        grid_f, phi_f, dx_f, sc_f, z_f = batch(64, 16384)
         L_f = z_f.shape[-1]
-        t_xla = timed_chain(lambda zc: zc + 1e-9 * _xla_forward(
-            grid_f, phi_f, dx_f, sc_f, zc, *w, "tanh", True)[:, :L_f], z_f)
-        t_pal = timed_chain(lambda zc: zc + 1e-9 * _fwd(
-            grid_f, phi_f, dx_f, sc_f, zc, *w)[:, :L_f], z_f)
+        t_xla = timed(*warm(chain(lambda zc: zc + 1e-9 * _xla_forward(
+            grid_f, phi_f, dx_f, sc_f, zc, *w, "tanh", True)[:, :L_f], z_f)))
+        t_pal = timed(*warm(chain(lambda zc: zc + 1e-9 * _fwd(
+            grid_f, phi_f, dx_f, sc_f, zc, *w)[:, :L_f], z_f)))
         fwd_max = (1 << 19) if t_pal < t_xla else float("inf")
         if verbose:
             print(f"calibrate: xla_fwd_max_bn = {fwd_max} "
