@@ -124,6 +124,15 @@ def convergence_gap(epochs=80, topks=(1, 2, 3)):
 
     rows = []
     for topk in (0,) + tuple(topks):
+        # Warm the compile cache with a THROWAWAY model + loader first (the
+        # pipelined segment dispatch caps scans at 5-epoch segments, so a
+        # 5-epoch warm run compiles every shape the timed run needs).
+        # Without this the timed run absorbs a multi-minute remote compile
+        # on tunneled devices and the steps/s column is meaningless.
+        warm_m = pv.models.jiVAE(DATA, latent_dim=2, discrete_dim=K,
+                                 invariances=["r"], seed=1, enum_topk=topk)
+        pv.trainers.SVItrainer(warm_m).run(
+            pv.utils.init_dataloader(x_train, batch_size=BATCH), 5)
         m = pv.models.jiVAE(DATA, latent_dim=2, discrete_dim=K,
                             invariances=["r"], seed=1, enum_topk=topk)
         loader = pv.utils.init_dataloader(x_train, batch_size=BATCH)

@@ -23,7 +23,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..utils.data import DataLoader
+from ..utils.data import DataLoader, apply_batch_scale
 from ..utils.nn import average_weights
 from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin  # noqa: F401 — PIPELINE_SEGMENT re-exported for back-compat
 
@@ -168,16 +168,20 @@ class auxSVItrainer(SegmentedRunsMixin):
         # static per epoch, so it is precomputed as a boolean mask and the
         # scan body wraps the supervised update in lax.cond.
         def epoch(params, opt_state, aux_opt_state, rng, xu, sup_arrays,
-                  idx_u, w_u, idx_s, w_s, sup_mask, sup_j, beta, aux_mult):
+                  idx_u, w_u, idx_s, w_s, sup_mask, sup_j, beta, aux_mult,
+                  uscales=None, sscales=None):
             def body(carry, inp):
                 params, opt_state, aux_opt_state = carry
                 bidx, bw, sb, sw, do_sup, step = inp
-                x = jnp.take(xu, bidx, axis=0)
+                x = apply_batch_scale((jnp.take(xu, bidx, axis=0),),
+                                      uscales)[0]
                 rng_u = jax.random.fold_in(rng, 2 * step)
                 params, opt_state, loss = unsup_step(
                     params, opt_state, rng_u, x, bw, beta)
 
-                sup_batch = tuple(jnp.take(a, sb, axis=0) for a in sup_arrays)
+                sup_batch = apply_batch_scale(
+                    tuple(jnp.take(a, sb, axis=0) for a in sup_arrays),
+                    sscales)
                 rng_s = jax.random.fold_in(rng, 2 * step + 1)
 
                 def with_sup(args):
@@ -201,7 +205,8 @@ class auxSVItrainer(SegmentedRunsMixin):
             params, opt_state, aux_opt_state = carry
             return params, opt_state, aux_opt_state, jnp.sum(losses)
 
-        self._epoch_jit = jax.jit(epoch, donate_argnums=(0, 1, 2))
+        self._epoch_jit = jax.jit(epoch, donate_argnums=(0, 1, 2),
+                          static_argnames=("uscales", "sscales"))
 
         # Multi-epoch fused path (mirrors SVItrainer.run): ONE lax.scan over
         # every interleaved step of every epoch, one device dispatch total.
@@ -209,15 +214,18 @@ class auxSVItrainer(SegmentedRunsMixin):
         # annealing runs inside the fused scan, same as SVItrainer.run.
         def run_epochs(params, opt_state, aux_opt_state, xu, sup_arrays,
                        idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within,
-                       betas, aux_mult):
+                       betas, aux_mult, uscales=None, sscales=None):
             def body(carry, inp):
                 params, opt_state, aux_opt_state = carry
                 bidx, bw, sb, sw, do_sup, key, wstep, beta = inp
-                x = jnp.take(xu, bidx, axis=0)
+                x = apply_batch_scale((jnp.take(xu, bidx, axis=0),),
+                                      uscales)[0]
                 rng_u = jax.random.fold_in(key, 2 * wstep)
                 params, opt_state, loss = unsup_step(
                     params, opt_state, rng_u, x, bw, beta)
-                sup_batch = tuple(jnp.take(a, sb, axis=0) for a in sup_arrays)
+                sup_batch = apply_batch_scale(
+                    tuple(jnp.take(a, sb, axis=0) for a in sup_arrays),
+                    sscales)
                 rng_s = jax.random.fold_in(key, 2 * wstep + 1)
 
                 def with_sup(args):
@@ -236,7 +244,8 @@ class auxSVItrainer(SegmentedRunsMixin):
                 (idx_u, w_u, sup_idx, sup_w, sup_mask, keys, within, betas))
             return carry[0], carry[1], carry[2], losses
 
-        self._run_jit = jax.jit(run_epochs, donate_argnums=(0, 1, 2))
+        self._run_jit = jax.jit(run_epochs, donate_argnums=(0, 1, 2),
+                        static_argnames=("uscales", "sscales"))
 
         # run_epochs + the per-epoch val metric INSIDE the fused dispatch
         # (the aux analogue of SVItrainer's run(test_loader=)): scan over
@@ -249,7 +258,8 @@ class auxSVItrainer(SegmentedRunsMixin):
 
         def run_epochs_val(params, opt_state, aux_opt_state, xu, sup_arrays,
                            idx_u, w_u, sup_idx, sup_w, sup_mask, keys, betas,
-                           aux_mult, val_arrays, vidx, vw):
+                           aux_mult, val_arrays, vidx, vw, uscales=None,
+                           sscales=None, vscales=None):
             steps = jnp.arange(idx_u.shape[1])
 
             def epoch_body(carry, inp):
@@ -259,12 +269,14 @@ class auxSVItrainer(SegmentedRunsMixin):
                 def body(carry, binp):
                     params, opt_state, aux_opt_state = carry
                     bidx, bw, sb, sw, do_sup, wstep = binp
-                    x = jnp.take(xu, bidx, axis=0)
+                    x = apply_batch_scale((jnp.take(xu, bidx, axis=0),),
+                                          uscales)[0]
                     rng_u = jax.random.fold_in(key, 2 * wstep)
                     params, opt_state, loss = unsup_step(
                         params, opt_state, rng_u, x, bw, beta)
-                    sup_batch = tuple(jnp.take(a, sb, axis=0)
-                                      for a in sup_arrays)
+                    sup_batch = apply_batch_scale(
+                        tuple(jnp.take(a, sb, axis=0) for a in sup_arrays),
+                        sscales)
                     rng_s = jax.random.fold_in(key, 2 * wstep + 1)
 
                     def with_sup(args):
@@ -285,9 +297,10 @@ class auxSVItrainer(SegmentedRunsMixin):
 
                 def vbody(acc, binp):
                     bidx, bw = binp
-                    xv = jnp.take(val_arrays[0], bidx, axis=0)
+                    xv, yv = apply_batch_scale(
+                        tuple(jnp.take(a, bidx, axis=0) for a in val_arrays),
+                        vscales)
                     xv = xv.reshape(bidx.shape[0], -1)
-                    yv = jnp.take(val_arrays[1], bidx, axis=0)
                     pred = enc_y.apply({"params": params["encoder_y"]}, xv)
                     if classification:
                         hit = (jnp.argmax(pred, -1) == jnp.argmax(yv, -1))
@@ -307,7 +320,9 @@ class auxSVItrainer(SegmentedRunsMixin):
                  vw))
             return params, opt_state, aux_opt_state, tr, te
 
-        self._run_val_jit = jax.jit(run_epochs_val, donate_argnums=(0, 1, 2))
+        self._run_val_jit = jax.jit(
+    run_epochs_val, donate_argnums=(0, 1, 2),
+    static_argnames=("uscales", "sscales", "vscales"))
 
     # ------------------------------------------------------------------
     def _train_chunked_stream(self, loader_unsup, loader_sup, beta,
@@ -359,7 +374,8 @@ class auxSVItrainer(SegmentedRunsMixin):
                     jnp.asarray(sup_idx_rows[start:start + c]),
                     jnp.asarray(sup_w_rows[start:start + c]),
                     jnp.asarray(mask[start:start + c]),
-                    keys, within, betas, aux_mult)
+                    keys, within, betas, aux_mult,
+                    sscales=loader_sup.scale)  # chunk is cast by put_batch
                 losses.append(jnp.sum(ls))
                 if nxt is not None:
                     c, (xu_chunk,) = nxt
@@ -576,7 +592,8 @@ class auxSVItrainer(SegmentedRunsMixin):
         futs = self._run_jit(
             self.model.params, self.opt_state, self.aux_opt_state, xu,
             sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"], cat["m"],
-            keys_rep, within, betas, aux_mult)
+            keys_rep, within, betas, aux_mult,
+            uscales=loader_unsup.scale, sscales=loader_sup.scale)
         return futs, nb, unsup_count
 
     # ------------------------------------------------------------------
@@ -721,7 +738,8 @@ class auxSVItrainer(SegmentedRunsMixin):
             self.model.params, self.opt_state, self.aux_opt_state, xu,
             sup_arrays, cat["iu"], cat["wu"], cat["si"], cat["sw"],
             cat["m"], jnp.stack(keys), jnp.stack(epoch_betas), aux_mult,
-            val_arrays, cat["vi"], cat["vw"])
+            val_arrays, cat["vi"], cat["vw"], uscales=loader_unsup.scale,
+            sscales=loader_sup.scale, vscales=loader_val.scale)
         val_norm = (loader_val.dataset_size
                     if self.task == "classification"
                     else cat["vi"].shape[1])
@@ -766,7 +784,8 @@ class auxSVItrainer(SegmentedRunsMixin):
             self.model.params, self.opt_state, self.aux_opt_state, epoch_rng,
             xu, sup_arrays, jnp.asarray(idx_u), jnp.asarray(w_u),
             jnp.asarray(idx_s), jnp.asarray(w_s), jnp.asarray(sup_mask),
-            jnp.asarray(sup_j), beta, aux_mult)
+            jnp.asarray(sup_j), beta, aux_mult,
+            uscales=loader_unsup.scale, sscales=loader_sup.scale)
         self.model.params = params
         self.opt_state = opt_state
         return float(total) / max(unsup_count, 1.0)

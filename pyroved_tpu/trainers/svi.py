@@ -33,7 +33,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..utils.data import DataLoader
+from ..utils.data import DataLoader, apply_batch_scale
 from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin  # noqa: F401 — PIPELINE_SEGMENT re-exported for back-compat
 
 Array = jax.Array
@@ -149,11 +149,13 @@ class SVItrainer(SegmentedRunsMixin):
             def batch_loss(params, rng, batch, weights, beta):
                 return jnp.sum(loss_fn(params, rng, batch, beta) * weights)
 
-        def train_epoch(params, opt_state, rng, arrays, idx, w, beta):
+        def train_epoch(params, opt_state, rng, arrays, idx, w, beta,
+                        scales=None):
             def body(carry, inp):
                 params, opt_state = carry
                 bidx, bw, step = inp
                 batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                batch = apply_batch_scale(batch, scales)
                 batch = self._constrain(batch)
                 bw = self._constrain(bw)
                 step_rng = jax.random.fold_in(rng, step)
@@ -168,10 +170,11 @@ class SVItrainer(SegmentedRunsMixin):
                 body, (params, opt_state), (idx, w, steps))
             return params, opt_state, jnp.sum(losses)
 
-        def eval_epoch(params, rng, arrays, idx, w, beta):
+        def eval_epoch(params, rng, arrays, idx, w, beta, scales=None):
             def body(_, inp):
                 bidx, bw, step = inp
                 batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                batch = apply_batch_scale(batch, scales)
                 batch = self._constrain(batch)
                 step_rng = jax.random.fold_in(rng, step)
                 return None, batch_loss(params, step_rng, batch, self._constrain(bw), beta)
@@ -186,7 +189,8 @@ class SVItrainer(SegmentedRunsMixin):
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        def run_epochs(params, opt_state, arrays, idx, w, keys, within, betas):
+        def run_epochs(params, opt_state, arrays, idx, w, keys, within, betas,
+                       scales=None):
             # Multi-epoch fused path: ONE lax.scan over every step of every
             # epoch — a single device dispatch and a single host sync for
             # the whole run. Profiling shows the per-epoch dispatch + sync
@@ -198,6 +202,7 @@ class SVItrainer(SegmentedRunsMixin):
                 params, opt_state = carry
                 bidx, bw, key, wstep, beta = inp
                 batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                batch = apply_batch_scale(batch, scales)
                 batch = self._constrain(batch)
                 bw = self._constrain(bw)
                 step_rng = jax.random.fold_in(key, wstep)
@@ -212,7 +217,8 @@ class SVItrainer(SegmentedRunsMixin):
             return params, opt_state, losses
 
         def run_epochs_eval(params, opt_state, arrays, idx, w, keys, betas,
-                            tarrays, tidx, tw, tkeys):
+                            tarrays, tidx, tw, tkeys, scales=None,
+                            tscales=None):
             # run_epochs + a per-epoch held-out evaluation INSIDE the fused
             # dispatch: scan over epochs, inner scans over train steps and
             # test batches. Keeps fit(test_data=...) on the single-dispatch
@@ -231,6 +237,7 @@ class SVItrainer(SegmentedRunsMixin):
                     params, opt_state = carry
                     bidx, bw, step = binp
                     batch = tuple(jnp.take(a, bidx, axis=0) for a in arrays)
+                    batch = apply_batch_scale(batch, scales)
                     batch = self._constrain(batch)
                     bw = self._constrain(bw)
                     step_rng = jax.random.fold_in(key, step)
@@ -247,6 +254,7 @@ class SVItrainer(SegmentedRunsMixin):
                 def ebody(_, binp):
                     bidx, bw, step = binp
                     batch = tuple(jnp.take(a, bidx, axis=0) for a in tarrays)
+                    batch = apply_batch_scale(batch, tscales)
                     batch = self._constrain(batch)
                     return None, batch_loss(
                         params, jax.random.fold_in(tkey, step), batch,
@@ -261,11 +269,17 @@ class SVItrainer(SegmentedRunsMixin):
                 (idx, w, keys, betas, tidx, tw, tkeys))
             return params, opt_state, tr, te
 
-        self._train_epoch_jit = jax.jit(train_epoch, donate_argnums=(0, 1))
-        self._run_epochs_eval_jit = jax.jit(run_epochs_eval,
-                                            donate_argnums=(0, 1))
-        self._run_epochs_jit = jax.jit(run_epochs, donate_argnums=(0, 1))
-        self._eval_epoch_jit = jax.jit(eval_epoch)
+        # `scales` / `tscales` are the loaders' scale tuples (hashable),
+        # static so narrow-dtype residency recompiles per normalization
+        self._train_epoch_jit = jax.jit(train_epoch, donate_argnums=(0, 1),
+                                        static_argnames=("scales",))
+        self._run_epochs_eval_jit = jax.jit(
+            run_epochs_eval, donate_argnums=(0, 1),
+            static_argnames=("scales", "tscales"))
+        self._run_epochs_jit = jax.jit(run_epochs, donate_argnums=(0, 1),
+                                       static_argnames=("scales",))
+        self._eval_epoch_jit = jax.jit(eval_epoch,
+                                       static_argnames=("scales",))
         self._train_step_jit = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step_jit = jax.jit(batch_loss)
 
@@ -380,7 +394,8 @@ class SVItrainer(SegmentedRunsMixin):
         self.rng, epoch_rng = jax.random.split(self.rng)
         params, self.opt_state, total = self._train_epoch_jit(
             self.model.params, self.opt_state, epoch_rng,
-            train_loader.device_arrays, jnp.asarray(idx), jnp.asarray(w), beta)
+            train_loader.device_arrays, jnp.asarray(idx), jnp.asarray(w),
+            beta, scales=train_loader.scale)
         self.model.params = params
         return float(total) / train_loader.dataset_size
 
@@ -493,7 +508,7 @@ class SVItrainer(SegmentedRunsMixin):
         betas = jnp.repeat(jnp.stack(epoch_betas), nb, axis=0)  # per step
         return self._run_epochs_jit(
             self.model.params, self.opt_state, train_loader.device_arrays,
-            idx, w, keys_rep, within, betas)
+            idx, w, keys_rep, within, betas, scales=train_loader.scale)
 
     # ------------------------------------------------------------------
     # SegmentedRunsMixin hooks (the shared machinery lives in
@@ -605,7 +620,8 @@ class SVItrainer(SegmentedRunsMixin):
             jnp.asarray(np.stack(idx_l)), jnp.asarray(np.stack(w_l)),
             jnp.stack(keys), jnp.stack(epoch_betas),
             test_loader.device_arrays, jnp.asarray(np.stack(tidx_l)),
-            jnp.asarray(np.stack(tw_l)), jnp.stack(tkeys))
+            jnp.asarray(np.stack(tw_l)), jnp.stack(tkeys),
+            scales=train_loader.scale, tscales=test_loader.scale)
 
     def evaluate(self, test_loader: DataLoader, **kwargs) -> float:
         """Loss over a held-out set with NO parameter updates
@@ -632,7 +648,8 @@ class SVItrainer(SegmentedRunsMixin):
         self.rng, epoch_rng = jax.random.split(self.rng)
         total = self._eval_epoch_jit(
             self.model.params, epoch_rng, test_loader.device_arrays,
-            jnp.asarray(idx), jnp.asarray(w), beta)
+            jnp.asarray(idx), jnp.asarray(w), beta,
+            scales=test_loader.scale)
         return float(total) / test_loader.dataset_size
 
     def step(self, train_loader: DataLoader,

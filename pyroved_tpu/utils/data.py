@@ -30,6 +30,19 @@ def _dev_cast_scale(a: jax.Array, s: jax.Array) -> jax.Array:
     return a.astype(jnp.float32) * s
 
 
+def apply_batch_scale(batch, scales):
+    """f32-cast + scale the entries of a gathered batch whose loader
+    carries ``scale=`` (narrow-dtype RESIDENT storage: the dataset stays
+    e.g. uint8 in HBM — 4x the capacity — and each batch normalizes inside
+    the training scan, where XLA fuses the convert+multiply into the
+    step). Identity for ``scales=None``. Traceable; trainers pass
+    ``scales`` as a static jit argument (a hashable tuple)."""
+    if scales is None:
+        return batch
+    return tuple(b if s is None else b.astype(jnp.float32) * jnp.float32(s)
+                 for b, s in zip(batch, scales))
+
+
 class DataLoader:
     """Mini-batch loader, device-resident by default.
 
@@ -93,16 +106,20 @@ class DataLoader:
     # -- fast path -----------------------------------------------------------
     @property
     def device_arrays(self) -> Tuple[jax.Array, ...]:
-        """The full dataset on device (uploaded once, cached). With
-        ``scale`` set the upload carries the host dtype and the cast+scale
-        runs on device, same as the streaming paths."""
+        """The full dataset on device (uploaded once, cached). Arrays with
+        a ``scale`` entry stay in their NARROW host dtype on device (a
+        uint8 dataset occupies 1/4 the HBM of its f32 form — residency
+        extends to ~4x-of-HBM logical datasets before streaming is
+        needed); trainers normalize each gathered batch inside the
+        training scan via :func:`apply_batch_scale` (bitwise-identical
+        training: the per-element cast+multiply is the same op either
+        way)."""
         if self._device_arrays is None:
-            if self.scale is not None:
-                self._device_arrays = self.put_batch(self._host)
-            else:
-                self._device_arrays = tuple(
-                    jnp.asarray(a, jnp.float32 if np.issubdtype(a.dtype, np.floating) else None)
-                    for a in self._host)
+            scale = self.scale or (None,) * len(self._host)
+            self._device_arrays = tuple(
+                jax.device_put(a) if s is not None else
+                jnp.asarray(a, jnp.float32 if np.issubdtype(a.dtype, np.floating) else None)
+                for a, s in zip(self._host, scale))
         return self._device_arrays
 
     def put_batch(self, host_arrays) -> Tuple[jax.Array, ...]:
@@ -166,7 +183,8 @@ class DataLoader:
             dev = self.device_arrays
             for start in range(0, self.dataset_size, self.batch_size):
                 sl = jnp.asarray(order[start:start + self.batch_size])
-                yield tuple(jnp.take(a, sl, axis=0) for a in dev)
+                yield apply_batch_scale(
+                    tuple(jnp.take(a, sl, axis=0) for a in dev), self.scale)
         else:
             from ..native import gather_rows
             for start in range(0, self.dataset_size, self.batch_size):

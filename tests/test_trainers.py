@@ -892,13 +892,16 @@ def test_uint8_wire_scale_matches_f32_training():
     u8 = rng.integers(0, 256, (52,) + DATA_2D).astype(np.uint8)
     f32 = (u8.astype(np.float32) / 255.0)
 
-    def run(data, resident, chunks=0, **kw):
+    def run(data, resident, chunks=0, fused=0, **kw):
         m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
         t = SVItrainer(m, seed=9)
         loader = init_dataloader(data, batch_size=16, seed=3,
                                  device_resident=resident,
                                  stream_chunks=chunks, **kw)
-        losses = [t.train(loader) for _ in range(2)]
+        if fused:
+            losses = list(np.asarray(t.run(loader, fused)))
+        else:
+            losses = [t.train(loader) for _ in range(2)]
         return losses, m.params
 
     l_ref, p_ref = run(f32, True)
@@ -909,6 +912,64 @@ def test_uint8_wire_scale_matches_f32_training():
                         jax.tree_util.tree_leaves(p_u8)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-6, atol=1e-7)
+    # the fused multi-epoch run() gathers from the NARROW resident array
+    # and normalizes inside the scan — same trajectory as fused f32
+    l_ref_f, p_ref_f = run(f32, True, fused=2)
+    l_u8_f, p_u8_f = run(u8, True, fused=2, scale=1.0 / 255.0)
+    np.testing.assert_allclose(l_ref_f, l_u8_f, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref_f),
+                    jax.tree_util.tree_leaves(p_u8_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-7)
+
+
+def test_uint8_resident_storage_stays_narrow():
+    """With scale= the device-RESIDENT dataset keeps its uint8 dtype in
+    HBM (1/4 the footprint — residency extends to ~4x-of-HBM logical
+    datasets); batches normalize inside the training scan, and iteration
+    yields normalized f32 batches."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (32,) + DATA_2D).astype(np.uint8)
+    dl = init_dataloader(u8, batch_size=16, scale=1.0 / 255.0)
+    assert dl.device_arrays[0].dtype == jnp.uint8
+    xb, = next(iter(dl))
+    assert xb.dtype == jnp.float32 and float(xb.max()) <= 1.0
+    m = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=7)
+    t = SVItrainer(m, seed=9)
+    t.run(dl, 2)
+    assert dl.device_arrays[0].dtype == jnp.uint8  # still narrow after use
+    assert np.isfinite(t.loss_history["training_loss"]).all()
+
+
+def test_uint8_scale_auxsvi_matches_f32():
+    """auxSVItrainer with uint8+scale loaders (unsup AND labeled signal)
+    matches pre-converted f32 training exactly."""
+    from pyroved_tpu.models import ssiVAE
+    from pyroved_tpu.trainers import auxSVItrainer
+    rng = np.random.default_rng(5)
+    u8_u = rng.integers(0, 256, (48,) + DATA_2D).astype(np.uint8)
+    u8_l = rng.integers(0, 256, (16,) + DATA_2D).astype(np.uint8)
+    y = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 16)]
+    s = np.float32(1.0 / 255.0)
+    f32_u, f32_l = u8_u.astype(np.float32) * s, u8_l.astype(np.float32) * s
+
+    def run(xu, xl, **kw):
+        m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3, seed=7)
+        t = auxSVItrainer(m, seed=9)
+        lu = init_dataloader(xu, batch_size=16, seed=3, **kw)
+        ls = init_dataloader(xl, y, batch_size=8, seed=4,
+                             **({"scale": (kw["scale"], None)} if kw else {}))
+        losses = list(np.asarray(t.run(lu, ls, 2)))
+        return losses, m.params
+
+    l_ref, p_ref = run(f32_u, f32_l)
+    l_u8, p_u8 = run(u8_u, u8_l, scale=float(s))
+    np.testing.assert_allclose(l_ref, l_u8, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_u8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-7)
 
 
 def test_wire_scale_tuple_leaves_labels_untouched():
@@ -922,12 +983,16 @@ def test_wire_scale_tuple_leaves_labels_untouched():
     y = rng.normal(size=(8, 3)).astype(np.float32)
     dl = DataLoader(u8, y, batch_size=4, shuffle=False, scale=1 / 255.0)
     xb, yb = dl.device_arrays
-    assert xb.dtype == jnp.float32 and float(xb.max()) <= 1.0
+    # resident storage stays NARROW; normalization rides the batch gather
+    assert xb.dtype == jnp.uint8
     np.testing.assert_array_equal(np.asarray(yb), y)
+    xb_n, yb_n = next(iter(dl))
+    assert xb_n.dtype == jnp.float32 and float(xb_n.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(yb_n), y[:4])
     dl2 = DataLoader(u8, y, batch_size=4, shuffle=False,
                      scale=(1 / 255.0, 2.0))
-    _, yb2 = dl2.device_arrays
-    np.testing.assert_allclose(np.asarray(yb2), 2.0 * y, rtol=1e-7)
+    _, yb2 = next(iter(dl2))
+    np.testing.assert_allclose(np.asarray(yb2), 2.0 * y[:4], rtol=1e-7)
     # streaming batches go through the same transform
     dl3 = DataLoader(u8, y, batch_size=4, shuffle=False,
                      device_resident=False, scale=1 / 255.0)
