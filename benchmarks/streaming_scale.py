@@ -10,6 +10,11 @@ Variants measured (same model, same batch size, steps/s over one pass):
 
   resident   device-resident scan-epoch path on a small slice (the upper
              bound the streaming path is judged against)
+  resident_u8 the FULL dataset resident in HBM as uint8 (narrow-dtype
+             residency, DataLoader(scale=1/255): the 4.4 GB-as-f32
+             dataset occupies 1.1 GB on device; batches normalize inside
+             the training scan) — out-of-core-class data at resident
+             speed, one upload total
   sync       DataLoader(device_resident=False): gather_rows + upload per
              step, no overlap
   prefetch   same + utils.data.prefetch (GIL-releasing producer thread)
@@ -84,7 +89,30 @@ def main(argv=None):
     pv.utils.profiling.enable_compilation_cache()
 
     data = build_memmap(args.file, args.rows)
+    u8_path = args.file.replace(".npy", "_u8.npy")
+    if not os.path.exists(u8_path):
+        out = np.lib.format.open_memmap(
+            u8_path, mode="w+", dtype=np.uint8, shape=(args.rows,) + DATA_DIM)
+        rng = np.random.default_rng(0)
+        for s in range(0, args.rows, 50_000):
+            e = min(s + 50_000, args.rows)
+            out[s:e] = rng.integers(0, 256, (e - s,) + DATA_DIM, dtype=np.uint8)
+        out.flush()
+        del out
+    data_u8 = np.load(u8_path, mmap_mode="r")
     results = {}
+
+    # narrow-dtype residency: upload the FULL uint8 dataset FIRST, before
+    # any training epoch can trigger the transfer-degradation pathology —
+    # on a healthy wire this is the one H2D the whole run needs
+    loader_u8r = pv.utils.init_dataloader(data_u8, batch_size=BATCH,
+                                          scale=1.0 / 255.0)
+    t0 = time.perf_counter()
+    loader_u8r.device_arrays[0].block_until_ready()
+    up = time.perf_counter() - t0
+    print(f"  (resident_u8 one-time upload: {args.rows * 784 / 1e9:.2f} GB "
+          f"uint8 in {up:.1f}s = {args.rows * 784 / 1e9 / up:.2f} GB/s)",
+          flush=True)
 
     # resident reference on a 10k slice (flagship-scale residency)
     model = pv.models.iVAE(DATA_DIM, latent_dim=2, invariances=["r"], seed=1)
@@ -99,6 +127,16 @@ def main(argv=None):
     def fresh():
         m = pv.models.iVAE(DATA_DIM, latent_dim=2, invariances=["r"], seed=1)
         return pv.trainers.SVItrainer(m)
+
+    # full-dataset narrow residency: a 7000-step epoch gathered from the
+    # resident uint8 array, normalized inside the scan — zero wire traffic
+    tr = fresh()
+    tr.train(loader_u8r)  # compile (first epoch)
+    t0 = time.perf_counter()
+    tr.train(loader_u8r)
+    results["resident_u8"] = loader_u8r.num_batches / (time.perf_counter() - t0)
+    print(f"  (resident_u8: {results['resident_u8']:.1f} steps/s over the "
+          f"full {args.rows}-row epoch)", flush=True)
 
     tr = fresh()
     _steps_per_sec(tr, batches_sync(data, 60), 50)  # compile streaming step
@@ -128,17 +166,6 @@ def main(argv=None):
     # (DataLoader(scale=1/255)): the wire carries 1/4 the bytes per batch —
     # the round-4 mitigation for wire-bound transports (see the
     # transfer-degradation verdict in docs/PERFORMANCE.md)
-    u8_path = args.file.replace(".npy", "_u8.npy")
-    if not os.path.exists(u8_path):
-        out = np.lib.format.open_memmap(
-            u8_path, mode="w+", dtype=np.uint8, shape=(args.rows,) + DATA_DIM)
-        rng = np.random.default_rng(0)
-        for s in range(0, args.rows, 50_000):
-            e = min(s + 50_000, args.rows)
-            out[s:e] = rng.integers(0, 256, (e - s,) + DATA_DIM, dtype=np.uint8)
-        out.flush()
-        del out
-    data_u8 = np.load(u8_path, mmap_mode="r")
     tr = fresh()
     loader = pv.utils.init_dataloader(
         data_u8, batch_size=BATCH, device_resident=False, stream_chunks=64,

@@ -163,16 +163,20 @@ class ss_reg_iVAE(baseVAE):
     # ------------------------------------------------------------------
     def fit(self, X_unsup, labeled, val=None, epochs: int = 100,
             batch_size: int = 100, lr: float = 5e-4, verbose: bool = False,
-            trainer=None, **kwargs):
-        """Semi-supervised regression training convenience (see ssiVAE.fit)."""
+            trainer=None, data_scale=None, **kwargs):
+        """Semi-supervised regression training convenience (see ssiVAE.fit;
+        ``data_scale=`` as in ``baseVAE.fit``)."""
         from ..trainers.auxsvi import auxSVItrainer
         from ..utils.data import init_ssvae_dataloaders
         Xl, yl = labeled
+        self._check_data_scale(X_unsup, data_scale)
+        self._check_data_scale(Xl, data_scale)
         Xv, yv = val if val is not None else (Xl, yl)
         yl = np.asarray(yl, np.float32).reshape(len(yl), -1)
         yv = np.asarray(yv, np.float32).reshape(len(yv), -1)
         loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
-                                         batch_size=batch_size)
+                                         batch_size=batch_size,
+                                         scale=data_scale)
         # Trainer-level kwargs reach the internal auxSVItrainer (see
         # ssiVAE.fit); step kwargs pass through to each epoch.
         tkw = {k: kwargs.pop(k) for k in

@@ -218,13 +218,18 @@ class ssiVAE(baseVAE):
     # ------------------------------------------------------------------
     def fit(self, X_unsup, labeled, val=None, epochs: int = 100,
             batch_size: int = 100, lr: float = 5e-4, verbose: bool = False,
-            trainer=None, **kwargs):
+            trainer=None, data_scale=None, **kwargs):
         """Semi-supervised training convenience: ``labeled`` is ``(X, y)``
         (y one-hot or class indices), ``val`` an optional ``(X, y)`` pair.
-        Returns the auxSVItrainer (``history`` has loss and accuracy/MSE)."""
+        Returns the auxSVItrainer (``history`` has loss and accuracy/MSE).
+        ``data_scale=s`` trains on raw integer images directly (kept
+        narrow on device, normalized by ``s`` inside the scans) — see
+        ``baseVAE.fit``."""
         from ..trainers.auxsvi import auxSVItrainer
         from ..utils.data import init_ssvae_dataloaders
         Xl, yl = labeled
+        self._check_data_scale(X_unsup, data_scale)
+        self._check_data_scale(Xl, data_scale)
         yl = jnp.asarray(self._as_f32(yl))
         if yl.ndim < 2 and self.task == "classification":
             yl = to_onehot(yl, self.num_classes)
@@ -234,7 +239,8 @@ class ssiVAE(baseVAE):
         if yv.ndim < 2 and self.task == "classification":
             yv = to_onehot(yv, self.num_classes)
         loaders = init_ssvae_dataloaders(X_unsup, (Xl, yl), (Xv, yv),
-                                         batch_size=batch_size)
+                                         batch_size=batch_size,
+                                         scale=data_scale)
         # Trainer-level kwargs (mesh DP, auto-checkpoint, JSONL logging, …)
         # reach the internal auxSVItrainer; the rest (scale_factor,
         # aux_loss_multiplier, sup_period) go to each step.

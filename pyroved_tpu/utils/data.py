@@ -77,7 +77,9 @@ class DataLoader:
         the FIRST (signal) array only; pass a tuple with one entry per
         array (``None`` = untouched) for per-array control. Training on
         ``DataLoader(u8, scale=1/255)`` matches training on the
-        pre-converted f32 data bitwise (same values after the cast)."""
+        pre-converted f32 data to a few ULPs (same cast+multiply values;
+        XLA may fuse them into the step's FMAs, so isolated elements can
+        round differently — regression-tested at rtol=2e-6)."""
         if not arrays:
             raise ValueError("At least one data array is required")
         host = [as_numpy(a) for a in arrays]

@@ -569,3 +569,51 @@ def test_enum_topk_validation():
                  enum_topk=0).enum_topk == 0
     assert ssiVAE(DATA_2D, latent_dim=2, num_classes=3,
                   enum_topk=None).enum_topk == 0
+
+
+# ---------------------------------------------------------------------------
+# fit(data_scale=): raw-integer convenience (round 4)
+# ---------------------------------------------------------------------------
+
+def test_fit_data_scale_matches_prenormalized():
+    """fit(u8, data_scale=1/255) trains identically to fit(u8/255.) and
+    keeps the dataset uint8-resident (visible via the trainer's loaders
+    only indirectly — we assert the parameter trajectory)."""
+    from pyroved_tpu.models import iVAE
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (40,) + DATA_2D).astype(np.uint8)
+    f32 = u8.astype(np.float32) * np.float32(1 / 255.0)
+
+    m1 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=3)
+    t1 = m1.fit(f32, epochs=2, batch_size=20, seed=5)
+    m2 = iVAE(DATA_2D, latent_dim=2, invariances=["r"], seed=3)
+    t2 = m2.fit(u8, epochs=2, batch_size=20, seed=5, data_scale=1 / 255.0)
+    np.testing.assert_allclose(t1.loss_history["training_loss"],
+                               t2.loss_history["training_loss"], rtol=1e-6)
+    # few-ULP tolerance: the scale program fuses the convert+multiply into
+    # downstream FMAs, so isolated elements round differently
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=5e-7)
+
+
+def test_fit_integer_data_without_scale_rejected():
+    from pyroved_tpu.models import iVAE
+    u8 = np.zeros((16,) + DATA_2D, np.uint8)
+    m = iVAE(DATA_2D, latent_dim=2, invariances=None, seed=0)
+    with pytest.raises(ValueError, match="data_scale"):
+        m.fit(u8, epochs=1, batch_size=8)
+
+
+def test_ssivae_fit_data_scale():
+    rng = np.random.default_rng(12)
+    u8u = rng.integers(0, 256, (32,) + DATA_2D).astype(np.uint8)
+    u8l = rng.integers(0, 256, (12,) + DATA_2D).astype(np.uint8)
+    yl = rng.integers(0, 3, 12)
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3, seed=1)
+    t = m.fit(u8u, (u8l, yl), epochs=2, batch_size=8,
+              data_scale=1 / 255.0)
+    assert np.isfinite(t.history["training_loss"]).all()
+    with pytest.raises(ValueError, match="data_scale"):
+        m.fit(u8u, (u8l, yl), epochs=1, batch_size=8)
