@@ -63,10 +63,17 @@ class iVAEConfig:
 @dataclass(frozen=True)
 class jiVAEConfig(iVAEConfig):
     discrete_dim: int = 2
+    enum_topk: int = 0
+
+    def __post_init__(self):
+        super().__post_init__()
+        _validate_enum_topk(self.enum_topk, self.discrete_dim, "discrete_dim")
 
     def build(self) -> "models.jiVAE":
         kw = _clean(self)
         kw.pop("c_dim", None)
+        if not kw.get("enum_topk"):
+            kw.pop("enum_topk", None)
         if kw.get("dy_prior") is None:
             kw.pop("dy_prior", None)
         return models.jiVAE(**kw)
@@ -76,10 +83,17 @@ class jiVAEConfig(iVAEConfig):
 class ssiVAEConfig(iVAEConfig):
     num_classes: int = 2
     hidden_dim_cls: Optional[Tuple[int, ...]] = None
+    enum_topk: int = 0
+
+    def __post_init__(self):
+        super().__post_init__()
+        _validate_enum_topk(self.enum_topk, self.num_classes, "num_classes")
 
     def build(self) -> "models.ssiVAE":
         kw = _clean(self)
         kw.pop("c_dim", None)
+        if not kw.get("enum_topk"):
+            kw.pop("enum_topk", None)
         if kw.get("dy_prior") is None:
             kw.pop("dy_prior", None)
         return models.ssiVAE(**kw)
@@ -163,3 +177,12 @@ def _validate_invariances(data_dim, invariances):
 def _validate_choice(name, value, choices):
     if value not in choices:
         raise ValueError(f"{name} must be one of {choices}, got {value!r}")
+
+
+def _validate_enum_topk(enum_topk, num_branches, bound_name):
+    # mirrors the model-side check (models/jivae.py:70, ssivae.py:65) so a
+    # bad CLI job file fails at config parse, not model build
+    if enum_topk and not 1 <= enum_topk <= num_branches:
+        raise ValueError(
+            f"enum_topk must be 0 (exact) or in [1, {bound_name}="
+            f"{num_branches}], got {enum_topk}")

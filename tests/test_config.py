@@ -41,6 +41,20 @@ def test_jivae_ssivae_ssreg_ved_configs_build():
     assert m.z_dim == 2
 
 
+def test_enum_topk_config_field():
+    m = jiVAEConfig(data_dim=(8, 8), discrete_dim=5, enum_topk=2).build()
+    assert m.enum_topk == 2
+    m = ssiVAEConfig(data_dim=(8, 8), num_classes=4, enum_topk=3).build()
+    assert m.enum_topk == 3
+    # default 0 = exact enumeration, not forwarded as a kwarg
+    m = jiVAEConfig(data_dim=(8, 8), discrete_dim=5).build()
+    assert m.enum_topk == 0
+    with pytest.raises(ValueError):
+        jiVAEConfig(data_dim=(8, 8), discrete_dim=3, enum_topk=4)
+    with pytest.raises(ValueError):
+        ssiVAEConfig(data_dim=(8, 8), num_classes=3, enum_topk=-1)
+
+
 def test_train_config_defaults():
     t = TrainConfig()
     assert t.lr == 1e-3 and t.batch_size == 100
