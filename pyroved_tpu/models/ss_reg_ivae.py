@@ -1,11 +1,11 @@
 """Semi-supervised regression VAE (ss_reg_iVAE).
 
 TPU-native rebuild of the reference ss_reg_iVAE
-(``pyroved/models/ss_reg_ivae.py:454-776``): the continuous-label analogue of
+(``pyroved/models/ss_reg_ivae.py:24-346``): the continuous-label analogue of
 ssiVAE. The y-prior is N(0, regressor_sig) (default 0.5,
-``ss_reg_ivae.py:577``, ``:615-617``); the guide samples
+``ss_reg_ivae.py:147``, ``:185-187``); the guide samples
 y ~ N(encoder_y(x), regressor_sig) for unlabeled data
-(``ss_reg_ivae.py:635-637``) — a single reparameterized draw, matching
+(``ss_reg_ivae.py:205-207``) — a single reparameterized draw, matching
 Pyro's Trace_ELBO (no enumeration for continuous labels,
 ``trainers/auxsvi.py:73-75``).
 """
@@ -27,7 +27,7 @@ Array = jax.Array
 
 class ss_reg_iVAE(baseVAE):
     """Semi-supervised invariant VAE for regression
-    (reference: ``models/ss_reg_ivae.py:536-584``)."""
+    (reference: ``models/ss_reg_ivae.py:106-154``)."""
 
     def __init__(
         self,
@@ -97,7 +97,7 @@ class ss_reg_iVAE(baseVAE):
     def loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
                 beta: Array) -> Array:
         """Per-example negative ELBO (reference model/guide:
-        ``ss_reg_ivae.py:586-642``). Labeled (x, y): y observed under the
+        ``ss_reg_ivae.py:156-212``). Labeled (x, y): y observed under the
         N(0, reg_sig) prior. Unlabeled (x,): y ~ q(y|x) sampled and scored
         against prior and guide. Averaged over ``num_particles`` estimates."""
         return self._particle_loss(self._loss_single, params, rng, batch, beta)
@@ -149,7 +149,7 @@ class ss_reg_iVAE(baseVAE):
                     aux_loss_multiplier: Array) -> Array:
         """Auxiliary supervised objective:
         -mult * log N(y; encoder_y(x), reg_sig) on labeled data
-        (reference: ``ss_reg_ivae.py:656-670``)."""
+        (reference: ``ss_reg_ivae.py:226-240``)."""
         if len(batch) < 2:
             return jnp.zeros(batch[0].shape[0])
         x, ys = batch[0], batch[1]
@@ -200,7 +200,7 @@ class ss_reg_iVAE(baseVAE):
 
     def set_regressor(self, reg_net) -> None:
         """Injects a user-defined regressor (reference:
-        ``ss_reg_ivae.py:678-682``)."""
+        ``ss_reg_ivae.py:248-252``)."""
         self.encoder_y_net = reg_net
         flat = int(np.prod(self.out_shape))
         reg_vars = reg_net.init(self.next_rng(), jnp.zeros((1, flat), jnp.float32))
@@ -208,7 +208,7 @@ class ss_reg_iVAE(baseVAE):
         self._reg_jit = None
 
     def regressor(self, x_new, **kwargs) -> Array:
-        """Predicted continuous labels (reference: ``ss_reg_ivae.py:684-708``)."""
+        """Predicted continuous labels (reference: ``ss_reg_ivae.py:254-278``)."""
         x = self._as_f32(x_new).reshape(len(x_new), -1)
         if self._reg_jit is None:
             self._reg_jit = jax.jit(
@@ -220,7 +220,7 @@ class ss_reg_iVAE(baseVAE):
 
     def encode(self, x_new, y=None, **kwargs):
         """(z_loc, z_scale, y); y predicted by the regressor when missing
-        (reference: ``ss_reg_ivae.py:710-734``)."""
+        (reference: ``ss_reg_ivae.py:280-304``)."""
         x = self._as_f32(x_new).reshape(len(x_new), -1)
         if y is None:
             y = self.regressor(x_new, **kwargs)
@@ -234,7 +234,7 @@ class ss_reg_iVAE(baseVAE):
 
     def decode(self, z, y, **kwargs) -> Array:
         """Decode (content latents, continuous labels)
-        (reference: ``ss_reg_ivae.py:736-747``)."""
+        (reference: ``ss_reg_ivae.py:306-317``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_loc(z, coords, **kwargs)
@@ -242,7 +242,7 @@ class ss_reg_iVAE(baseVAE):
 
     def manifold2d(self, d: int, y, plot: bool = True, **kwargs) -> Array:
         """Latent manifold conditioned on a continuous vector y
-        (reference: ``ss_reg_ivae.py:749-776``). ``which_dims``/``z_fixed``
+        (reference: ``ss_reg_ivae.py:319-346``). ``which_dims``/``z_fixed``
         select the swept plane when ``latent_dim > 2``."""
         which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)

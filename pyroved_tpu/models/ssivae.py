@@ -1,7 +1,7 @@
 """Semi-supervised classification VAE (ssiVAE, Kingma M2-style).
 
 TPU-native rebuild of the reference ssiVAE
-(``pyroved/models/ssivae.py:355-713``). Three networks: q(z|x,y) encoder,
+(``pyroved/models/ssivae.py:26-384``). Three networks: q(z|x,y) encoder,
 q(y|x) classifier, p(x|z,y) decoder. For unlabeled data the reference
 enumerates y with ``TraceEnum_ELBO`` (``trainers/auxsvi.py:69-72``); here the
 exact class marginalization is explicit: each of the K enumerated branches
@@ -29,7 +29,7 @@ Array = jax.Array
 
 class ssiVAE(baseVAE):
     """Semi-supervised invariant VAE for classification
-    (reference: ``models/ssivae.py:435-480``)."""
+    (reference: ``models/ssivae.py:106-151``)."""
 
     def __init__(
         self,
@@ -137,8 +137,8 @@ class ssiVAE(baseVAE):
     def loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
                 beta: Array) -> Array:
         """Per-example negative ELBO. Labeled batches (x, y): y observed in
-        the model (``ssivae.py:519``). Unlabeled batches (x,): exact
-        enumeration over classes (reference guide ``ssivae.py:527-544`` under
+        the model (``ssivae.py:190``). Unlabeled batches (x,): exact
+        enumeration over classes (reference guide ``ssivae.py:198-215`` under
         ``config_enumerate``). Averaged over ``num_particles`` estimates."""
         return self._particle_loss(self._loss_single, params, rng, batch, beta)
 
@@ -206,7 +206,7 @@ class ssiVAE(baseVAE):
     def aux_loss_fn(self, params, rng: Array, batch: Tuple[Array, ...],
                     aux_loss_multiplier: Array) -> Array:
         """Auxiliary supervised objective: -mult * log q(y|x) on labeled
-        data; zero otherwise (reference: ``ssivae.py:558-577``)."""
+        data; zero otherwise (reference: ``ssivae.py:229-248``)."""
         if len(batch) < 2:
             return jnp.zeros(batch[0].shape[0])
         x, ys = batch[0], batch[1]
@@ -267,7 +267,7 @@ class ssiVAE(baseVAE):
 
     def set_classifier(self, cls_net) -> None:
         """Injects a user-defined classifier module; parameters re-initialized
-        (reference: ``ssivae.py:579-583``)."""
+        (reference: ``ssivae.py:250-254``)."""
         self.encoder_y_net = cls_net
         flat = int(np.prod(self.out_shape))
         cls_vars = cls_net.init(self.next_rng(), jnp.zeros((1, flat), jnp.float32))
@@ -275,7 +275,7 @@ class ssiVAE(baseVAE):
         self._cls_jit = None
 
     def classifier(self, x_new, **kwargs) -> Array:
-        """Predicted class indices (reference: ``ssivae.py:585-609``)."""
+        """Predicted class indices (reference: ``ssivae.py:256-280``)."""
         x = self._as_f32(x_new).reshape(len(x_new), -1)
         if self._cls_jit is None:
             self._cls_jit = jax.jit(
@@ -288,7 +288,7 @@ class ssiVAE(baseVAE):
 
     def encode(self, x_new, y=None, **kwargs):
         """(z_loc, z_scale, predicted classes); classes from the classifier
-        when labels are missing (reference: ``ssivae.py:611-636``)."""
+        when labels are missing (reference: ``ssivae.py:282-307``)."""
         x = self._as_f32(x_new).reshape(len(x_new), -1)
         if y is None:
             y_idx = self.classifier(x_new, **kwargs)
@@ -305,7 +305,7 @@ class ssiVAE(baseVAE):
 
     def decode(self, z, y, **kwargs) -> Array:
         """Decode (content latents, one-hot classes)
-        (reference: ``ssivae.py:638-649``)."""
+        (reference: ``ssivae.py:309-320``)."""
         z = jnp.concatenate([self._as_f32(z), self._as_f32(y)], axis=-1)
         coords = self.fixed_transform_grid(**kwargs)
         loc = self._decode_loc(z, coords, **kwargs)
@@ -313,7 +313,7 @@ class ssiVAE(baseVAE):
 
     def manifold2d(self, d: int, plot: bool = True, **kwargs) -> Array:
         """Latent manifold for a class picked via ``label`` kwarg
-        (reference: ``ssivae.py:651-679``). ``which_dims``/``z_fixed``
+        (reference: ``ssivae.py:322-350``). ``which_dims``/``z_fixed``
         select the swept plane when ``latent_dim > 2``."""
         which, zfix = kwargs.pop("which_dims", None), kwargs.pop("z_fixed", None)
         z, (grid_x, grid_y) = generate_latent_grid(d, **kwargs)
@@ -337,7 +337,7 @@ class ssiVAE(baseVAE):
     def manifold_traversal(self, d: int, cont_idx: int, cont_idx_fixed: int = 0,
                            plot: bool = True, **kwargs) -> Array:
         """Joint traversal over classes and one continuous latent
-        (reference: ``ssivae.py:681-713``)."""
+        (reference: ``ssivae.py:352-384``)."""
         num_samples = d ** 2
         cont_dim = self.z_dim - self.coord
         samples_cont, samples_disc = generate_latent_grid_traversal(
