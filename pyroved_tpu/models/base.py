@@ -36,6 +36,10 @@ def _aux_fit_step_loop(trainer, loaders, epochs, verbose, kwargs):
     patience = kwargs.pop("patience", None)
     min_delta = float(kwargs.pop("min_delta", 0.0))
     on_segment = kwargs.pop("on_segment", None)
+    if kwargs.pop("enum_schedule", None) is not None:
+        raise ValueError(
+            "enum_schedule= rides the fused run path; it is not supported "
+            "with verbose=True — call trainer.run(..., enum_schedule=E).")
     if hasattr(trainer, "stopped_early"):
         trainer.stopped_early = False  # same reset contract as run()
     sign = -1.0 if getattr(trainer, "task", "") == "classification" else 1.0
@@ -105,6 +109,23 @@ class baseVAE:
             self.sc_prior = jnp.asarray(float(kwargs.get("sc_prior", 0.1)), jnp.float32)
         else:
             self.sc_prior = None
+
+        # Pixel-axis partitioned TRAINING (SURVEY.md section 5: the
+        # sequence-parallel analogue for this family is the H*W pixel grid).
+        # pixel_chunks=k: the reconstruction term is computed by an
+        # in-device lax.scan over k grid tiles with per-tile remat, bounding
+        # the decoder's [B, N, H] activation working set to [B, N/k, H] —
+        # large grids (512x512 = 262k pixels) train where the naive path
+        # would exceed HBM. parallel.spatial.shard_pixels() instead shards
+        # the pixel axis over a mesh axis (shard_map + psum).
+        self.pixel_chunks = int(kwargs.get("pixel_chunks", 0) or 0)
+        if self.pixel_chunks and self.coord == 0:
+            raise ValueError(
+                "pixel_chunks requires a spatial decoder (invariances=...); "
+                "models without a coordinate grid have no pixel axis to "
+                "partition")
+        self._pixel_mesh = None
+        self._pixel_axis = None
 
         # Populated by subclasses
         self.encoder_net = None
@@ -220,6 +241,142 @@ class baseVAE:
         s = jnp.asarray(kwargs.get("scale", 1.0), jnp.float32)
         coords = transform_coordinates(self.grid[None], a[None], t, s[None])
         return coords[0]
+
+    # ------------------------------------------------------------------
+    # Pixel-axis partitioned reconstruction (training path)
+    # ------------------------------------------------------------------
+    def _pixel_mode(self) -> Optional[str]:
+        """Active pixel-partitioning mode for the training-path recon:
+        'shard' (mesh axis via :func:`parallel.spatial.shard_pixels`),
+        'chunk' (in-device ``lax.scan`` over grid tiles, ``pixel_chunks=k``),
+        or None (the default full-grid paths)."""
+        if getattr(self, "_pixel_mesh", None) is not None:
+            return "shard"
+        if int(getattr(self, "pixel_chunks", 0) or 0) > 1:
+            return "chunk"
+        return None
+
+    def _tile_loc(self, params, grid_t: Array, phi, dx, sc, zc: Array) -> Array:
+        """Training-path spatial decode against an arbitrary grid slice
+        ``grid_t [n, D]``, routed fused/XLA with the same shape-aware gate
+        as the full-grid loss path (per-tile ``n`` feeds the gate)."""
+        rows = int(np.prod(zc.shape[:-1]))
+        if getattr(self, "_fused", False):
+            from ..ops.spatial_decoder import (apply_fused_sdecoder,
+                                               fused_profitable)
+            if fused_profitable(rows, int(grid_t.shape[0]), self._dec_hmax):
+                return apply_fused_sdecoder(
+                    params["decoder"], grid_t, phi, dx, sc, zc,
+                    self._dec_act, self._dec_sig)
+        coords = transform_coordinates(
+            jnp.broadcast_to(grid_t, zc.shape[:-1] + grid_t.shape),
+            phi, dx[..., None, :], sc)
+        return self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
+
+    def _padded_pixel_arrays(self, xp: Array, multiple: int):
+        """Zero-pad the grid, a pixel mask, and the per-pixel observations
+        so the pixel count divides ``multiple``. ``xp`` is
+        ``[batch..., N]`` (C == 1) or ``[batch..., N, C]``."""
+        N, D = self.grid.shape
+        pad = (-N) % multiple
+        grid = self.grid
+        mask = jnp.ones((N,), jnp.float32)
+        if pad:
+            grid = jnp.concatenate([grid, jnp.zeros((pad, D), grid.dtype)])
+            mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+            pix_ax = -1 if self.channels == 1 else -2
+            widths = [(0, 0)] * xp.ndim
+            widths[pix_ax] = (0, pad)
+            xp = jnp.pad(xp, widths)
+        return grid, mask, xp
+
+    def _recon_pixel_parallel(self, params, phi, dx, sc, zc: Array,
+                              xf: Array) -> Array:
+        """Reconstruction term ``log p(x | decode(z))`` summed over pixels,
+        with the PIXEL axis partitioned (see :meth:`_pixel_mode`). Exact:
+        the observation log-density factorizes over pixels, so partial
+        per-tile/per-shard sums reproduce the full-grid term.
+
+        ``xf`` is ``[..., N*C]`` observations broadcastable to ``zc``'s
+        batch dims (particle/enumeration axes included); returns
+        ``[batch...]``."""
+        C = self.channels
+        N = self.grid.shape[0]
+        batch = zc.shape[:-1]
+        xf = jnp.broadcast_to(xf, batch + xf.shape[-1:])
+        xp = xf.reshape(batch + ((N, C) if C > 1 else (N,)))
+        if self._pixel_mode() == "shard":
+            return self._recon_pixel_sharded(params, phi, dx, sc, zc, xp)
+        return self._recon_pixel_chunked(params, phi, dx, sc, zc, xp)
+
+    def _recon_pixel_chunked(self, params, phi, dx, sc, zc, xp) -> Array:
+        """In-device pixel chunking: ``lax.scan`` over ``pixel_chunks`` grid
+        tiles with the tile body rematerialized (``jax.checkpoint``), so the
+        backward pass holds ONE tile's ``[B, N/k, H]`` activations at a time
+        instead of the full ``[B, N, H]`` working set."""
+        k = int(self.pixel_chunks)
+        C = self.channels
+        grid, mask, xp = self._padded_pixel_arrays(xp, k)
+        D = grid.shape[1]
+        tile = grid.shape[0] // k
+        grids = grid.reshape(k, tile, D)
+        masks = mask.reshape(k, tile)
+        batch = zc.shape[:-1]
+        # chunk axis to the front for the scan: [k, batch..., tile(, C)]
+        if C == 1:
+            xt = jnp.moveaxis(xp.reshape(batch + (k, tile)), -2, 0)
+        else:
+            xt = jnp.moveaxis(xp.reshape(batch + (k, tile, C)), -3, 0)
+
+        def tile_recon(grid_t, x_t, m_t):
+            loc = self._tile_loc(params, grid_t, phi, dx, sc, zc)
+            lp = self.sampler_d.log_prob(x_t, loc)
+            if C > 1:
+                lp = jnp.sum(lp, axis=-1)
+            return jnp.sum(lp * m_t, axis=-1)
+
+        tile_recon = jax.checkpoint(tile_recon)
+
+        def body(acc, inp):
+            g, x, m = inp
+            return acc + tile_recon(g, x, m), None
+
+        init = jnp.zeros(batch, xp.dtype if jnp.issubdtype(xp.dtype, jnp.floating)
+                         else jnp.float32)
+        recon, _ = jax.lax.scan(body, init, (grids, xt, masks))
+        return recon
+
+    def _recon_pixel_sharded(self, params, phi, dx, sc, zc, xp) -> Array:
+        """Pixel-SHARDED recon: ``shard_map`` over the mesh axis set by
+        :func:`parallel.spatial.shard_pixels`. Each device decodes its grid
+        shard (pixels are independent given z — no ring communication), the
+        per-example partial log-probs ``psum`` over the axis, and the
+        transpose rule psums the replicated decoder-weight grads — the
+        sequence-parallel training step for this model family."""
+        from jax.sharding import PartitionSpec as P
+        mesh, axis = self._pixel_mesh, self._pixel_axis
+        C = self.channels
+        grid, mask, xp = self._padded_pixel_arrays(xp, int(mesh.shape[axis]))
+        batch = zc.shape[:-1]
+        nb = len(batch)
+        x_spec = P(*([None] * nb), axis, *([None] if C > 1 else []))
+        rep = P()
+
+        def local(grid_s, m_s, x_s, phi, dx, sc, zc, dec):
+            coords = transform_coordinates(
+                jnp.broadcast_to(grid_s, batch + grid_s.shape),
+                phi, dx[..., None, :], sc)
+            loc = self.decoder_net.apply({"params": dec}, coords, zc)
+            lp = self.sampler_d.log_prob(x_s, loc)
+            if C > 1:
+                lp = jnp.sum(lp, axis=-1)
+            return jax.lax.psum(jnp.sum(lp * m_s, axis=-1), axis)
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), x_spec, rep, rep, rep, rep, rep),
+            out_specs=rep)
+        return f(grid, mask, xp, phi, dx, sc, zc, params["decoder"])
 
     # ------------------------------------------------------------------
     # Multi-sample ELBO (Pyro Trace_ELBO num_particles analog)
@@ -363,7 +520,15 @@ class baseVAE:
         0..255 values silently diverges, so make the fix discoverable."""
         import numpy as _np
         dt = getattr(X, "dtype", None)
-        if (data_scale is None and dt is not None
+        if dt is None:
+            # dtype-less inputs (Python lists of ints, nested sequences)
+            # materialize exactly as the DataLoader will see them, so raw
+            # integers cannot sneak past the guard in list form
+            try:
+                dt = _np.asarray(X).dtype
+            except Exception:
+                return
+        if (data_scale is None
                 and _np.issubdtype(_np.dtype(dt), _np.integer)):
             raise ValueError(
                 f"fit() got integer data (dtype {dt}) without data_scale=. "
@@ -396,6 +561,11 @@ class baseVAE:
         """
         from ..trainers.svi import SVItrainer
         from ..utils.data import DataLoader, init_dataloader
+        # enum_schedule=E (discrete-latent models with enum_topk): exact
+        # enumeration for the first E epochs, then the configured top-k
+        # truncation — most of truncation's speedup without its
+        # early-training bias (trainers/_segmented.py _run_enum_schedule).
+        enum_schedule = kwargs.pop("enum_schedule", None)
         if isinstance(X, DataLoader):
             loader = X
         else:
@@ -410,6 +580,10 @@ class baseVAE:
             else:
                 tarrs = (test_data if isinstance(test_data, tuple)
                          else (test_data,))
+                # held-out data gets the same raw-integer guard as X: a
+                # uint8 test set with data_scale=None would silently score
+                # the held-out loss on 0..255 values and skew early stopping
+                self._check_data_scale(tarrs[0], data_scale)
                 test_loader = init_dataloader(*tarrs, batch_size=batch_size,
                                               scale=data_scale)
         if trainer is not None and kwargs:
@@ -438,9 +612,16 @@ class baseVAE:
                 run_kwargs.update(patience=patience, min_delta=min_delta)
             if on_segment is not None:
                 run_kwargs.update(on_segment=on_segment)
+            if enum_schedule is not None:
+                run_kwargs.update(enum_schedule=enum_schedule)
             trainer.run(loader, int(epochs), scale_factor=scale_factor,
                         **run_kwargs)
             return trainer
+        if enum_schedule is not None:
+            raise ValueError(
+                "enum_schedule= rides the fused run path; it is not "
+                "supported with verbose=True or custom trainers lacking "
+                "run() — call trainer.run(..., enum_schedule=E) directly.")
         if hasattr(trainer, "stopped_early"):
             trainer.stopped_early = False  # same reset contract as run()
         best, best_epoch = float("inf"), trainer.current_epoch

@@ -124,13 +124,20 @@ class iVAE(baseVAE):
             if y is not None:
                 y = jnp.broadcast_to(y, (P,) + y.shape)
         z, latent_term = normal_latent_site(rng, mu, sig, beta, self.kl_mode)
-        if self.coord > 0 and self._fused_for_batch(np.prod(z.shape[:-1])):
+        if self.coord > 0 and self._pixel_mode():
+            phi, dx, sc, zc = self.split_latent_full(z)
+            if y is not None:
+                zc = jnp.concatenate([zc, y], axis=-1)
+            recon = self._recon_pixel_parallel(params, phi, dx, sc, zc, xf)
+        elif self.coord > 0 and self._fused_for_batch(np.prod(z.shape[:-1])):
             from ..ops.spatial_decoder import apply_fused_sdecoder
             phi, dx, sc, zc = self.split_latent_full(z)
             if y is not None:
                 zc = jnp.concatenate([zc, y], axis=-1)
             loc = apply_fused_sdecoder(params["decoder"], self.grid, phi, dx,
                                        sc, zc, self._dec_act, self._dec_sig)
+            recon = obs_site(self.sampler_d, xf,
+                             loc.reshape(z.shape[:-1] + (-1,)))
         else:
             coords, zc = self.transformed_grid(z)
             if y is not None:
@@ -139,7 +146,8 @@ class iVAE(baseVAE):
                 loc = self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
             else:
                 loc = self.decoder_net.apply({"params": params["decoder"]}, zc)
-        recon = obs_site(self.sampler_d, xf, loc.reshape(z.shape[:-1] + (-1,)))
+            recon = obs_site(self.sampler_d, xf,
+                             loc.reshape(z.shape[:-1] + (-1,)))
         per_example = -(recon + latent_term)
         return per_example.mean(0) if P > 1 else per_example
 
@@ -194,6 +202,7 @@ class iVAE(baseVAE):
         kernel; otherwise this weights ``loss_fn``."""
         fast = (getattr(self, "one_pass_train", False)
                 and self.coord > 0 and self.num_particles == 1
+                and self._pixel_mode() is None
                 and self._fused_for_batch(batch[0].shape[0])
                 and self.channels == 1  # one-pass kernel head is 1-channel
                 and self.sampler_d.name == "bernoulli" and self._dec_sig

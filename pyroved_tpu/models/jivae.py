@@ -198,6 +198,24 @@ class jiVAE(baseVAE):
             out = out[..., 0]
         return jax.nn.sigmoid(out) if self._dec_sig else out
 
+    def _enum_recon_pp(self, params, z: Array, onehots: Array,
+                       xf: Array) -> Array:
+        """Per-branch reconstruction term ``[K_eff, B]`` with the pixel axis
+        partitioned (see ``baseVAE._pixel_mode``): the enumerated branches
+        ride as a leading batch dim, so neither the ``[K, B, N, H]``
+        activations nor the ``[K, B, N]`` branch locs ever materialize in
+        full."""
+        K = onehots.shape[0]
+        phi, dx, sc, zc = self.split_latent_full(z)
+        zc_k = jnp.concatenate(
+            [jnp.broadcast_to(zc, (K,) + zc.shape), onehots], axis=-1)
+        return self._recon_pixel_parallel(
+            params,
+            jnp.broadcast_to(phi, (K,) + phi.shape),
+            jnp.broadcast_to(dx, (K,) + dx.shape),
+            jnp.broadcast_to(sc, (K,) + sc.shape),
+            zc_k, xf[None])
+
     def _loss_single(self, params, rng: Array, batch: Tuple[Array, ...],
                      beta: Array) -> Array:
         x = batch[0]
@@ -221,15 +239,25 @@ class jiVAE(baseVAE):
             w_top = a_top / jnp.sum(a_top, axis=-1, keepdims=True)
             eye = jnp.eye(K, dtype=xf.dtype)
             onehots = jnp.transpose(eye[idx], (1, 0, 2))       # [kk, B, K]
-            _, _, loc = self._enum_decode(
-                params, z, self._fused_for_batch(kk * z.shape[0]),
-                onehots=onehots)
-            recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(kk, B, -1))
+            if self.coord > 0 and self._pixel_mode():
+                recon_k = self._enum_recon_pp(params, z, onehots, xf)
+            else:
+                _, _, loc = self._enum_decode(
+                    params, z, self._fused_for_batch(kk * z.shape[0]),
+                    onehots=onehots)
+                recon_k = obs_site(self.sampler_d, xf[None],
+                                   loc.reshape(kk, B, -1))
             recon = jnp.sum(w_top.T * recon_k, axis=0)
         else:
-            _, _, loc = self._enum_decode(
-                params, z, self._fused_for_batch(K * z.shape[0]))
-            recon_k = obs_site(self.sampler_d, xf[None], loc.reshape(K, B, -1))  # [K,B]
+            if self.coord > 0 and self._pixel_mode():
+                eye = jnp.eye(K, dtype=xf.dtype)
+                onehots = jnp.broadcast_to(eye[:, None, :], (K, B, K))
+                recon_k = self._enum_recon_pp(params, z, onehots, xf)
+            else:
+                _, _, loc = self._enum_decode(
+                    params, z, self._fused_for_batch(K * z.shape[0]))
+                recon_k = obs_site(self.sampler_d, xf[None],
+                                   loc.reshape(K, B, -1))  # [K,B]
             recon = jnp.sum(alpha.T * recon_k, axis=0)  # E_q(k|x)[log p(x|z,k)]
         return -(recon + latent_term + disc_term)
 

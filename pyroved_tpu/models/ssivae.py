@@ -118,6 +118,11 @@ class ssiVAE(baseVAE):
             lat = -jnp.sum(normal_kl(mu, sig), axis=-1)
         else:
             lat = jnp.sum(std_normal_log_prob(z) - normal_log_prob(z, mu, sig), -1)
+        if self.coord > 0 and self._pixel_mode():
+            phi, dx, sc, zc = self.split_latent_full(z)
+            zy = jnp.concatenate([zc, ys], axis=-1)
+            recon = self._recon_pixel_parallel(params, phi, dx, sc, zy, xf)
+            return recon + beta * lat
         if self.coord > 0 and self._fused_for_batch(np.prod(xf.shape[:-1])):
             from ..ops.spatial_decoder import apply_fused_sdecoder
             phi, dx, sc, zc = self.split_latent_full(z)

@@ -933,25 +933,35 @@ def calibrate(verbose: bool = False) -> KernelTuning:
     # — the round-3 probe validated budgets with small forced tiles and
     # let the crossover compile OOM at 32 MB on a 16 MB-scoped platform.
     vmem, pallas_chains = _CONSERVATIVE_TUNING.vmem_budget, None
-    for budget in (32, 24, 16, 12, 8):
-        budget_b = budget * 1024 * 1024
-        DEVICE_TUNINGS[_device_kind()] = KernelTuning(
-            vmem_budget=budget_b, xla_fwd_max_bn=float("inf"),
-            pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
-        try:
-            trial_chains = (warm(pallas_grad_chain(64, 784)),
-                            warm(pallas_grad_chain(200, 784)))
-            # The pre-grad-act config must fit under the budget too: its
-            # captured act'(pre) stacks carry the largest per-row footprint
-            # (v5e's hand-measured 16 MB budget was set by a gelu one-pass
-            # scoped-VMEM OOM, not by tanh — _select_tiles docstring).
-            warm(pallas_grad_chain(200, 784, act="gelu"))
-            vmem, pallas_chains = budget_b, trial_chains
-            break
-        except Exception as e:  # compile/VMEM failure: shrink and retry
-            if verbose:
-                print(f"calibrate: {budget} MB budget failed "
-                      f"({type(e).__name__})")
+    try:
+        for budget in (32, 24, 16, 12, 8):
+            budget_b = budget * 1024 * 1024
+            DEVICE_TUNINGS[_device_kind()] = KernelTuning(
+                vmem_budget=budget_b, xla_fwd_max_bn=float("inf"),
+                pallas_fwd_max_pad=1.1, fused_min_bnh=float("inf"))
+            try:
+                trial_chains = (warm(pallas_grad_chain(64, 784)),
+                                warm(pallas_grad_chain(200, 784)))
+                # The pre-grad-act config must fit under the budget too: its
+                # captured act'(pre) stacks carry the largest per-row footprint
+                # (v5e's hand-measured 16 MB budget was set by a gelu one-pass
+                # scoped-VMEM OOM, not by tanh — _select_tiles docstring).
+                warm(pallas_grad_chain(200, 784, act="gelu"))
+                vmem, pallas_chains = budget_b, trial_chains
+                break
+            except Exception as e:  # compile/VMEM failure: shrink and retry
+                if verbose:
+                    print(f"calibrate: {budget} MB budget failed "
+                          f"({type(e).__name__})")
+    except BaseException:
+        # an interrupt mid-probe (e.g. KeyboardInterrupt) must not leave an
+        # UNVALIDATED trial budget registered — same rollback contract as
+        # the step-2/3 block below
+        if prior is not None:
+            DEVICE_TUNINGS[_device_kind()] = prior
+        else:
+            DEVICE_TUNINGS.pop(_device_kind(), None)
+        raise
     if verbose:
         print(f"calibrate: vmem_budget = {vmem // (1024*1024)} MB")
     if pallas_chains is None:  # kernel unusable here: keep the prior entry

@@ -13,6 +13,40 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_pixels(model, mesh: Mesh, axis: str = "pixels"):
+    """Enable pixel-SHARDED training on ``model``: every training-path
+    reconstruction term is computed by a ``shard_map`` over ``mesh``'s
+    ``axis`` — each device decodes its shard of the coordinate grid, the
+    per-example partial log-probs ``psum`` over the axis, and the decoder
+    weight gradients are psum-reduced by the transpose rule. Exact: the
+    observation log-density factorizes over pixels (the grid is padded and
+    masked when N does not divide the axis size).
+
+    The memory win is the sequence-parallel one: the decoder's
+    ``[B, N, H]`` activation working set shrinks to ``[B, N/n_axis, H]``
+    per device, so grids whose naive working set exceeds one chip's HBM
+    train across the mesh. Composes with the trainers' ``mesh=`` data
+    parallelism (distinct axes of the same mesh).
+
+    Pass ``mesh=None`` to disable and return to the full-grid paths.
+    In-device alternative: construct the model with ``pixel_chunks=k``
+    (a ``lax.scan`` over grid tiles with per-tile remat — same working-set
+    bound on ONE chip, trading FLOPs in the backward).
+    """
+    if mesh is None:
+        model._pixel_mesh = None
+        model._pixel_axis = None
+        return model
+    if getattr(model, "coord", 0) == 0:
+        raise ValueError(
+            "shard_pixels requires a spatial decoder (invariances=...)")
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+    model._pixel_mesh = mesh
+    model._pixel_axis = axis
+    return model
+
+
 def pixel_sharded_decode(model, z, mesh: Mesh, axis: str = "data"):
     """Decode content latents with the coordinate grid sharded over
     ``axis``. Numerically identical to ``model.decode`` (the grid transform
