@@ -156,12 +156,18 @@ class TrainConfig:
     grad_accum: int = 1  # optax.MultiSteps accumulation (both trainers)
     patience: Optional[int] = None  # early stop (requires test_data)
     min_delta: float = 0.0
+    # exact enumeration for the first N epochs, then the model's enum_topk
+    # truncation (discrete-latent models; trainers' run(enum_schedule=))
+    enum_schedule: Optional[int] = None
 
     def __post_init__(self):
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
         if self.patience is not None and self.patience < 1:
             raise ValueError(f"patience must be >= 1, got {self.patience}")
+        if self.enum_schedule is not None and self.enum_schedule < 0:
+            raise ValueError(
+                f"enum_schedule must be >= 0, got {self.enum_schedule}")
 
 
 def _validate_invariances(data_dim, invariances):

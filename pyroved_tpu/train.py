@@ -60,7 +60,7 @@ _JOB_KEYS = {"model", "model_config", "train", "data", "labels",
              "val_data", "checkpoint_path", "checkpoint_every", "log_file",
              "save_weights", "export_path"}
 _TRAIN_KEYS = {"lr", "epochs", "batch_size", "scale_factor", "seed",
-               "grad_accum", "patience", "min_delta"}
+               "grad_accum", "patience", "min_delta", "enum_schedule"}
 
 
 def run_job(job: dict) -> dict:
@@ -101,6 +101,8 @@ def run_job(job: dict) -> dict:
         run_kw = {"scale_factor": tc.scale_factor, "loader_val": loaders[2]}
         if tc.patience is not None:  # monitors the val metric
             run_kw.update(patience=tc.patience, min_delta=tc.min_delta)
+        if tc.enum_schedule is not None:
+            run_kw.update(enum_schedule=tc.enum_schedule)
         # fused multi-epoch dispatch; self-segments for log/checkpoint work
         trainer.run(loaders[0], loaders[1], tc.epochs, **run_kw)
         summary["training_loss"] = trainer.history["training_loss"][-1]
@@ -138,6 +140,8 @@ def run_job(job: dict) -> dict:
                 raise ValueError('"patience" needs "test_data" (the early '
                                  "stop monitors the held-out loss)")
             run_kw.update(patience=tc.patience, min_delta=tc.min_delta)
+        if tc.enum_schedule is not None:
+            run_kw.update(enum_schedule=tc.enum_schedule)
         # fused multi-epoch dispatch; self-segments for log/checkpoint work
         trainer.run(loader, tc.epochs, **run_kw)
         summary["training_loss"] = trainer.loss_history["training_loss"][-1]

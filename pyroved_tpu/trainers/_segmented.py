@@ -146,6 +146,49 @@ class SegmentedRunsMixin:
         return False, None
 
     # ------------------------------------------------------------------
+    # enumeration scheduling (exact-early -> truncated-late)
+    # ------------------------------------------------------------------
+    def _run_enum_schedule(self, loaders, epochs: int, exact_epochs,
+                           kwargs) -> list:
+        """``run(..., enum_schedule=E)``: train the first ``E`` epochs with
+        EXACT discrete enumeration, then switch to the model's configured
+        ``enum_topk`` truncation for the rest — closing truncation's
+        early-training bias (the guide q(y|x) is near-uniform at init, so
+        top-k drops real probability mass; once it concentrates, the
+        truncated estimator is nearly exact — docs/PERFORMANCE.md
+        "enum_topk"). Implemented as two sub-runs riding the existing
+        segment machinery; the estimator flip recompiles once.
+
+        History/epoch bookkeeping concatenates seamlessly. ``patience=``
+        applies within each phase (the baseline resets at the switch).
+        """
+        model = self.model
+        saved = int(getattr(model, "enum_topk", 0) or 0)
+        if not saved:  # nothing to schedule: the model enumerates exactly
+            return self._seg_sub_run(loaders, int(epochs), dict(kwargs))
+        E = max(0, min(int(exact_epochs), int(epochs)))
+        schedule = kwargs.get("scale_schedule")
+        out = []
+
+        def phase(n, lo):
+            sub = dict(kwargs)
+            if schedule is not None:
+                sub["scale_schedule"] = schedule[lo:lo + n]
+            return self._seg_sub_run(loaders, n, sub)
+
+        if E:
+            model.enum_topk = 0
+            self._invalidate_compiled()
+            try:
+                out += phase(E, 0)
+            finally:
+                model.enum_topk = saved
+                self._invalidate_compiled()
+        if int(epochs) > E and not self.stopped_early:
+            out += phase(int(epochs) - E, E)
+        return out
+
+    # ------------------------------------------------------------------
     # shared host work
     # ------------------------------------------------------------------
     def _copy_state(self, *state):

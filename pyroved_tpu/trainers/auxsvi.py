@@ -106,6 +106,11 @@ class auxSVItrainer(SegmentedRunsMixin):
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
+    def _invalidate_compiled(self):
+        """Force a rebuild of the jitted step functions (the model's loss
+        routing changed — e.g. an ``enum_schedule`` estimator flip)."""
+        self._step_unsup = None
+
     def _ensure_built(self):
         """(Re)compile the jitted steps when needed.
 
@@ -512,6 +517,13 @@ class auxSVItrainer(SegmentedRunsMixin):
                 ``patience`` epochs, checked at fused-segment ends.
                 ``trainer.stopped_early`` records whether it fired.
         """
+        # enum_schedule=E: exact enumeration for the first E epochs, then
+        # the model's enum_topk truncation (see _run_enum_schedule)
+        enum_schedule = kwargs.pop("enum_schedule", None)
+        if enum_schedule is not None:
+            return self._run_enum_schedule((loader_unsup, loader_sup),
+                                           int(epochs), enum_schedule,
+                                           kwargs)
         self._ensure_built()
         handled, result = self._seg_route((loader_unsup, loader_sup),
                                           int(epochs), kwargs)

@@ -116,6 +116,12 @@ class SVItrainer(SegmentedRunsMixin):
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
+    def _invalidate_compiled(self):
+        """Force a rebuild of the jitted epoch/step functions (the model's
+        loss routing changed under us — e.g. an ``enum_schedule`` estimator
+        flip, which is a Python attribute the jit cache cannot see)."""
+        self._train_epoch_jit = None
+
     def _ensure_built(self):
         """(Re)compile the jitted epoch functions when needed.
 
@@ -449,6 +455,12 @@ class SVItrainer(SegmentedRunsMixin):
         # Similarly, epoch_seconds/epoch_times measure drain-to-drain wall
         # time: exact in aggregate, approximate per epoch under pipelining
         # (the first drain absorbs compile + pipeline fill).
+        # enum_schedule=E: exact enumeration for the first E epochs, then
+        # the model's enum_topk truncation (see _run_enum_schedule)
+        enum_schedule = kwargs.pop("enum_schedule", None)
+        if enum_schedule is not None:
+            return self._run_enum_schedule((train_loader,), int(epochs),
+                                           enum_schedule, kwargs)
         handled, result = self._seg_route((train_loader,), int(epochs),
                                           kwargs)
         if handled:

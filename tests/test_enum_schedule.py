@@ -1,0 +1,150 @@
+"""enum_schedule= (VERDICT r4 item 4): exact enumeration for the first E
+epochs, then the model's enum_topk truncation — closing truncation's
+early-training bias while keeping most of its speedup.
+"""
+import jax
+import numpy as np
+import pytest
+
+from pyroved_tpu.models import jiVAE, ssiVAE
+from pyroved_tpu.trainers import SVItrainer, auxSVItrainer
+from pyroved_tpu.utils.data import init_dataloader, init_ssvae_dataloaders
+
+
+def _data(n=60, seed=0):
+    return np.random.RandomState(seed).rand(n, 6, 6).astype(np.float32)
+
+
+def _params_close(a, b, atol=1e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=1e-4)
+
+
+def test_enum_schedule_matches_manual_two_phase():
+    """run(4, enum_schedule=2) must reproduce the manual flip: 2 epochs
+    exact, recompile, 2 epochs truncated — same PRNG chain."""
+    X = _data()
+    m1 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    m2 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t1 = SVItrainer(m1, seed=3)
+    t2 = SVItrainer(m2, seed=3)
+    l1 = init_dataloader(X, batch_size=20, seed=1)
+    l2 = init_dataloader(X, batch_size=20, seed=1)
+
+    sched = t1.run(l1, 4, enum_schedule=2)
+
+    m2.enum_topk = 0
+    t2._invalidate_compiled()
+    manual = t2.run(l2, 2)
+    m2.enum_topk = 2
+    t2._invalidate_compiled()
+    manual += t2.run(l2, 2)
+
+    np.testing.assert_allclose(sched, manual, rtol=1e-6)
+    _params_close(m1.params, m2.params)
+    assert t1.current_epoch == 4
+    assert len(t1.loss_history["training_loss"]) == 4
+
+
+def test_enum_schedule_covering_all_epochs_is_exact():
+    """enum_schedule >= epochs: the whole run is exact enumeration —
+    identical to an enum_topk=0 model (truncation restored afterwards)."""
+    X = _data(seed=1)
+    m_ex = jiVAE((6, 6), 2, 4, ["r"], seed=0)
+    m_sc = jiVAE((6, 6), 2, 4, ["r"], enum_topk=1, seed=0)
+    t_ex = SVItrainer(m_ex, seed=5)
+    t_sc = SVItrainer(m_sc, seed=5)
+    a = t_ex.run(init_dataloader(X, batch_size=20, seed=2), 3)
+    b = t_sc.run(init_dataloader(X, batch_size=20, seed=2), 3,
+                 enum_schedule=10)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    _params_close(m_ex.params, m_sc.params)
+    assert m_sc.enum_topk == 1  # restored
+
+
+def test_enum_schedule_noop_without_topk():
+    X = _data(seed=2)
+    m = jiVAE((6, 6), 2, 3, ["r"], seed=0)  # exact model
+    t = SVItrainer(m, seed=1)
+    out = t.run(init_dataloader(X, batch_size=20), 3, enum_schedule=1)
+    assert len(out) == 3 and all(np.isfinite(out))
+
+
+def test_enum_schedule_slices_scale_schedule():
+    X = _data(seed=3)
+    m1 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    m2 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t1, t2 = SVItrainer(m1, seed=7), SVItrainer(m2, seed=7)
+    sched = [0.25, 0.5, 0.75, 1.0]
+    l1 = init_dataloader(X, batch_size=20, seed=4)
+    l2 = init_dataloader(X, batch_size=20, seed=4)  # ONE loader per trainer:
+    # the shuffle chain must continue across the manual phases exactly as
+    # the scheduled run continues it
+    a = t1.run(l1, 4, enum_schedule=2, scale_schedule=sched)
+    m2.enum_topk = 0
+    t2._invalidate_compiled()
+    b = t2.run(l2, 2, scale_schedule=sched[:2])
+    m2.enum_topk = 2
+    t2._invalidate_compiled()
+    b += t2.run(l2, 2, scale_schedule=sched[2:])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_fit_enum_schedule_jivae():
+    X = _data(seed=4)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    tr = m.fit(X, epochs=4, batch_size=20, enum_schedule=2)
+    assert len(tr.loss_history["training_loss"]) == 4
+    assert all(np.isfinite(tr.loss_history["training_loss"]))
+    assert m.enum_topk == 2
+
+
+def test_fit_enum_schedule_verbose_rejected():
+    X = _data(seed=5)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    with pytest.raises(ValueError, match="enum_schedule"):
+        m.fit(X, epochs=2, batch_size=20, enum_schedule=1, verbose=True)
+
+
+def test_ssivae_fit_enum_schedule():
+    rs = np.random.RandomState(6)
+    Xu = rs.rand(40, 6, 6).astype(np.float32)
+    Xl = rs.rand(12, 6, 6).astype(np.float32)
+    y = np.arange(12) % 3
+    m = ssiVAE((6, 6), 2, 3, ["r"], enum_topk=2, seed=0)
+    tr = m.fit(Xu, (Xl, y), epochs=4, batch_size=6, enum_schedule=2)
+    assert len(tr.history["training_loss"]) == 4
+    assert all(np.isfinite(tr.history["training_loss"]))
+    assert m.enum_topk == 2
+
+
+def test_aux_run_enum_schedule_matches_manual():
+    rs = np.random.RandomState(7)
+    Xu = rs.rand(40, 6, 6).astype(np.float32)
+    Xl = rs.rand(12, 6, 6).astype(np.float32)
+    y = (np.arange(12) % 3).astype(np.int64)
+    import jax.numpy as jnp
+    y1h = jax.nn.one_hot(jnp.asarray(y), 3).astype(jnp.float32)
+
+    def loaders():
+        return init_ssvae_dataloaders(Xu, (Xl, y1h), (Xl, y1h), batch_size=8)
+
+    m1 = ssiVAE((6, 6), 2, 3, ["r"], enum_topk=2, seed=0)
+    m2 = ssiVAE((6, 6), 2, 3, ["r"], enum_topk=2, seed=0)
+    t1 = auxSVItrainer(m1, seed=9)
+    t2 = auxSVItrainer(m2, seed=9)
+    lu1, ls1, _ = loaders()
+    lu2, ls2, _ = loaders()
+
+    a = t1.run(lu1, ls1, 4, enum_schedule=2)
+
+    m2.enum_topk = 0
+    t2._invalidate_compiled()
+    b = t2.run(lu2, ls2, 2)
+    m2.enum_topk = 2
+    t2._invalidate_compiled()
+    b += t2.run(lu2, ls2, 2)
+
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    _params_close(m1.params, m2.params)
