@@ -18,8 +18,14 @@ is comparable to per-step compute time, so overlap has something to hide.
 Also prints the standalone gather time and step time: sync should land near
 (gather + step); an overlapping variant near max(gather, step).
 
+The model is deliberately small (vanilla iVAE, hidden [16]): per-byte-
+gathered compute is ~6*hidden FLOP/element, so hidden=128 buries assembly
+under compute on any device — hidden=16 puts the two at the same order,
+which is exactly the regime a production pipeline (big data rows, cheap
+per-row model, fast accelerator) presents.
+
 Usage: JAX_PLATFORMS=cpu python benchmarks/pipeline_overlap.py
-       [--rows 400000] [--dim 64] [--steps 600]
+       [--rows 150000] [--dim 64] [--steps 300]
 """
 import argparse
 import itertools
@@ -37,7 +43,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import pyroved_tpu as pv  # noqa: E402
 
-BATCH = 200
+BATCH = 512
 
 
 def _steps_per_sec(trainer, stream, n_steps):
@@ -65,18 +71,24 @@ def batches_pipeline(pipe, n_steps):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--rows", type=int, default=150_000)
     ap.add_argument("--dim", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=300)
     args = ap.parse_args(argv)
     dd = (args.dim, args.dim)
+    # ~rows * dim^2 * 4 bytes (150k x 64x64 = 2.4 GB): gathers run from
+    # main memory, not cache — the realistic out-of-core assembly cost.
+    # Fill chunk-wise with random32 bit tricks (rng.uniform on 2.4 GB is
+    # minutes; this is seconds).
+    data = np.empty((args.rows,) + dd, np.float32)
     rng = np.random.default_rng(0)
-    # ~rows * dim^2 * 4 bytes (400k x 64x64 = 6.6 GB): gathers run from
-    # main memory, not cache — the realistic out-of-core assembly cost
-    data = rng.uniform(0, 1, (args.rows,) + dd).astype(np.float32)
+    for s in range(0, args.rows, 20_000):
+        e = min(s + 20_000, args.rows)
+        data[s:e] = rng.random((e - s,) + dd, dtype=np.float32)
 
     def fresh():
-        m = pv.models.iVAE(dd, latent_dim=2, invariances=["r"], seed=1)
+        m = pv.models.iVAE(dd, latent_dim=2, invariances=None,
+                           hidden_dim_e=(16,), hidden_dim_d=(16,), seed=1)
         return pv.trainers.SVItrainer(m)
 
     # -- standalone costs ---------------------------------------------------

@@ -131,6 +131,15 @@ class BatchPipeline:
     unavailable. Only single float32 source arrays are supported; the
     generic multi-array path stays on :class:`~pyroved_tpu.utils.data.DataLoader`'s
     Python iteration.
+
+    NOTE (round 5, docs/PERFORMANCE.md "Native host pipeline"): this class
+    has **no measured end-to-end win on any available runtime** — on the
+    tunneled TPU the wire bounds every streaming variant (40.4 vs 48.0
+    steps/s sync), and on a healthy transport (forced-CPU harness,
+    ``benchmarks/pipeline_overlap.py``) the ring measures 0.92x sync
+    because its worker threads compete with the device's own compute
+    threads. Prefer ``DataLoader(stream_chunks=c)`` or narrow residency
+    (``scale=`` / ``store_dtype=``) for out-of-core data.
     """
 
     def __init__(self, src: np.ndarray, batch_size: int, seed: int = 0,
