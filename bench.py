@@ -82,7 +82,46 @@ def bench_ours(data) -> float:
             log(f"ours (fused run): {n_run * steps_per_epoch / dt:.1f} "
                 f"steps/s ({n_run * steps_per_epoch} steps in {dt:.2f}s)")
     log(f"final loss {trainer.loss_history['training_loss'][-1]:.4f}")
+    bench_large_grid()
     return max(sps, sps_epoch)
+
+
+def bench_large_grid():
+    """Large-grid headline (VERDICT r4 item 6): the kernel's own
+    microbenches say its advantage peaks at large PAD-FREE shapes
+    (ops/spatial_decoder.py: Pallas wins at B*N >= 512k pad-free); this
+    pins a reproducible END-TO-END number there. 128x128 grid (N=16384,
+    pad-free at N_T=512), bs=64, H=128 -> BNH = 134M, ~7x the flagship's
+    per-step work. Fused vs forced-XLA A/B, logged to stderr; recorded in
+    docs/PERFORMANCE.md ("Large-grid fused headline")."""
+    import pyroved_tpu as pv
+    dd, bs, n = (128, 128), 64, 1024
+    rng = np.random.default_rng(1)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, dd[0]), np.linspace(-1, 1, dd[1]),
+                         indexing="ij")
+    cx = rng.uniform(-0.4, 0.4, n)[:, None, None]
+    cy = rng.uniform(-0.4, 0.4, n)[:, None, None]
+    s = rng.uniform(0.05, 0.2, n)[:, None, None]
+    data = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / s).astype(np.float32)
+    results = {}
+    for tag, kw in (("fused", {}), ("forced-XLA", {"fused": False})):
+        m = pv.models.iVAE(dd, latent_dim=LATENT, invariances=["r"],
+                           seed=1, **kw)
+        loader = pv.utils.init_dataloader(data, batch_size=bs)
+        tr = pv.trainers.SVItrainer(m)
+        tr.run(loader, 6)  # compile + warm (same shapes as timed)
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tr.run(loader, 6)
+            best = max(best, 6 * loader.num_batches / (time.perf_counter() - t0))
+        results[tag] = best
+        log(f"large-grid 128x128 bs{bs} ({tag}): {best:.1f} steps/s "
+            f"({best * bs * 16384 / 1e6:.1f}M px/s)")
+    if results.get("forced-XLA"):
+        log(f"large-grid fused/XLA ratio: "
+            f"{results['fused'] / results['forced-XLA']:.2f}x")
+    return results
 
 
 def bench_torch_baseline(data) -> float:
