@@ -183,11 +183,15 @@ def main(argv=None):
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--gap", action="store_true",
                     help="run the enum_topk convergence-gap comparison")
+    ap.add_argument("--sched", type=int, default=10,
+                    help="exact-epoch count for the enum_schedule gap rows")
+    ap.add_argument("--gap-epochs", type=int, default=80)
     args = ap.parse_args(argv)
     pv.utils.profiling.enable_compilation_cache()
     if args.gap:
-        print(f"enum_topk convergence gap (K={K} clustered synthetic):")
-        convergence_gap()
+        print(f"enum_topk convergence gap (K={K} clustered synthetic, "
+              f"{args.gap_epochs} epochs, enum_schedule={args.sched}):")
+        convergence_gap(epochs=args.gap_epochs, schedule=args.sched)
         return 0
     for fam in args.families:
         name, _, tk = fam.partition(":")

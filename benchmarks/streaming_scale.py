@@ -21,7 +21,12 @@ Variants measured (same model, same batch size, steps/s over one pass):
   chunked    DataLoader(stream_chunks=64): c-batch uploads + device scans
   chunked_u8 same from a uint8 memmap with on-device cast+scale
              (DataLoader(scale=1/255)) — 1/4 the wire bytes per batch
+  chunked_bf16 same from the f32 source via store_dtype="bfloat16"
+             (round 5): float-native data at 1/2 the wire bytes
+  resident_bf16 the FULL f32-source dataset resident as bf16 (2.2 GB in
+             HBM instead of 5.6), upcast inside the scan
   pipeline   native.BatchPipeline ring buffer, zero-copy consume
+             (demoted round 5 — see PERFORMANCE.md)
 
 Usage: python benchmarks/streaming_scale.py [--rows 1400000]
        [--steps 2000] [--file /tmp/pvt_stream.npy]
@@ -174,6 +179,37 @@ def main(argv=None):
     t0 = time.perf_counter()
     tr.train(loader)
     results["chunked_u8"] = loader.num_batches / (time.perf_counter() - t0)
+
+    # chunked streaming with the f32 source narrowed to bf16
+    # (DataLoader(store_dtype="bfloat16"), round 5): float-native data at
+    # HALF the wire bytes per batch. NOTE store_dtype casts at loader
+    # construction — the bf16 copy (~2.2 GB here) materializes host-side.
+    tr = fresh()
+    t0 = time.perf_counter()
+    loader = pv.utils.init_dataloader(
+        np.asarray(data, copy=False), batch_size=BATCH,
+        device_resident=False, stream_chunks=64, store_dtype="bfloat16")
+    print(f"  (bf16 host cast of the {args.rows * 784 * 4 / 1e9:.1f} GB "
+          f"source: {time.perf_counter() - t0:.1f}s)", flush=True)
+    tr.train(loader)
+    t0 = time.perf_counter()
+    tr.train(loader)
+    results["chunked_bf16"] = loader.num_batches / (time.perf_counter() - t0)
+
+    # FULL dataset resident as bf16 (the float-native analogue of
+    # resident_u8): 2.2 GB in HBM instead of 5.6, upcast inside the scan
+    loader_bf = pv.utils.init_dataloader(
+        np.asarray(data, copy=False), batch_size=BATCH,
+        store_dtype="bfloat16")
+    t0 = time.perf_counter()
+    loader_bf.device_arrays[0].block_until_ready()
+    print(f"  (resident_bf16 one-time upload: {args.rows * 784 * 2 / 1e9:.2f}"
+          f" GB in {time.perf_counter() - t0:.1f}s)", flush=True)
+    tr = fresh()
+    tr.train(loader_bf)  # compile
+    t0 = time.perf_counter()
+    tr.train(loader_bf)
+    results["resident_bf16"] = loader_bf.num_batches / (time.perf_counter() - t0)
 
     pipe = pv.native.BatchPipeline(np.asarray(data, copy=False), BATCH, seed=2)
     try:
