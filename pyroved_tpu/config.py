@@ -42,6 +42,9 @@ class iVAEConfig:
     kl: str = "mc"
     fused: bool = True
     channels: int = 1
+    # lax.scan over this many grid tiles for the training-path recon
+    # (bounds the [B, N, H] working set; spatial models only; 0 = off)
+    pixel_chunks: int = 0
     extra: Optional[dict] = None
 
     def __post_init__(self):
@@ -52,6 +55,12 @@ class iVAEConfig:
         _validate_choice("kl", self.kl, ("mc", "analytic"))
         if self.channels < 1:
             raise ValueError(f"channels must be >= 1, got {self.channels}")
+        if self.pixel_chunks < 0:
+            raise ValueError(
+                f"pixel_chunks must be >= 0, got {self.pixel_chunks}")
+        if self.pixel_chunks and not self.invariances:
+            raise ValueError(
+                "pixel_chunks requires a spatial decoder (invariances=...)")
 
     def build(self) -> "models.iVAE":
         kw = _clean(self)

@@ -55,6 +55,25 @@ def test_enum_topk_config_field():
         ssiVAEConfig(data_dim=(8, 8), num_classes=3, enum_topk=-1)
 
 
+def test_pixel_chunks_config_field():
+    m = iVAEConfig(data_dim=(8, 8), invariances=("r",), pixel_chunks=4).build()
+    assert m.pixel_chunks == 4 and m._pixel_mode() == "chunk"
+    m = ssiVAEConfig(data_dim=(8, 8), num_classes=3, invariances=("r",),
+                     pixel_chunks=2).build()
+    assert m.pixel_chunks == 2
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(8, 8), pixel_chunks=2)  # no spatial decoder
+    with pytest.raises(ValueError):
+        iVAEConfig(data_dim=(8, 8), invariances=("r",), pixel_chunks=-1)
+
+
+def test_train_config_enum_schedule_field():
+    t = TrainConfig(enum_schedule=5)
+    assert t.enum_schedule == 5
+    with pytest.raises(ValueError):
+        TrainConfig(enum_schedule=-1)
+
+
 def test_train_config_defaults():
     t = TrainConfig()
     assert t.lr == 1e-3 and t.batch_size == 100
