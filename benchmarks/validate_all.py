@@ -146,6 +146,42 @@ def c9():
             assert z.shape == (n, 3)
 
 
+@check("pixel-partitioned training (pixel_chunks) matches full-grid")
+def c11():
+    x = _imgs(48)
+    a = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"], seed=0)
+    b = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"], seed=0,
+                       pixel_chunks=3)
+    ta = a.fit(x, epochs=2, batch_size=16)
+    tb = b.fit(x, epochs=2, batch_size=16)
+    np.testing.assert_allclose(ta.loss_history["training_loss"],
+                               tb.loss_history["training_loss"], rtol=5e-4)
+
+
+@check("narrow data paths (uint8 scale= and bf16 store_dtype=)")
+def c12():
+    rng = np.random.default_rng(3)
+    u8 = (rng.random((48, 12, 12)) * 255).astype(np.uint8)
+    m = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"], seed=0)
+    t = m.fit(u8, epochs=2, batch_size=16, data_scale=1 / 255.0)
+    assert np.isfinite(t.loss_history["training_loss"][-1])
+    f32 = rng.random((48, 12, 12)).astype(np.float32)
+    dl = pv.utils.init_dataloader(f32, batch_size=16, store_dtype="bfloat16")
+    m2 = pv.models.iVAE((12, 12), latent_dim=2, invariances=["r"], seed=0)
+    t2 = m2.fit(dl, epochs=2, batch_size=16)
+    assert np.isfinite(t2.loss_history["training_loss"][-1])
+
+
+@check("enum_schedule (exact-early -> topk-late)")
+def c13():
+    m = pv.models.jiVAE((12, 12), latent_dim=2, discrete_dim=4,
+                        invariances=["r"], enum_topk=2, seed=0)
+    t = m.fit(_imgs(48), epochs=4, batch_size=16, enum_schedule=2)
+    assert len(t.loss_history["training_loss"]) == 4
+    assert all(np.isfinite(t.loss_history["training_loss"]))
+    assert m.enum_topk == 2
+
+
 @check("self-arming blocked validations (auto-skip without pyro/data)")
 def c10():
     # Both scripts must exit 0 whether armed (data/pyro present) or not.
@@ -161,7 +197,7 @@ def c10():
 
 
 if __name__ == "__main__":
-    for fn in (c1, c2, c3, c4, c5, c6, c7, c8, c9, c10):
+    for fn in (c1, c2, c3, c4, c5, c6, c7, c8, c9, c11, c12, c13, c10):
         fn()
     failed = [n for n, ok, _ in RESULTS if not ok]
     print(f"\n{len(RESULTS) - len(failed)}/{len(RESULTS)} checks passed")
