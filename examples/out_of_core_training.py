@@ -9,6 +9,14 @@ last-ulp f32 tolerance (same shuffle, same RNG chain) — switching a
 workflow between resident and out-of-core changes throughput, never the
 model.
 
+Before reaching for streaming at all, check the narrow-residency ladder
+(docs/PERFORMANCE.md "Streaming at scale"): integer sources ride
+``DataLoader(scale=1/255)`` (uint8 in HBM = 1/4 the footprint) and float
+sources ``store_dtype="bfloat16"`` (1/2) — a "4.4 GB" dataset can
+usually just be resident, training ~28x faster than any streaming
+variant on this runtime. Streaming is for data that exceeds even the
+narrowed residency.
+
 Run: python examples/out_of_core_training.py
 """
 import os

@@ -256,22 +256,28 @@ class baseVAE:
             return "chunk"
         return None
 
-    def _tile_loc(self, params, grid_t: Array, phi, dx, sc, zc: Array) -> Array:
+    def _tile_loc_dec(self, dec_params, grid_t: Array, phi, dx, sc,
+                      zc: Array) -> Array:
         """Training-path spatial decode against an arbitrary grid slice
         ``grid_t [n, D]``, routed fused/XLA with the same shape-aware gate
-        as the full-grid loss path (per-tile ``n`` feeds the gate)."""
+        as the full-grid loss path (per-tile ``n`` feeds the gate).
+        Takes the decoder param SUBTREE so it can run inside ``shard_map``
+        bodies as well as the chunked scan."""
         rows = int(np.prod(zc.shape[:-1]))
         if getattr(self, "_fused", False):
             from ..ops.spatial_decoder import (apply_fused_sdecoder,
                                                fused_profitable)
             if fused_profitable(rows, int(grid_t.shape[0]), self._dec_hmax):
                 return apply_fused_sdecoder(
-                    params["decoder"], grid_t, phi, dx, sc, zc,
+                    dec_params, grid_t, phi, dx, sc, zc,
                     self._dec_act, self._dec_sig)
         coords = transform_coordinates(
             jnp.broadcast_to(grid_t, zc.shape[:-1] + grid_t.shape),
             phi, dx[..., None, :], sc)
-        return self.decoder_net.apply({"params": params["decoder"]}, coords, zc)
+        return self.decoder_net.apply({"params": dec_params}, coords, zc)
+
+    def _tile_loc(self, params, grid_t: Array, phi, dx, sc, zc: Array) -> Array:
+        return self._tile_loc_dec(params["decoder"], grid_t, phi, dx, sc, zc)
 
     def _padded_pixel_arrays(self, xp: Array, multiple: int):
         """Zero-pad the grid, a pixel mask, and the per-pixel observations
@@ -363,19 +369,23 @@ class baseVAE:
         rep = P()
 
         def local(grid_s, m_s, x_s, phi, dx, sc, zc, dec):
-            coords = transform_coordinates(
-                jnp.broadcast_to(grid_s, batch + grid_s.shape),
-                phi, dx[..., None, :], sc)
-            loc = self.decoder_net.apply({"params": dec}, coords, zc)
+            # per-shard decode routes through the SAME fused/XLA gate as
+            # every other training path (Pallas inside shard_map runs
+            # per-device on TPU; the per-shard pixel count feeds the gate)
+            loc = self._tile_loc_dec(dec, grid_s, phi, dx, sc, zc)
             lp = self.sampler_d.log_prob(x_s, loc)
             if C > 1:
                 lp = jnp.sum(lp, axis=-1)
             return jax.lax.psum(jnp.sum(lp * m_s, axis=-1), axis)
 
+        # check_vma=False: the per-shard decode may route to the Pallas
+        # kernel, whose pallas_call out_shapes don't carry the varying-
+        # mesh-axes annotation JAX's rep checker wants; the psum above
+        # makes the output genuinely replicated either way.
         f = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(axis, None), P(axis), x_spec, rep, rep, rep, rep, rep),
-            out_specs=rep)
+            out_specs=rep, check_vma=False)
         return f(grid, mask, xp, phi, dx, sc, zc, params["decoder"])
 
     # ------------------------------------------------------------------

@@ -239,6 +239,33 @@ def test_shard_pixels_composes_with_data_parallel():
                                t1.loss_history["training_loss"], rtol=2e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_shard_pixels_fused_kernel_interpret_matches():
+    """The sharded path routes per-shard decodes through the SAME
+    fused/XLA gate as every other training path; force the Pallas kernel
+    (interpret mode on CPU, gate thresholds zeroed) and pin equality with
+    the unsharded loss — the multi-chip analogue of the dryrun's
+    fused-under-GSPMD check."""
+    import pyroved_tpu.ops.spatial_decoder as sd
+    x = jax.random.uniform(jax.random.PRNGKey(3), (4, 8, 8))
+    ref = iVAE((8, 8), 2, ["r", "t"], seed=0)
+    shd = iVAE((8, 8), 2, ["r", "t"], seed=0)
+    shard_pixels(shd, _pixel_mesh(4))
+    l0, _ = _loss_and_grads(ref, (x,))
+    old_interp, old_min = sd.INTERPRET, sd.FUSED_MIN_BNH
+    sd.INTERPRET = True
+    sd.FUSED_MIN_BNH = 0
+    shd._fused = True  # platform gate is off on CPU; force the kernel
+    try:
+        l1, g1 = _loss_and_grads(shd, (x,))
+    finally:
+        sd.INTERPRET = old_interp
+        sd.FUSED_MIN_BNH = old_min
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(g1))
+
+
 def test_pixel_chunks_composes_with_trainer_remat():
     X = np.random.RandomState(3).rand(20, 8, 8).astype(np.float32)
     m = iVAE((8, 8), 2, ["r"], pixel_chunks=2, seed=0)
