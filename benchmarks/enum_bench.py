@@ -64,7 +64,7 @@ def bench_jivae(profile=False, topk=0):
     return sps
 
 
-def bench_ssivae(profile=False, topk=0):
+def bench_ssivae(profile=False, topk=0, sched=0):
     m = pv.models.ssiVAE(DATA, latent_dim=2, num_classes=K,
                          invariances=["r"], seed=1, enum_topk=topk)
     lu = pv.utils.init_dataloader(_imgs(N_DATA), batch_size=BATCH)
@@ -73,6 +73,17 @@ def bench_ssivae(profile=False, topk=0):
     ls = pv.utils.init_dataloader(_imgs(400, seed=2), ys, batch_size=BATCH)
     t = pv.trainers.auxSVItrainer(m)
     nb = len(lu)
+    if sched:
+        # enum_schedule timing: warm both phase programs, then time the
+        # scheduled run end-to-end (exact for `sched` epochs, then top-k)
+        t.run(lu, ls, EPOCHS, enum_schedule=sched)
+        t0 = time.perf_counter()
+        losses = t.run(lu, ls, EPOCHS, enum_schedule=sched)
+        sps = EPOCHS * nb / (time.perf_counter() - t0)
+        print(f"ssiVAE (K={K}, sched {sched}ep->topk={topk}) "
+              f"{sps:7.1f} interleaved steps/s  loss {losses[-1]:.2f}",
+              flush=True)
+        return sps
     t.run(lu, ls, EPOCHS)
     if profile:
         import jax
@@ -195,6 +206,11 @@ def main(argv=None):
         return 0
     for fam in args.families:
         name, _, tk = fam.partition(":")
+        if name == "ssivae" and tk.startswith("sched"):
+            # e.g. ssivae:sched2 — exact for --sched epochs, then topk=2
+            bench_ssivae(args.profile, topk=int(tk.replace("sched", "")),
+                         sched=args.sched)
+            continue
         topk = int(tk.replace("topk", "")) if tk else 0
         {"jivae": bench_jivae, "ssivae": bench_ssivae}[name](
             args.profile, topk=topk)

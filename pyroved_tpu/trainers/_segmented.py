@@ -178,15 +178,44 @@ class SegmentedRunsMixin:
 
         if E:
             model.enum_topk = 0
-            self._invalidate_compiled()
+            self._swap_compiled_variant(0, saved)
             try:
                 out += phase(E, 0)
             finally:
                 model.enum_topk = saved
-                self._invalidate_compiled()
+                self._swap_compiled_variant(saved, saved)
         if int(epochs) > E and not self.stopped_early:
             out += phase(int(epochs) - E, E)
         return out
+
+    def _swap_compiled_variant(self, key: int, default_key: int) -> None:
+        """Switch the trainer's compiled step functions to the variant
+        built for ``model.enum_topk == key``, stashing the current ones.
+
+        The estimator is a Python attribute the jit cache cannot see, so a
+        flip needs fresh traces — but repeated flips (every scheduled
+        ``fit`` call, every `run(..., enum_schedule=)`) would otherwise
+        re-trace the fused multi-epoch programs each time, which costs
+        seconds and dominates short runs. Variants are keyed per trainer;
+        ``default_key`` labels whatever was compiled before the first
+        swap (the trainer warms up under the model's configured topk)."""
+        cur = getattr(self, "_enum_variant_key", None)
+        if cur is None:
+            cur = default_key
+        if cur == key:
+            return
+        variants = getattr(self, "_enum_variants", None)
+        if variants is None:
+            variants = self._enum_variants = {}
+        attrs = self._compiled_attrs()
+        variants[cur] = {a: getattr(self, a, None) for a in attrs}
+        stash = variants.get(key)
+        if stash is not None:
+            for a, v in stash.items():
+                setattr(self, a, v)
+        else:
+            self._invalidate_compiled()
+        self._enum_variant_key = key
 
     # ------------------------------------------------------------------
     # shared host work

@@ -106,6 +106,12 @@ class auxSVItrainer(SegmentedRunsMixin):
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
+    def _compiled_attrs(self):
+        """Everything :meth:`_build_steps` produces — the swap unit for
+        ``_swap_compiled_variant`` (estimator-flip caching)."""
+        return ("_step_unsup", "_step_sup", "_epoch_jit", "_run_jit",
+                "_run_val_jit", "_built_gate")
+
     def _invalidate_compiled(self):
         """Force a rebuild of the jitted step functions (the model's loss
         routing changed — e.g. an ``enum_schedule`` estimator flip)."""

@@ -116,6 +116,13 @@ class SVItrainer(SegmentedRunsMixin):
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(a, sharding), tree)
 
+    def _compiled_attrs(self):
+        """Everything :meth:`_build_epoch_fns` produces — the swap unit for
+        ``_swap_compiled_variant`` (estimator-flip caching)."""
+        return ("_train_epoch_jit", "_run_epochs_eval_jit", "_run_epochs_jit",
+                "_eval_epoch_jit", "_train_step_jit", "_eval_step_jit",
+                "_built_gate")
+
     def _invalidate_compiled(self):
         """Force a rebuild of the jitted epoch/step functions (the model's
         loss routing changed under us — e.g. an ``enum_schedule`` estimator

@@ -119,6 +119,27 @@ def test_ssivae_fit_enum_schedule():
     assert m.enum_topk == 2
 
 
+def test_enum_schedule_reuses_compiled_variants():
+    """Repeated scheduled runs must swap the cached per-estimator step
+    functions instead of re-tracing at every flip (the flip would
+    otherwise dominate short runs)."""
+    X = _data(seed=9)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t = SVItrainer(m, seed=11)
+    loader = init_dataloader(X, batch_size=20)
+    t.run(loader, 4, enum_schedule=2)
+    variants = dict(t._enum_variants)
+    exact_fn = variants[0]["_train_epoch_jit"]
+    topk_fn = t._train_epoch_jit  # currently holding the topk variant
+    assert exact_fn is not None and topk_fn is not None
+    assert exact_fn is not topk_fn
+    t.run(loader, 4, enum_schedule=2)
+    # same function objects on the second scheduled run: no re-trace
+    assert t._enum_variants[0]["_train_epoch_jit"] is exact_fn
+    assert t._train_epoch_jit is topk_fn
+    assert m.enum_topk == 2
+
+
 def test_aux_run_enum_schedule_matches_manual():
     rs = np.random.RandomState(7)
     Xu = rs.rand(40, 6, 6).astype(np.float32)
