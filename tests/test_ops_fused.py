@@ -875,3 +875,35 @@ def test_tile_budget_charges_fixed_footprint():
     assert sd._select_tiles(200, 784, 128, 2, "tanh") == (40, 128)
     bt, nt = sd._select_tiles(200, 784, 128, 2, "gelu")
     assert bt * nt < 4096
+
+
+def test_calibrate_interrupt_during_budget_probe_rolls_back(monkeypatch):
+    """An interrupt (BaseException, e.g. KeyboardInterrupt) during the
+    step-1 VMEM budget loop must not leave the UNVALIDATED trial tuning
+    registered (round-4 advisor finding): prior entry restored, or the
+    entry removed when there was none."""
+    import types
+    monkeypatch.setattr(
+        sd.jax, "devices",
+        lambda: [types.SimpleNamespace(platform="tpu",
+                                       device_kind="TPU fake-intr")])
+    monkeypatch.setattr(sd, "_warned_unknown", True)
+
+    def interrupt(*a, **k):
+        raise KeyboardInterrupt()
+
+    monkeypatch.setattr(sd, "fused_spatial_decoder", interrupt)
+
+    # no prior entry: the trial registration must be removed again
+    sd.DEVICE_TUNINGS.pop("TPU fake-intr", None)
+    with pytest.raises(KeyboardInterrupt):
+        sd.calibrate(verbose=False)
+    assert "TPU fake-intr" not in sd.DEVICE_TUNINGS
+
+    # prior entry: restored verbatim
+    sentinel = sd.KernelTuning(vmem_budget=321, xla_fwd_max_bn=1.0,
+                               pallas_fwd_max_pad=1.0, fused_min_bnh=1.0)
+    monkeypatch.setitem(sd.DEVICE_TUNINGS, "TPU fake-intr", sentinel)
+    with pytest.raises(KeyboardInterrupt):
+        sd.calibrate(verbose=False)
+    assert sd.DEVICE_TUNINGS["TPU fake-intr"] is sentinel
