@@ -82,7 +82,6 @@ def bench_ours(data) -> float:
             log(f"ours (fused run): {n_run * steps_per_epoch / dt:.1f} "
                 f"steps/s ({n_run * steps_per_epoch} steps in {dt:.2f}s)")
     log(f"final loss {trainer.loss_history['training_loss'][-1]:.4f}")
-    bench_large_grid()
     return max(sps, sps_epoch)
 
 
@@ -240,7 +239,15 @@ def main():
         "value": round(ours, 2),
         "unit": "steps/s",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }), flush=True)
+
+    # Large-grid A/B AFTER the headline JSON (stderr only): a failure or
+    # slow compile here must never cost the headline metric.
+    if not os.environ.get("PVT_SKIP_LARGE_GRID"):
+        try:
+            bench_large_grid()
+        except Exception as e:  # noqa: BLE001
+            log("large-grid section failed:", e)
 
 
 if __name__ == "__main__":
