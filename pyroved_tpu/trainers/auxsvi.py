@@ -26,6 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..utils.data import DataLoader, apply_batch_scale
 from ..utils.nn import average_weights
 from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin  # noqa: F401 — PIPELINE_SEGMENT re-exported for back-compat
+from .svi import _PendingLoss
 
 Array = jax.Array
 
@@ -91,6 +92,8 @@ class auxSVItrainer(SegmentedRunsMixin):
         self.history = {"training_loss": [], "test": []}
         self.epoch_times = []
         self.current_epoch = 0
+        # step(sync=False) support (see SVItrainer.sync_history)
+        self._deferred_records = []
         self.stopped_early = False
         self.best_epoch = None   # set by patience= runs
         self.best_metric = None
@@ -806,6 +809,8 @@ class auxSVItrainer(SegmentedRunsMixin):
             uscales=loader_unsup.scale, sscales=loader_sup.scale)
         self.model.params = params
         self.opt_state = opt_state
+        if not kwargs.get("sync", True):  # see SVItrainer.train(sync=False)
+            return _PendingLoss(total, max(unsup_count, 1.0))
         return float(total) / max(unsup_count, 1.0)
 
     # ------------------------------------------------------------------
@@ -844,7 +849,15 @@ class auxSVItrainer(SegmentedRunsMixin):
                 (default 20; Eq. 9 of arXiv:1406.5298).
             sup_period: labeled-step cadence for length-less streaming
                 loaders.
+            sync: default True. ``sync=False`` queues the train epoch
+                WITHOUT blocking on its loss (``history["training_loss"]``
+                temporarily holds pending loss handles; see
+                ``SVItrainer.step(sync=False)``). Note ``loader_val``
+                evaluation is host-side (accuracy/MSE over numpy
+                predictions) and blocks regardless — async pays off on
+                val-less loops.
         """
+        sync = kwargs.get("sync", True)
         t0 = time.perf_counter()
         self.history["training_loss"].append(
             self.train(loader_unsup, loader_sup, **kwargs))
@@ -853,18 +866,39 @@ class auxSVItrainer(SegmentedRunsMixin):
         self.epoch_times.append(time.perf_counter() - t0)
         self.current_epoch += 1
         if self.log_file:
-            import json
-            record = {"epoch": self.current_epoch,
-                      "training_loss": self.history["training_loss"][-1],
-                      "epoch_seconds": self.epoch_times[-1]}
-            if loader_val is not None:
-                record["test"] = self.history["test"][-1]
-            with open(self.log_file, "a") as f:
-                f.write(json.dumps(record) + "\n")
+            ti = len(self.history["training_loss"]) - 1
+            si = len(self.history["test"]) - 1 if loader_val is not None else None
+            self._deferred_records.append(
+                (self.current_epoch, ti, si, self.epoch_times[-1]))
+            if sync:
+                self.sync_history()
         if (self.checkpoint_path
                 and self.current_epoch % self.checkpoint_every == 0):
+            self.sync_history()  # checkpoints persist history as floats
             from ..utils.checkpoint import save_checkpoint
             save_checkpoint(self.checkpoint_path, self.model, self)
+
+    def sync_history(self) -> None:
+        """Materialize any pending ``step(sync=False)`` losses (ONE device
+        sync for all queued epochs) and flush deferred JSONL records."""
+        for key in ("training_loss", "test"):
+            hist = self.history[key]
+            for i, v in enumerate(hist):
+                if not isinstance(v, float):
+                    hist[i] = float(v)
+        if self._deferred_records:
+            records, self._deferred_records = self._deferred_records, []
+            if self.log_file:
+                import json
+                with open(self.log_file, "a") as f:
+                    for epoch, ti, si, secs in records:
+                        rec = {"epoch": epoch,
+                               "training_loss":
+                                   self.history["training_loss"][ti],
+                               "epoch_seconds": secs}
+                        if si is not None:
+                            rec["test"] = self.history["test"][si]
+                        f.write(json.dumps(rec) + "\n")
 
     # ------------------------------------------------------------------
     def resume(self, checkpoint_path: Optional[str] = None) -> int:
@@ -891,6 +925,7 @@ class auxSVItrainer(SegmentedRunsMixin):
 
     def print_statistics(self) -> None:
         """Prints current-epoch loss and metric (reference: ``auxsvi.py:211-225``)."""
+        self.sync_history()
         e = self.current_epoch
         if len(self.history["test"]) > 0:
             metric = "accuracy" if self.task == "classification" else "MSE"

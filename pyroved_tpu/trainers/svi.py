@@ -39,6 +39,25 @@ from ._segmented import PIPELINE_SEGMENT, SegmentedRunsMixin  # noqa: F401 — P
 Array = jax.Array
 
 
+class _PendingLoss:
+    """A queued epoch loss from ``step(sync=False)``: holds the 0-d device
+    total (still materializing asynchronously) plus the host normalizer.
+    ``float()`` blocks on the device value and performs the SAME float64
+    host division as the sync path, so materialized values are bitwise
+    identical to ``sync=True`` ones (an on-device f32 division can differ
+    in the last ulp whenever the normalizer is not a power of two)."""
+    __slots__ = ("total", "norm")
+
+    def __init__(self, total, norm):
+        self.total, self.norm = total, norm
+
+    def __float__(self):
+        return float(self.total) / self.norm
+
+    def __repr__(self):
+        return f"_PendingLoss(norm={self.norm})"
+
+
 def _prep_beta(model, scale_factor) -> Array:
     prep = getattr(model, "prep_beta", None)
     if prep is not None:
@@ -101,6 +120,9 @@ class SVItrainer(SegmentedRunsMixin):
         self.loss_history = {"training_loss": [], "test_loss": []}
         self.epoch_times = []
         self.current_epoch = 0
+        # step(sync=False) support: JSONL records deferred until the losses
+        # they reference have been materialized by sync_history().
+        self._deferred_records = []
         self.stopped_early = False
         self.best_epoch = None   # set by patience= runs
         self.best_metric = None
@@ -395,7 +417,18 @@ class SVItrainer(SegmentedRunsMixin):
     # ------------------------------------------------------------------
     def train(self, train_loader: DataLoader, **kwargs) -> float:
         """One training epoch; returns loss / dataset_size
-        (reference: ``svi.py:95-115``)."""
+        (reference: ``svi.py:95-115``).
+
+        Keyword Args:
+            sync: default True. ``sync=False`` returns the epoch loss as a
+                pending loss handle WITHOUT blocking on it — the dispatch is
+                queued and the host returns immediately, so consecutive
+                epochs pipeline on the device (the per-epoch host sync is
+                one tunnel round-trip on remote chips). Values are
+                numerically identical; call :meth:`sync_history` (or
+                ``float()`` the result) to materialize. Device-resident
+                loaders only — streaming paths block per batch regardless.
+        """
         beta = _prep_beta(self.model, kwargs.get("scale_factor", 1.0))
         self._ensure_built()
         if not (isinstance(train_loader, DataLoader) and train_loader.device_resident):
@@ -410,6 +443,8 @@ class SVItrainer(SegmentedRunsMixin):
             train_loader.device_arrays, jnp.asarray(idx), jnp.asarray(w),
             beta, scales=train_loader.scale)
         self.model.params = params
+        if not kwargs.get("sync", True):
+            return _PendingLoss(total, train_loader.dataset_size)
         return float(total) / train_loader.dataset_size
 
     def run(self, train_loader: DataLoader, epochs: int, **kwargs) -> list:
@@ -669,6 +704,8 @@ class SVItrainer(SegmentedRunsMixin):
             self.model.params, epoch_rng, test_loader.device_arrays,
             jnp.asarray(idx), jnp.asarray(w), beta,
             scales=test_loader.scale)
+        if not kwargs.get("sync", True):  # see train(sync=False)
+            return _PendingLoss(total, test_loader.dataset_size)
         return float(total) / test_loader.dataset_size
 
     def step(self, train_loader: DataLoader,
@@ -678,7 +715,19 @@ class SVItrainer(SegmentedRunsMixin):
 
         Keyword Args:
             scale_factor: KL scale beta (scalar, or [cont, disc] for jiVAE).
+            sync: default True. ``sync=False`` queues the epoch WITHOUT
+                blocking on its loss: ``loss_history`` temporarily holds 0-d
+                device arrays and consecutive ``step()`` calls pipeline on
+                the device — recovering most of the fused ``run()`` speed
+                while keeping per-epoch host control flow (the use case
+                ``run(on_segment=)`` can't cover). Identical numerics and
+                PRNG chain to sync steps. :meth:`sync_history` (called
+                automatically by :meth:`print_statistics` and before
+                auto-checkpoints) materializes the floats and flushes
+                deferred JSONL records; ``epoch_times`` then measures
+                dispatch time, not device time.
         """
+        sync = kwargs.get("sync", True)
         t0 = time.perf_counter()
         self.loss_history["training_loss"].append(self.train(train_loader, **kwargs))
         if test_loader is not None:
@@ -686,18 +735,40 @@ class SVItrainer(SegmentedRunsMixin):
         self.epoch_times.append(time.perf_counter() - t0)
         self.current_epoch += 1
         if self.log_file:
-            import json
-            record = {"epoch": self.current_epoch,
-                      "training_loss": self.loss_history["training_loss"][-1],
-                      "epoch_seconds": self.epoch_times[-1]}
-            if test_loader is not None:
-                record["test_loss"] = self.loss_history["test_loss"][-1]
-            with open(self.log_file, "a") as f:
-                f.write(json.dumps(record) + "\n")
+            ti = len(self.loss_history["training_loss"]) - 1
+            si = (len(self.loss_history["test_loss"]) - 1
+                  if test_loader is not None else None)
+            self._deferred_records.append(
+                (self.current_epoch, ti, si, self.epoch_times[-1]))
+            if sync:
+                self.sync_history()
         if (self.checkpoint_path
                 and self.current_epoch % self.checkpoint_every == 0):
+            self.sync_history()  # checkpoints persist loss_history as floats
             from ..utils.checkpoint import save_checkpoint
             save_checkpoint(self.checkpoint_path, self.model, self)
+
+    def sync_history(self) -> None:
+        """Materialize any pending ``step(sync=False)`` losses (ONE device
+        sync for all queued epochs) and flush deferred JSONL records."""
+        for key in ("training_loss", "test_loss"):
+            hist = self.loss_history[key]
+            for i, v in enumerate(hist):
+                if not isinstance(v, float):
+                    hist[i] = float(v)
+        if self._deferred_records:
+            records, self._deferred_records = self._deferred_records, []
+            if self.log_file:
+                import json
+                with open(self.log_file, "a") as f:
+                    for epoch, ti, si, secs in records:
+                        rec = {"epoch": epoch,
+                               "training_loss":
+                                   self.loss_history["training_loss"][ti],
+                               "epoch_seconds": secs}
+                        if si is not None:
+                            rec["test_loss"] = self.loss_history["test_loss"][si]
+                        f.write(json.dumps(rec) + "\n")
 
     def resume(self, checkpoint_path: Optional[str] = None) -> int:
         """Restore model + optimizer + PRNG + epoch from a checkpoint written
@@ -709,6 +780,7 @@ class SVItrainer(SegmentedRunsMixin):
 
     def print_statistics(self) -> None:
         """Prints current-epoch losses (reference: ``svi.py:164-175``)."""
+        self.sync_history()
         e = self.current_epoch
         if len(self.loss_history["test_loss"]) > 0:
             print("Epoch: {} Training loss: {:.4f}, Test loss: {:.4f}".format(
