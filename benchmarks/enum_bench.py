@@ -118,13 +118,33 @@ def _clustered_imgs(n, seed=0):
     return imgs.astype(np.float32), cls
 
 
-def convergence_gap(epochs=80, topks=(1, 2, 3), schedule=10):
+def _width_imgs(n, seed=0):
+    """K true clusters that differ by blob WIDTH (not position): class k is
+    a centered gaussian of sigma_k, plus small center jitter. Unlike the
+    circle-of-positions data, width classes are IDENTIFIABLE under the
+    model's rotation invariance — the guide can (and does) concentrate, so
+    this is the regime ``enum_schedule="auto"`` is built to detect."""
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, K, n)
+    sig = 0.0015 * (1.45 ** cls)  # geometric width ladder, well separated
+    cy = 0.5 + rng.normal(0, 0.02, n)
+    cx = 0.5 + rng.normal(0, 0.02, n)
+    yy, xx = np.mgrid[0:DATA[0], 0:DATA[1]]
+    yy, xx = yy / DATA[0], xx / DATA[1]
+    imgs = np.exp(-(((yy[None] - cy[:, None, None]) ** 2
+                     + (xx[None] - cx[:, None, None]) ** 2)
+                    / sig[:, None, None]))
+    return imgs.astype(np.float32), cls
+
+
+def convergence_gap(epochs=80, topks=(1, 2, 3), schedule=10,
+                    datafn=_clustered_imgs):
     """Train jiVAE exact vs enum_topk on K-cluster data; score every trained
     parameter set under the EXACT K-way ELBO on held-out data. Also runs
     ``enum_schedule=schedule`` rows (exact-early -> truncated-late)."""
     import jax
-    x_train, _ = _clustered_imgs(N_DATA, seed=5)
-    x_val, _ = _clustered_imgs(500, seed=6)
+    x_train, _ = datafn(N_DATA, seed=5)
+    x_val, _ = datafn(500, seed=6)
     scorer = pv.models.jiVAE(DATA, latent_dim=2, discrete_dim=K,
                              invariances=["r"], seed=1)
     val_loader = pv.utils.init_dataloader(x_val, batch_size=250)
@@ -184,7 +204,84 @@ def convergence_gap(epochs=80, topks=(1, 2, 3), schedule=10):
               f"({sps / base[1]:.2f}x, gap {val - base[2]:+.3f} vs exact, "
               f"{abs(val - base[2]) / abs(base[2]) * 100:.3f}%)",
               flush=True)
+
+    # enum_schedule="auto" rows (round 5): the guide-concentration trigger
+    # picks the switch epoch itself — report where it flipped alongside
+    # the fixed-schedule rows. Programs already warm from above.
+    for topk in topks:
+        m = pv.models.jiVAE(DATA, latent_dim=2, discrete_dim=K,
+                            invariances=["r"], seed=1, enum_topk=topk)
+        loader = pv.utils.init_dataloader(x_train, batch_size=BATCH)
+        t = pv.trainers.SVItrainer(m)
+        t0 = time.perf_counter()
+        t.run(loader, epochs, enum_schedule="auto")
+        dt = time.perf_counter() - t0
+        sps = epochs * len(loader) / dt
+        val = float(exact_val_loss(jax.tree.map(lambda a: a, m.params)))
+        sched_rows.append(("auto", topk, sps, val))
+        sw = t.enum_switch_epoch
+        mass = float(np.sort(np.asarray(m.guide_probs(x_train[:512])),
+                             axis=-1)[:, -topk:].sum(-1).mean())
+        print(f"  [final mean top-{topk} guide mass {mass:.3f}]", flush=True)
+        print(f"  auto(0.95 -> topk={topk}) switched at epoch "
+              f"{sw if sw is not None else '-'}: {sps:7.1f} steps/s   "
+              f"exact held-out ELBO {val:.3f}  "
+              f"({sps / base[1]:.2f}x, gap {val - base[2]:+.3f} vs exact, "
+              f"{abs(val - base[2]) / abs(base[2]) * 100:.3f}%)",
+              flush=True)
     return rows + sched_rows
+
+
+def auto_demo_ssivae(epochs=200, topks=(1, 2), threshold=0.95,
+                     n_sup=2000):
+    """The regime ``enum_schedule="auto"`` is built for: ssiVAE's guide is
+    a SUPERVISED classifier, so on separable data it genuinely concentrates
+    past the threshold and auto flips — unlike unsupervised jiVAE guides,
+    which stay diffuse whenever the discrete factor is unidentifiable
+    (rotations of each other) or absorbed by the continuous latents.
+    Measures flip epoch, interleaved steps/s, final val accuracy, and the
+    final training loss vs exact enumeration."""
+    x_unsup, _ = _clustered_imgs(N_DATA, seed=5)
+    x_sup, cls_sup = _clustered_imgs(n_sup, seed=7)
+    x_val, cls_val = _clustered_imgs(500, seed=6)
+    ys = np.eye(K, dtype=np.float32)[cls_sup]
+    yv = np.eye(K, dtype=np.float32)[cls_val]
+
+    def one(topk, schedule):
+        m = pv.models.ssiVAE(DATA, latent_dim=2, num_classes=K,
+                             invariances=["r"], seed=1, enum_topk=topk)
+        lu = pv.utils.init_dataloader(x_unsup, batch_size=BATCH)
+        ls = pv.utils.init_dataloader(x_sup, ys, batch_size=BATCH)
+        lv = pv.utils.init_dataloader(x_val, yv, batch_size=250)
+        t = pv.trainers.auxSVItrainer(m)
+        kw = {} if schedule is None else {"enum_schedule": schedule}
+        t0 = time.perf_counter()
+        losses = t.run(lu, ls, epochs, **kw)
+        dt = time.perf_counter() - t0
+        acc = t.evaluate(lv)
+        mass = float(np.sort(np.asarray(m.guide_probs(x_unsup[:512])),
+                             axis=-1)[:, -max(topk, 1):].sum(-1).mean())
+        return (epochs * len(lu) / dt, losses[-1], acc,
+                getattr(t, "enum_switch_epoch", None), mass)
+
+    # warm every program shape with throwaway runs (tunnel rule)
+    for topk in (0,) + tuple(topks):
+        one(topk, None if topk == 0 else 5)
+
+    sps0, loss0, acc0, _, _ = one(0, None)
+    print(f"  exact (K={K})          {sps0:7.1f} steps/s  loss {loss0:.3f}  "
+          f"val acc {acc0:.3f}", flush=True)
+    for topk in topks:
+        sps, loss, acc, sw, mass = one(topk, ("auto", threshold))
+        print(f"  auto({threshold} -> topk={topk}) switched at epoch "
+              f"{sw if sw is not None else '-'}: {sps:7.1f} steps/s  "
+              f"loss {loss:.3f}  val acc {acc:.3f}  "
+              f"[final top-{topk} guide mass {mass:.3f}]  "
+              f"({sps / sps0:.2f}x exact)", flush=True)
+        sps, loss, acc, _, _ = one(topk, 10)
+        print(f"  sched(10 -> topk={topk})             {sps:7.1f} steps/s  "
+              f"loss {loss:.3f}  val acc {acc:.3f}  "
+              f"({sps / sps0:.2f}x exact)", flush=True)
 
 
 def main(argv=None):
@@ -197,12 +294,29 @@ def main(argv=None):
     ap.add_argument("--sched", type=int, default=10,
                     help="exact-epoch count for the enum_schedule gap rows")
     ap.add_argument("--gap-epochs", type=int, default=80)
+    ap.add_argument("--data", choices=["circle", "width"], default="circle",
+                    help="gap dataset: 'circle' (K positions on a circle — "
+                    "rotation-UNidentifiable classes, the guide stays "
+                    "diffuse) or 'width' (K blob widths — identifiable, "
+                    "the auto schedule flips)")
+    ap.add_argument("--auto-ssivae", action="store_true",
+                    help="enum_schedule='auto' demo on ssiVAE (supervised "
+                    "guide concentrates -> auto actually flips)")
     args = ap.parse_args(argv)
     pv.utils.profiling.enable_compilation_cache()
+    if args.auto_ssivae:
+        print(f"enum_schedule='auto' on ssiVAE (K={K} circle classes, "
+              f"{args.gap_epochs} epochs):")
+        auto_demo_ssivae(epochs=args.gap_epochs)
+        return 0
+    # (run with --gap-epochs 200 for the committed demo: the classifier
+    # needs ~2k supervised steps before its confidence clears 0.95)
     if args.gap:
-        print(f"enum_topk convergence gap (K={K} clustered synthetic, "
+        datafn = {"circle": _clustered_imgs, "width": _width_imgs}[args.data]
+        print(f"enum_topk convergence gap (K={K} {args.data} synthetic, "
               f"{args.gap_epochs} epochs, enum_schedule={args.sched}):")
-        convergence_gap(epochs=args.gap_epochs, schedule=args.sched)
+        convergence_gap(epochs=args.gap_epochs, schedule=args.sched,
+                        datafn=datafn)
         return 0
     for fam in args.families:
         name, _, tk = fam.partition(":")

@@ -8,7 +8,7 @@ constructs the model. Constructor-arg style remains fully supported — this
 is an additive, typo-proof layer.
 """
 from dataclasses import asdict, dataclass
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 from . import models
 from .utils.nn import _ACTIVATIONS
@@ -165,18 +165,25 @@ class TrainConfig:
     grad_accum: int = 1  # optax.MultiSteps accumulation (both trainers)
     patience: Optional[int] = None  # early stop (requires test_data)
     min_delta: float = 0.0
-    # exact enumeration for the first N epochs, then the model's enum_topk
-    # truncation (discrete-latent models; trainers' run(enum_schedule=))
-    enum_schedule: Optional[int] = None
+    # exact enumeration for the first N epochs (or "auto": until the guide
+    # concentrates), then the model's enum_topk truncation (discrete-latent
+    # models; trainers' run(enum_schedule=))
+    enum_schedule: Optional[Union[int, str]] = None
 
     def __post_init__(self):
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
         if self.patience is not None and self.patience < 1:
             raise ValueError(f"patience must be >= 1, got {self.patience}")
-        if self.enum_schedule is not None and self.enum_schedule < 0:
-            raise ValueError(
-                f"enum_schedule must be >= 0, got {self.enum_schedule}")
+        if self.enum_schedule is not None:
+            if isinstance(self.enum_schedule, str):
+                if self.enum_schedule != "auto":
+                    raise ValueError(
+                        f'enum_schedule accepts an epoch count or "auto", '
+                        f"got {self.enum_schedule!r}")
+            elif self.enum_schedule < 0:
+                raise ValueError(
+                    f"enum_schedule must be >= 0, got {self.enum_schedule}")
 
 
 def _validate_invariances(data_dim, invariances):

@@ -315,6 +315,17 @@ class jiVAE(baseVAE):
         classes = alpha if logits else jnp.argmax(alpha, axis=1)
         return z_loc, z_scale, classes
 
+    def guide_probs(self, x) -> Array:
+        """q(y|x) class probabilities from the guide — the alphas the
+        enumeration weights by (reference guide site ``jivae.py:199-220``).
+        Used by ``run(enum_schedule="auto")`` to detect when the guide has
+        concentrated enough for top-k truncation to be near-exact."""
+        if self._encode_jit is None:
+            self.encode(self._as_f32(x)[:1])  # builds _encode_jit
+        _, _, alpha = self._encode_jit(
+            self.params, self._as_f32(x).reshape(len(x), -1))
+        return alpha
+
     def decode(self, z, y, **kwargs) -> Array:
         """Decode (content latents, one-hot classes)
         (reference: ``jivae.py:256-266``)."""

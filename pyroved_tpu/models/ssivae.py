@@ -291,6 +291,18 @@ class ssiVAE(baseVAE):
             return self._chunked(self._cls_jit, x, batch_size=bs)
         return self._cls_jit(self.params, x)
 
+    def guide_probs(self, x) -> Array:
+        """q(y|x) class probabilities from the classifier guide (softmax
+        output, reference ``ssivae.py:155-167``). Used by
+        ``run(enum_schedule="auto")`` to detect when the guide has
+        concentrated enough for top-k truncation to be near-exact."""
+        if getattr(self, "_guide_probs_jit", None) is None:
+            self._guide_probs_jit = jax.jit(
+                lambda p, xx: self.encoder_y_net.apply(
+                    {"params": p["encoder_y"]}, xx))
+        return self._guide_probs_jit(
+            self.params, self._as_f32(x).reshape(len(x), -1))
+
     def encode(self, x_new, y=None, **kwargs):
         """(z_loc, z_scale, predicted classes); classes from the classifier
         when labels are missing (reference: ``ssivae.py:282-307``)."""

@@ -161,11 +161,26 @@ class SegmentedRunsMixin:
 
         History/epoch bookkeeping concatenates seamlessly. ``patience=``
         applies within each phase (the baseline resets at the switch).
+
+        ``enum_schedule="auto"`` (or ``("auto", threshold)``, default
+        threshold 0.95) picks the switch epoch FROM THE GUIDE instead of a
+        fixed count: every 5 exact epochs it measures the mean top-k
+        probability mass of ``model.guide_probs`` on a fixed probe batch
+        and flips to truncation once the guide carries >= ``threshold`` of
+        its mass in the top ``enum_topk`` classes — i.e. exactly when the
+        truncated estimator becomes near-exact, with no epoch count to
+        tune per dataset.
         """
         model = self.model
         saved = int(getattr(model, "enum_topk", 0) or 0)
         if not saved:  # nothing to schedule: the model enumerates exactly
             return self._seg_sub_run(loaders, int(epochs), dict(kwargs))
+        if exact_epochs == "auto" or (isinstance(exact_epochs, tuple)
+                                      and exact_epochs[:1] == ("auto",)):
+            thr = float(exact_epochs[1]) if isinstance(exact_epochs, tuple) \
+                else 0.95
+            return self._run_enum_schedule_auto(loaders, int(epochs), thr,
+                                                saved, kwargs)
         E = max(0, min(int(exact_epochs), int(epochs)))
         schedule = kwargs.get("scale_schedule")
         out = []
@@ -186,6 +201,77 @@ class SegmentedRunsMixin:
                 self._swap_compiled_variant(saved, saved)
         if int(epochs) > E and not self.stopped_early:
             out += phase(int(epochs) - E, E)
+        return out
+
+    #: exact epochs between guide-concentration probes in
+    #: ``enum_schedule="auto"`` (one tiny jitted encoder call per probe)
+    ENUM_AUTO_PROBE_EVERY = 5
+
+    #: epochs into the last ``enum_schedule="auto"`` run at which the
+    #: trainer switched to truncation (None = no auto run yet, or the
+    #: guide never concentrated past the threshold)
+    enum_switch_epoch = None
+
+    def _run_enum_schedule_auto(self, loaders, epochs: int, threshold: float,
+                                saved: int, kwargs) -> list:
+        """``enum_schedule="auto"``: exact enumeration until the guide's
+        mean top-``enum_topk`` mass on a fixed probe batch reaches
+        ``threshold``, then the truncated estimator (see
+        :meth:`_run_enum_schedule`). The probe is ~512 training examples
+        through ``model.guide_probs`` — one encoder forward between
+        segments, negligible next to a 5-epoch sub-run."""
+        import numpy as np
+
+        model = self.model
+        if not hasattr(model, "guide_probs"):
+            raise ValueError(
+                'enum_schedule="auto" needs a model with guide_probs() '
+                f"(jiVAE/ssiVAE); {type(model).__name__} has none")
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError(f"auto threshold must be in (0, 1], got {threshold}")
+        arrays = getattr(loaders[0], "device_arrays", None)
+        if arrays is None:
+            raise ValueError(
+                'enum_schedule="auto" needs a device-resident training '
+                "loader (the probe reads from its arrays)")
+        from ..utils.data import apply_batch_scale
+        # probe in MODEL space: narrow-dtype residency stores raw (e.g.
+        # uint8) values that normalize inside the training scan
+        probe = np.asarray(
+            apply_batch_scale((arrays[0][:512],), loaders[0].scale)[0])
+        schedule = kwargs.get("scale_schedule")
+        out = []
+        done = 0
+        flipped = False
+
+        def phase(n, lo):
+            sub = dict(kwargs)
+            if schedule is not None:
+                sub["scale_schedule"] = schedule[lo:lo + n]
+            return self._seg_sub_run(loaders, n, sub)
+
+        model.enum_topk = 0
+        self._swap_compiled_variant(0, saved)
+        try:
+            while done < epochs and not self.stopped_early:
+                n = min(self.ENUM_AUTO_PROBE_EVERY, epochs - done)
+                out += phase(n, done)
+                done += n
+                if done >= epochs or self.stopped_early:
+                    break
+                probs = np.asarray(model.guide_probs(probe))
+                topk = np.sort(probs, axis=-1)[:, -saved:]
+                if float(topk.sum(axis=-1).mean()) >= threshold:
+                    flipped = True
+                    break
+        finally:
+            model.enum_topk = saved
+            self._swap_compiled_variant(saved, saved)
+        #: epochs into THIS run at which auto switched to truncation
+        #: (None = the guide never concentrated past the threshold)
+        self.enum_switch_epoch = done if flipped else None
+        if done < epochs and not self.stopped_early:
+            out += phase(epochs - done, done)
         return out
 
     def _swap_compiled_variant(self, key: int, default_key: int) -> None:

@@ -169,3 +169,91 @@ def test_aux_run_enum_schedule_matches_manual():
 
     np.testing.assert_allclose(a, b, rtol=1e-6)
     _params_close(m1.params, m2.params)
+
+
+# ----------------------------------------------------------------------
+# enum_schedule="auto": guide-concentration-triggered switch
+# ----------------------------------------------------------------------
+
+def test_enum_auto_immediate_flip_matches_fixed_schedule():
+    """With a threshold any guide clears, auto flips at the FIRST probe
+    (epoch 5) — the whole run must reproduce enum_schedule=5 exactly."""
+    X = _data(seed=4)
+    m1 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    m2 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t1, t2 = SVItrainer(m1, seed=9), SVItrainer(m2, seed=9)
+    l1 = init_dataloader(X, batch_size=20, seed=5)
+    l2 = init_dataloader(X, batch_size=20, seed=5)
+    auto = t1.run(l1, 8, enum_schedule=("auto", 1e-9))
+    fixed = t2.run(l2, 8, enum_schedule=5)
+    np.testing.assert_allclose(auto, fixed, rtol=1e-6)
+    _params_close(m1.params, m2.params)
+    assert t1.enum_switch_epoch == 5
+    assert m1.enum_topk == 2  # restored
+
+
+def test_enum_auto_never_flips_at_threshold_one():
+    """threshold=1.0 is unreachable for a soft guide: the whole run stays
+    exact — identical to an all-exact schedule."""
+    X = _data(seed=5)
+    m1 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=1, seed=0)
+    m2 = jiVAE((6, 6), 2, 4, ["r"], enum_topk=1, seed=0)
+    t1, t2 = SVItrainer(m1, seed=11), SVItrainer(m2, seed=11)
+    l1 = init_dataloader(X, batch_size=20, seed=6)
+    l2 = init_dataloader(X, batch_size=20, seed=6)
+    auto = t1.run(l1, 6, enum_schedule=("auto", 1.0))
+    exact = t2.run(l2, 6, enum_schedule=100)
+    np.testing.assert_allclose(auto, exact, rtol=1e-6)
+    assert t1.enum_switch_epoch is None
+
+
+def test_enum_auto_plain_string_defaults():
+    X = _data(seed=6)
+    m = jiVAE((6, 6), 2, 3, ["r"], enum_topk=1, seed=0)
+    t = SVItrainer(m, seed=1)
+    out = t.run(init_dataloader(X, batch_size=20, seed=7), 6,
+                enum_schedule="auto")
+    assert len(out) == 6 and all(np.isfinite(out))
+    assert m.enum_topk == 1
+
+
+def test_enum_auto_threshold_validation():
+    X = _data(seed=7)
+    m = jiVAE((6, 6), 2, 3, ["r"], enum_topk=1, seed=0)
+    t = SVItrainer(m, seed=1)
+    with pytest.raises(ValueError, match="threshold"):
+        t.run(init_dataloader(X, batch_size=20), 4,
+              enum_schedule=("auto", 1.5))
+
+
+def test_guide_probs_shapes_and_normalization():
+    X = _data(n=16, seed=8)
+    jm = jiVAE((6, 6), 2, 5, ["r"], seed=0)
+    p = np.asarray(jm.guide_probs(X))
+    assert p.shape == (16, 5)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+    sm = ssiVAE((6, 6), 2, num_classes=4, seed=0)
+    p = np.asarray(sm.guide_probs(X))
+    assert p.shape == (16, 4)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_enum_auto_aux_trainer_ssivae():
+    X = _data(n=60, seed=9)
+    y = np.eye(3, dtype=np.float32)[np.random.RandomState(0).randint(0, 3, 30)]
+    m = ssiVAE((6, 6), 2, num_classes=3, enum_topk=1, seed=0)
+    loaders = init_ssvae_dataloaders(X[:30], (X[30:], y), (X[30:], y),
+                                     batch_size=10)
+    t = auxSVItrainer(m)
+    out = t.run(loaders[0], loaders[1], 8, enum_schedule=("auto", 1e-9))
+    assert len(out) == 8 and all(np.isfinite(out))
+    assert t.enum_switch_epoch == 5
+    assert m.enum_topk == 1
+
+
+def test_config_accepts_auto_schedule():
+    from pyroved_tpu.config import TrainConfig
+    TrainConfig(enum_schedule="auto")
+    TrainConfig(enum_schedule=5)
+    with pytest.raises(ValueError, match="auto"):
+        TrainConfig(enum_schedule="bogus")
