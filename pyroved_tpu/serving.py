@@ -31,9 +31,47 @@ def _exported(fn, specs, platforms):
     return jexport.export(jax.jit(fn), platforms=platforms)(*specs)
 
 
+def quantize_params(params):
+    """Per-output-channel symmetric int8 quantization of every >=2-D float
+    weight in a param pytree (Dense kernels, conv HWIO kernels); 1-D leaves
+    (biases, batch-norm scales) pass through in f32.
+
+    Returns a pytree of the same structure whose quantized leaves are
+    ``{"qint8": int8 array, "qscale": f32 per-last-axis scales}`` dicts —
+    rebuild full-precision weights with :func:`dequantize_params`. Used by
+    ``export_model(quantize="int8")``: the int8 arrays ship in the artifact
+    (~4x smaller weight payload, one copy shared by every exported fn);
+    dequantization is a convert+mul XLA fuses into the consuming matmul."""
+    def q(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.ndim < 2 or not np.issubdtype(leaf.dtype, np.floating):
+            return leaf
+        absmax = np.max(np.abs(leaf), axis=tuple(range(leaf.ndim - 1)),
+                        keepdims=True)
+        scale = (absmax / 127.0).astype(np.float32)
+        scale = np.where(scale == 0.0, 1.0, scale)
+        w = np.clip(np.rint(leaf / scale), -127, 127).astype(np.int8)
+        return {"qint8": w, "qscale": scale.astype(np.float32)}
+
+    is_q = lambda x: isinstance(x, dict) and set(x) == {"qint8", "qscale"}  # noqa: E731
+    return jax.tree_util.tree_map(q, params, is_leaf=is_q)
+
+
+def dequantize_params(qparams):
+    """Inverse of :func:`quantize_params` (returns f32 weights)."""
+    def dq(leaf):
+        if isinstance(leaf, dict) and set(leaf) == {"qint8", "qscale"}:
+            return jnp.asarray(leaf["qint8"], jnp.float32) * leaf["qscale"]
+        return leaf
+
+    is_q = lambda x: isinstance(x, dict) and set(x) == {"qint8", "qscale"}  # noqa: E731
+    return jax.tree_util.tree_map(dq, qparams, is_leaf=is_q)
+
+
 def export_model(model, path: str,
                  batch_size: Union[int, None] = None,
-                 platforms: Optional[Sequence[str]] = None) -> None:
+                 platforms: Optional[Sequence[str]] = None,
+                 quantize: Optional[str] = None) -> None:
     """Serialize the model's inference functions for serving (see module
     docstring for the exported surface).
 
@@ -42,8 +80,89 @@ def export_model(model, path: str,
     once per distinct concrete size at serve time (:class:`ServedModel`
     pads to power-of-two buckets to bound that to ~log2(max_batch)
     compiles). Pass an integer ``batch_size`` for a fixed-shape export —
-    a single ahead-of-time shape, inputs padded/chunked to it."""
+    a single ahead-of-time shape, inputs padded/chunked to it.
+
+    ``quantize="int8"`` stores every Dense/conv kernel per-output-channel
+    symmetric int8 inside the artifact, ONE copy shared by all exported
+    functions (~4x smaller weight payload; f32 exports bake weights into
+    each function separately). Weights dequantize at serve time in ops XLA
+    fuses into the matmuls — compute stays f32, so accuracy impact is
+    weight-rounding only (measured in docs/PERFORMANCE.md)."""
     params = model.params
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        # Quantized weights travel as CALL-TIME ARGUMENTS, not baked
+        # constants: np arrays are concrete at trace time, so dequantizing
+        # a closed-over copy would constant-fold back to f32 inside the
+        # artifact. As arguments they stay int8 in the .npz (the size win,
+        # one shared copy for every exported fn) and the dequantize
+        # convert+mul is traced for XLA to fuse into the consuming matmul.
+        # All leaves pack into exactly TWO flat buffers (int8 kernels;
+        # f32 scales+biases) rebuilt by STATIC slices inside the traced fn
+        # — per-call dispatch cost is 2 extra device args, not one per
+        # parameter leaf (measured 2x serve throughput vs per-leaf args).
+        is_q = lambda x: isinstance(x, dict) and set(x) == {"qint8", "qscale"}  # noqa: E731
+        qleaves, qtreedef = jax.tree_util.tree_flatten(
+            quantize_params(params), is_leaf=is_q)
+        i8_parts, f32_parts, specs_by_leaf = [], [], []
+        i8_off = f32_off = 0
+        for leaf in qleaves:
+            if is_q(leaf):
+                w, s = np.asarray(leaf["qint8"]), np.asarray(leaf["qscale"])
+                specs_by_leaf.append(("q", i8_off, w.shape, f32_off, s.shape))
+                i8_parts.append(w.ravel())
+                f32_parts.append(s.ravel())
+                i8_off += w.size
+                f32_off += s.size
+            else:
+                a = np.asarray(leaf)
+                if not np.issubdtype(a.dtype, np.floating):
+                    raise ValueError(
+                        f"quantize='int8' requires float params; found a "
+                        f"{a.dtype} leaf of shape {a.shape}")
+                a = a.astype(np.float32)
+                specs_by_leaf.append(("f", f32_off, a.shape))
+                f32_parts.append(a.ravel())
+                f32_off += a.size
+        qweights = [
+            np.concatenate(i8_parts) if i8_parts else np.zeros(0, np.int8),
+            np.concatenate(f32_parts) if f32_parts else np.zeros(0, np.float32),
+        ]
+        _w_cell = []
+
+        def _params():
+            wi8, wf32 = _w_cell[0]
+            leaves = []
+            for spec in specs_by_leaf:
+                if spec[0] == "q":
+                    _, o, shape, so, sshape = spec
+                    n = int(np.prod(shape))
+                    sn = int(np.prod(sshape))
+                    leaves.append(
+                        wi8[o:o + n].reshape(shape).astype(jnp.float32)
+                        * wf32[so:so + sn].reshape(sshape))
+                else:
+                    _, o, shape = spec
+                    n = int(np.prod(shape))
+                    leaves.append(wf32[o:o + n].reshape(shape))
+            return jax.tree_util.tree_unflatten(qtreedef, leaves)
+    else:
+        qweights = []
+
+        def _params():
+            return params
+
+    def _exported_fn(fn, specs):
+        if quantize is None:
+            return _exported(fn, specs, platforms)
+
+        def wrapped(*args):
+            _w_cell[:] = [args[len(specs):]]
+            return fn(*args[:len(specs)])
+
+        wspecs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in qweights]
+        return _exported(wrapped, list(specs) + wspecs, platforms)
 
     arts = {}
     if batch_size is None:
@@ -58,28 +177,29 @@ def export_model(model, path: str,
         # auto-regress step in, matching model.encode's label-free call
         # (reference ``ssivae.py:282-307``).
         def enc(x):
+            p = _params()
             xf = x.reshape((x.shape[0], -1))
-            y = model.encoder_y_net.apply({"params": params["encoder_y"]}, xf)
+            y = model.encoder_y_net.apply({"params": p["encoder_y"]}, xf)
             if hasattr(model, "num_classes"):
                 y = jax.nn.one_hot(jnp.argmax(y, -1), model.num_classes,
                                    dtype=jnp.float32)
-            return model.encoder_net.apply({"params": params["encoder_z"]},
+            return model.encoder_net.apply({"params": p["encoder_z"]},
                                            xf, y)
 
-        arts["encode"] = _exported(enc, (x_spec,), platforms).serialize()
+        arts["encode"] = _exported_fn(enc, (x_spec,)).serialize()
     elif cond_dim > 0:
         def enc(x, y):
-            return model.encoder_net.apply({"params": params["encoder_z"]},
+            return model.encoder_net.apply({"params": _params()["encoder_z"]},
                                            x.reshape((x.shape[0], -1)), y)
 
         y_spec = jax.ShapeDtypeStruct((b, cond_dim), jnp.float32)
-        arts["encode"] = _exported(enc, (x_spec, y_spec), platforms).serialize()
+        arts["encode"] = _exported_fn(enc, (x_spec, y_spec)).serialize()
     else:
         def enc(x):
-            return model.encoder_net.apply({"params": params["encoder_z"]},
+            return model.encoder_net.apply({"params": _params()["encoder_z"]},
                                            x.reshape((x.shape[0], -1)))
 
-        arts["encode"] = _exported(enc, (x_spec,), platforms).serialize()
+        arts["encode"] = _exported_fn(enc, (x_spec,)).serialize()
 
     zdim = getattr(model, "latent_dim", 0) + getattr(model, "c_dim", 0) \
         + getattr(model, "num_classes", 0) + getattr(model, "reg_dim", 0) \
@@ -88,9 +208,9 @@ def export_model(model, path: str,
 
     if getattr(model, "coord", 0) == 0 and hasattr(model, "latent_dim"):
         def dec(z):
-            return model.decoder_net.apply({"params": params["decoder"]}, z)
+            return model.decoder_net.apply({"params": _params()["decoder"]}, z)
 
-        arts["decode"] = _exported(dec, (z_spec,), platforms).serialize()
+        arts["decode"] = _exported_fn(dec, (z_spec,)).serialize()
     elif getattr(model, "coord", 0) > 0:
         from .utils.coord import transform_coordinates
         grid = model.grid
@@ -100,20 +220,20 @@ def export_model(model, path: str,
             coords = transform_coordinates(grid[None], angle[None], shift,
                                            scale[None])[0]
             coords_b = jnp.broadcast_to(coords, (z.shape[0],) + coords.shape)
-            return model.decoder_net.apply({"params": params["decoder"]},
+            return model.decoder_net.apply({"params": _params()["decoder"]},
                                            coords_b, z)
 
         pose = (z_spec, jnp.zeros((), jnp.float32),
                 jnp.zeros((D,), jnp.float32), jnp.ones((), jnp.float32))
-        arts["decode"] = _exported(dec, pose, platforms).serialize()
+        arts["decode"] = _exported_fn(dec, pose).serialize()
 
     if "encoder_y" in params:
         def head(x):
-            return model.encoder_y_net.apply({"params": params["encoder_y"]},
+            return model.encoder_y_net.apply({"params": _params()["encoder_y"]},
                                              x.reshape((x.shape[0], -1)))
 
         head_name = "classify" if hasattr(model, "num_classes") else "regress"
-        arts[head_name] = _exported(head, (x_spec,), platforms).serialize()
+        arts[head_name] = _exported_fn(head, (x_spec,)).serialize()
 
     manifest = {"batch_size": batch_size,
                 "data_dim": list(model.data_dim),
@@ -122,9 +242,13 @@ def export_model(model, path: str,
                 "grid_dim": int(model.grid.shape[-1]) if getattr(
                     model, "coord", 0) else 0,
                 "platforms": list(platforms) if platforms else None,
+                "quantize": quantize,
+                "n_weights": len(qweights),
                 "functions": sorted(arts)}
     arrays = {f"fn_{name}": np.frombuffer(blob, np.uint8)
               for name, blob in arts.items()}
+    for i, leaf in enumerate(qweights):
+        arrays[f"w_{i}"] = leaf
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode("utf-8"), np.uint8)
     with open(path, "wb") as f:
@@ -148,9 +272,18 @@ class ServedModel:
             self.coord = manifest.get("coord", 0)
             self.grid_dim = manifest.get("grid_dim", 0)
             self.platforms = manifest.get("platforms")
+            self.quantize = manifest.get("quantize")
             self._fns = {name: jexport.deserialize(
                 archive[f"fn_{name}"].tobytes())
                 for name in manifest["functions"]}
+            # Quantized exports carry the weights as TWO packed npz arrays
+            # (flat int8 kernels; flat f32 scales+biases) passed as
+            # trailing call args; upload once, share across every exported
+            # function — 2 extra dispatch args per call regardless of
+            # parameter count.
+            self._weights = tuple(
+                jnp.asarray(archive[f"w_{i}"])
+                for i in range(manifest.get("n_weights", 0)))
 
     @staticmethod
     def _pad_to(chunks, size):
@@ -176,7 +309,7 @@ class ServedModel:
                 bucket = min(self.max_bucket,
                              max(8, 1 << max(m - 1, 0).bit_length()))
                 chunks, _ = self._pad_to(chunks, bucket)
-                res = fn.call(*chunks, *extra)
+                res = fn.call(*chunks, *extra, *self._weights)
                 res = res if isinstance(res, tuple) else (res,)
                 return tuple(r[:m] for r in res)
 
@@ -194,7 +327,7 @@ class ServedModel:
         for start in range(0, n, self.batch_size):
             chunks = [b[start:start + self.batch_size] for b in batched]
             chunks, pad = self._pad_to(chunks, self.batch_size)
-            res = fn.call(*chunks, *extra)
+            res = fn.call(*chunks, *extra, *self._weights)
             res = res if isinstance(res, tuple) else (res,)
             outs.append(tuple(r[: self.batch_size - pad] if pad else r
                               for r in res))
