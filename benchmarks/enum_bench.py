@@ -137,6 +137,32 @@ def _width_imgs(n, seed=0):
     return imgs.astype(np.float32), cls
 
 
+def _pattern_imgs(n, seed=0):
+    """K true clusters that are DISTINCT FIXED PATTERNS (a sum of 4 random
+    gaussian blobs per class) plus per-sample amplitude jitter. Unlike the
+    circle data (classes are rotations of each other) and the width data
+    (a continuous factor the continuous latents absorb), two continuous
+    latents cannot interpolate 10 unrelated patterns — the model MUST use
+    the discrete latent, the reconstruction gain beats the discrete-KL
+    pull toward uniform, and q(y|x) genuinely concentrates. This is the
+    regime where ``enum_schedule="auto"`` flips."""
+    prng = np.random.default_rng(12345)  # class patterns fixed across splits
+    yy, xx = np.mgrid[0:DATA[0], 0:DATA[1]]
+    yy, xx = yy / DATA[0], xx / DATA[1]
+    pats = []
+    for _ in range(K):
+        p = np.zeros(DATA)
+        for _ in range(4):
+            cy, cx = prng.uniform(0.15, 0.85, 2)
+            p += np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / 0.008))
+        pats.append(p / p.max())
+    pats = np.stack(pats)
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, K, n)
+    amp = rng.uniform(0.7, 1.0, n)[:, None, None]
+    return (pats[cls] * amp).astype(np.float32), cls
+
+
 def convergence_gap(epochs=80, topks=(1, 2, 3), schedule=10,
                     datafn=_clustered_imgs):
     """Train jiVAE exact vs enum_topk on K-cluster data; score every trained
@@ -294,11 +320,14 @@ def main(argv=None):
     ap.add_argument("--sched", type=int, default=10,
                     help="exact-epoch count for the enum_schedule gap rows")
     ap.add_argument("--gap-epochs", type=int, default=80)
-    ap.add_argument("--data", choices=["circle", "width"], default="circle",
+    ap.add_argument("--data", choices=["circle", "width", "pattern"],
+                    default="circle",
                     help="gap dataset: 'circle' (K positions on a circle — "
                     "rotation-UNidentifiable classes, the guide stays "
-                    "diffuse) or 'width' (K blob widths — identifiable, "
-                    "the auto schedule flips)")
+                    "diffuse), 'width' (K blob widths — a continuous "
+                    "factor the continuous latents absorb), or 'pattern' "
+                    "(K distinct fixed patterns — the guide concentrates "
+                    "and the auto schedule flips)")
     ap.add_argument("--auto-ssivae", action="store_true",
                     help="enum_schedule='auto' demo on ssiVAE (supervised "
                     "guide concentrates -> auto actually flips)")
@@ -312,7 +341,8 @@ def main(argv=None):
     # (run with --gap-epochs 200 for the committed demo: the classifier
     # needs ~2k supervised steps before its confidence clears 0.95)
     if args.gap:
-        datafn = {"circle": _clustered_imgs, "width": _width_imgs}[args.data]
+        datafn = {"circle": _clustered_imgs, "width": _width_imgs,
+                  "pattern": _pattern_imgs}[args.data]
         print(f"enum_topk convergence gap (K={K} {args.data} synthetic, "
               f"{args.gap_epochs} epochs, enum_schedule={args.sched}):")
         convergence_gap(epochs=args.gap_epochs, schedule=args.sched,

@@ -243,6 +243,9 @@ class SegmentedRunsMixin:
         out = []
         done = 0
         flipped = False
+        #: (epoch, mean top-k guide mass) per probe — observability into
+        #: why/when auto flipped (or why it never did)
+        self.enum_probe_history = []
 
         def phase(n, lo):
             sub = dict(kwargs)
@@ -261,7 +264,9 @@ class SegmentedRunsMixin:
                     break
                 probs = np.asarray(model.guide_probs(probe))
                 topk = np.sort(probs, axis=-1)[:, -saved:]
-                if float(topk.sum(axis=-1).mean()) >= threshold:
+                mass = float(topk.sum(axis=-1).mean())
+                self.enum_probe_history.append((done, mass))
+                if mass >= threshold:
                     flipped = True
                     break
         finally:

@@ -251,6 +251,18 @@ def test_enum_auto_aux_trainer_ssivae():
     assert m.enum_topk == 1
 
 
+def test_enum_auto_probe_history_recorded():
+    """Every probe lands in trainer.enum_probe_history as (epoch, mass)."""
+    X = _data(seed=10)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t = SVItrainer(m, seed=1)
+    t.run(init_dataloader(X, batch_size=20, seed=8), 11,
+          enum_schedule=("auto", 1.0))
+    assert [e for e, _ in t.enum_probe_history] == [5, 10]
+    assert all(0.0 < mass <= 1.0 for _, mass in t.enum_probe_history)
+    assert t.enum_switch_epoch is None
+
+
 def test_config_accepts_auto_schedule():
     from pyroved_tpu.config import TrainConfig
     TrainConfig(enum_schedule="auto")
