@@ -256,6 +256,18 @@ class baseVAE:
             return "chunk"
         return None
 
+    def _pixel_gate_key(self):
+        """Hashable key for the trainers' rebuild gate: the pixel mode is a
+        Python attribute the jit cache cannot see, so flipping it after a
+        trainer compiled (``shard_pixels(model, mesh)`` / ``(model, None)``
+        / ``model.pixel_chunks = k``) must retrace the step functions —
+        the same staleness rule as an ``enum_topk`` estimator flip."""
+        mesh = getattr(self, "_pixel_mesh", None)
+        return (self._pixel_mode(),
+                getattr(self, "_pixel_axis", None),
+                None if mesh is None else id(mesh),
+                int(getattr(self, "pixel_chunks", 0) or 0))
+
     def _tile_loc_dec(self, dec_params, grid_t: Array, phi, dx, sc,
                       zc: Array) -> Array:
         """Training-path spatial decode against an arbitrary grid slice
@@ -529,6 +541,9 @@ class baseVAE:
         normalize it — training a bernoulli/continuous-bernoulli sampler on
         0..255 values silently diverges, so make the fix discoverable."""
         import numpy as _np
+        if data_scale is not None:
+            return  # scaled explicitly: nothing to guard (and no asarray
+            # materialization of list inputs on the fit hot path)
         dt = getattr(X, "dtype", None)
         if dt is None:
             # dtype-less inputs (Python lists of ints, nested sequences)
@@ -538,8 +553,7 @@ class baseVAE:
                 dt = _np.asarray(X).dtype
             except Exception:
                 return
-        if (data_scale is None
-                and _np.issubdtype(_np.dtype(dt), _np.integer)):
+        if _np.issubdtype(_np.dtype(dt), _np.integer):
             raise ValueError(
                 f"fit() got integer data (dtype {dt}) without data_scale=. "
                 "The decoder samplers expect normalized floats; pass e.g. "

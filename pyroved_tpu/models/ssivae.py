@@ -277,7 +277,11 @@ class ssiVAE(baseVAE):
         flat = int(np.prod(self.out_shape))
         cls_vars = cls_net.init(self.next_rng(), jnp.zeros((1, flat), jnp.float32))
         self.params["encoder_y"] = cls_vars["params"]
+        # drop BOTH classifier-forward traces: a same-structured
+        # replacement net would otherwise replay the old module's cached
+        # computation (jit keys on arg structure, not on the module)
         self._cls_jit = None
+        self._guide_probs_jit = None
 
     def classifier(self, x_new, **kwargs) -> Array:
         """Predicted class indices (reference: ``ssivae.py:256-280``)."""

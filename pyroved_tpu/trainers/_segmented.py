@@ -160,7 +160,10 @@ class SegmentedRunsMixin:
         segment machinery; the estimator flip recompiles once.
 
         History/epoch bookkeeping concatenates seamlessly. ``patience=``
-        applies within each phase (the baseline resets at the switch).
+        applies within each phase (the baseline resets at the estimator
+        switch — the truncated ELBO is a slightly different objective);
+        under ``"auto"`` the baseline is carried across the exact phase's
+        probe sub-runs, so patience spans the whole exact phase.
 
         ``enum_schedule="auto"`` (or ``("auto", threshold)``, default
         threshold 0.95) picks the switch epoch FROM THE GUIDE instead of a
@@ -172,6 +175,9 @@ class SegmentedRunsMixin:
         tune per dataset.
         """
         model = self.model
+        # run() enters here BEFORE _seg_route's reset, so a stale True from
+        # an earlier early-stopped run would otherwise skip every phase
+        self.stopped_early = False
         saved = int(getattr(model, "enum_topk", 0) or 0)
         if not saved:  # nothing to schedule: the model enumerates exactly
             return self._seg_sub_run(loaders, int(epochs), dict(kwargs))
@@ -229,11 +235,14 @@ class SegmentedRunsMixin:
                 f"(jiVAE/ssiVAE); {type(model).__name__} has none")
         if not 0.0 < threshold <= 1.0:
             raise ValueError(f"auto threshold must be in (0, 1], got {threshold}")
-        arrays = getattr(loaders[0], "device_arrays", None)
-        if arrays is None:
+        # NOTE: device_arrays is a PROPERTY that uploads on first touch —
+        # gate on the device_resident flag so a streaming loader raises
+        # instead of silently device_put-ing a multi-GB host set
+        if not getattr(loaders[0], "device_resident", False):
             raise ValueError(
                 'enum_schedule="auto" needs a device-resident training '
                 "loader (the probe reads from its arrays)")
+        arrays = loaders[0].device_arrays
         from ..utils.data import apply_batch_scale
         # probe in MODEL space: narrow-dtype residency stores raw (e.g.
         # uint8) values that normalize inside the training scan
@@ -255,6 +264,16 @@ class SegmentedRunsMixin:
 
         model.enum_topk = 0
         self._swap_compiled_variant(0, saved)
+        # patience= must span the whole exact phase: each 5-epoch probe
+        # sub-run re-enters run() with a fresh early-stop baseline, so
+        # without a carried state "no improvement for patience epochs"
+        # could never accumulate (patience >= probe interval was inert).
+        # The carry holds best/best_epoch across probe sub-runs; it is
+        # dropped at the estimator switch (the truncated ELBO is a
+        # slightly different objective, so its baseline restarts — same
+        # documented semantics as the fixed-E path).
+        self._es_carry = {"best": float("inf"),
+                          "best_epoch": self.current_epoch}
         try:
             while done < epochs and not self.stopped_early:
                 n = min(self.ENUM_AUTO_PROBE_EVERY, epochs - done)
@@ -270,6 +289,7 @@ class SegmentedRunsMixin:
                     flipped = True
                     break
         finally:
+            self._es_carry = None
             model.enum_topk = saved
             self._swap_compiled_variant(saved, saved)
         #: epochs into THIS run at which auto switched to truncation
@@ -365,7 +385,12 @@ class SegmentedRunsMixin:
         history = self._seg_history()
         sign = self._seg_monitor_sign()
         metric_hist = history[self._seg_metric_key()]
-        es = {"best": float("inf"), "best_epoch": self.current_epoch}
+        # carried early-stop state (enum_schedule="auto" probe sub-runs
+        # share one baseline so patience spans the whole exact phase);
+        # standalone runs start fresh
+        es = getattr(self, "_es_carry", None)
+        if es is None:
+            es = {"best": float("inf"), "best_epoch": self.current_epoch}
 
         def fire(n):
             if on_segment is None:

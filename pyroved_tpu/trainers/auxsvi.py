@@ -129,7 +129,9 @@ class auxSVItrainer(SegmentedRunsMixin):
         step functions are rebuilt against the new routing instead of
         replaying a stale compiled step."""
         gate = getattr(self.model, "sync_fusion_gate", None)
-        g = gate() if gate is not None else None
+        pkey = getattr(self.model, "_pixel_gate_key", None)
+        g = (gate() if gate is not None else None,
+             pkey() if pkey is not None else None)
         if self._step_unsup is None or g != getattr(self, "_built_gate", None):
             self._build_steps()
             self._built_gate = g

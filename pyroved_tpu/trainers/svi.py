@@ -160,7 +160,9 @@ class SVItrainer(SegmentedRunsMixin):
         axis), the gate flips and everything is retraced against the new
         routing instead of replaying a stale fused step."""
         gate = getattr(self.model, "sync_fusion_gate", None)
-        g = gate() if gate is not None else None
+        pkey = getattr(self.model, "_pixel_gate_key", None)
+        g = (gate() if gate is not None else None,
+             pkey() if pkey is not None else None)
         if self._train_epoch_jit is None or g != getattr(self, "_built_gate", None):
             self._build_epoch_fns()
             self._built_gate = g

@@ -60,7 +60,12 @@ def _resolve_narrow_dtype(d) -> np.dtype:
 def _apply_store_dtype(host, scale, store_dtype):
     """Cast floating host arrays to their narrow storage dtype and make
     sure each narrowed array has a ``scale`` entry (1.0 when the user gave
-    none), so every wire/residency path upcasts it inside the scan."""
+    none), so every wire/residency path upcasts it inside the scan.
+
+    A scalar ``store_dtype`` narrows the FIRST (signal) array only — the
+    same convention as a scalar ``scale`` — so float label/target arrays
+    (e.g. regression ``y``) keep full precision unless the per-array tuple
+    form names them explicitly."""
     if isinstance(store_dtype, (tuple, list)):
         if len(store_dtype) != len(host):
             raise ValueError(
@@ -68,8 +73,13 @@ def _apply_store_dtype(host, scale, store_dtype):
                 f"{len(host)} arrays")
         entries = tuple(store_dtype)
     else:
-        entries = tuple(store_dtype if np.issubdtype(a.dtype, np.floating)
-                        else None for a in host)
+        if not np.issubdtype(host[0].dtype, np.floating):
+            raise ValueError(
+                f"store_dtype={store_dtype!r} targets the first (signal) "
+                f"array, but its dtype is {host[0].dtype} — integer "
+                "sources already ride scale= narrow; use the per-array "
+                "tuple form to narrow a different array")
+        entries = (store_dtype,) + (None,) * (len(host) - 1)
     out, scales = [], list(scale) if scale is not None else [None] * len(host)
     for i, (a, d) in enumerate(zip(host, entries)):
         if d is None:
@@ -131,8 +141,10 @@ class DataLoader:
         MODEL CHANGE (opt-in): the data is rounded to bf16's 8-bit
         mantissa (~3 decimal digits); for [0, 1]-normalized signals the
         per-element error is <= 2^-9, far below typical measurement noise.
-        Also accepts "float16" or a per-array tuple (``None`` = untouched;
-        non-float arrays are never narrowed implicitly)."""
+        Also accepts "float16". A scalar narrows the FIRST (signal) array
+        only — the same convention as a scalar ``scale`` — so float
+        label/target arrays keep full precision; pass a per-array tuple
+        (``None`` = untouched) to narrow others explicitly."""
         if not arrays:
             raise ValueError("At least one data array is required")
         host = [as_numpy(a) for a in arrays]

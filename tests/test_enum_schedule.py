@@ -269,3 +269,61 @@ def test_config_accepts_auto_schedule():
     TrainConfig(enum_schedule=5)
     with pytest.raises(ValueError, match="auto"):
         TrainConfig(enum_schedule="bogus")
+
+
+# ---------------------------------------------------------------------------
+# regression: state interactions found in the round-5 review
+# ---------------------------------------------------------------------------
+def test_enum_schedule_after_early_stopped_run_trains():
+    """A stale stopped_early=True from an earlier early-stopped run must
+    not skip a later enum_schedule run (run() enters the schedule path
+    BEFORE _seg_route's reset)."""
+    X = _data(seed=11)
+    Xt = _data(n=20, seed=12)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t = SVItrainer(m, seed=3)
+    loader = init_dataloader(X, batch_size=20, seed=1)
+    tl = init_dataloader(Xt, batch_size=20, seed=1)
+    # min_delta huge => "never improves" => stops right after patience
+    t.run(loader, 10, test_loader=tl, patience=1, min_delta=1e9)
+    assert t.stopped_early
+    n0 = t.current_epoch
+    # E=0: the exact phase is empty, so nothing resets the flag en route
+    out = t.run(loader, 3, enum_schedule=0)
+    assert len(out) == 3 and t.current_epoch == n0 + 3
+    # auto: the while-loop guard reads the flag before the first phase
+    out = t.run(loader, 3, enum_schedule=("auto", 1.0))
+    assert len(out) == 3 and t.current_epoch == n0 + 6
+
+
+def test_enum_auto_rejects_streaming_loader_without_upload():
+    """The auto guard must check device_resident — touching the
+    device_arrays PROPERTY would silently upload the full host set."""
+    from pyroved_tpu.utils.data import DataLoader
+    X = _data(seed=13)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t = SVItrainer(m, seed=3)
+    loader = DataLoader(X, batch_size=20, seed=1, device_resident=False)
+    with pytest.raises(ValueError, match="device-resident"):
+        t.run(loader, 4, enum_schedule="auto")
+    assert loader._device_arrays is None  # no silent device_put
+
+
+def test_enum_auto_patience_spans_probe_phases():
+    """patience >= the 5-epoch probe interval must still be able to fire:
+    the early-stop baseline is carried across the auto loop's probe
+    sub-runs instead of resetting every 5 epochs."""
+    X = _data(seed=14)
+    Xt = _data(n=20, seed=15)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t = SVItrainer(m, seed=3)
+    loader = init_dataloader(X, batch_size=20, seed=1)
+    tl = init_dataloader(Xt, batch_size=20, seed=1)
+    # threshold 1.0: never flips, so the whole run is exact-phase probes;
+    # min_delta huge: best_epoch pins to epoch 1, so patience=7 must stop
+    # the run at epoch >= 8 — well before the requested 20
+    t.run(loader, 20, test_loader=tl, patience=7, min_delta=1e9,
+          enum_schedule=("auto", 1.0))
+    assert t.stopped_early
+    assert t.current_epoch < 20
+    assert m.enum_topk == 2  # restored after the scheduled run

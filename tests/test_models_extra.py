@@ -617,3 +617,41 @@ def test_ssivae_fit_data_scale():
     assert np.isfinite(t.history["training_loss"]).all()
     with pytest.raises(ValueError, match="data_scale"):
         m.fit(u8u, (u8l, yl), epochs=1, batch_size=8)
+
+
+def test_ssivae_set_classifier_resets_guide_probs_cache():
+    """set_classifier must drop the guide_probs trace too: a replacement
+    net with the SAME param structure would otherwise replay the old
+    module's cached computation (jit keys on arg structure)."""
+    import flax.linen as fnn
+
+    class _NegatedSoftmax(fnn.Module):
+        num_classes: int = 3
+
+        @fnn.compact
+        def __call__(self, x):
+            h = fnn.Dense(16)(jnp.tanh(fnn.Dense(16)(x)))
+            # deliberately different head math, same param structure
+            return jax.nn.softmax(-fnn.Dense(self.num_classes)(h), -1)
+
+    class _PlainSoftmax(fnn.Module):
+        num_classes: int = 3
+
+        @fnn.compact
+        def __call__(self, x):
+            h = fnn.Dense(16)(jnp.tanh(fnn.Dense(16)(x)))
+            return jax.nn.softmax(fnn.Dense(self.num_classes)(h), -1)
+
+    m = ssiVAE(DATA_2D, latent_dim=2, num_classes=3, invariances=["r"])
+    x = _imgs(6)
+    m.set_classifier(_PlainSoftmax())
+    saved = m.params["encoder_y"]
+    p_plain = np.asarray(m.guide_probs(x))
+    m.set_classifier(_NegatedSoftmax())
+    # identical weights AND identical param structure: with a stale jit
+    # trace the two calls would return bit-identical outputs
+    m.params["encoder_y"] = saved
+    p_neg = np.asarray(m.guide_probs(x))
+    assert not np.allclose(p_plain, p_neg)
+    np.testing.assert_allclose(p_plain.sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(p_neg.sum(-1), 1.0, rtol=1e-5)

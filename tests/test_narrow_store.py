@@ -125,3 +125,24 @@ def test_ssivae_fit_tuple_data_scale_usable():
     tr = m.fit(u8, (u8_l, y), epochs=1, batch_size=6,
                data_scale=(1 / 255.0, None))
     assert np.isfinite(tr.history["training_loss"][-1])
+
+
+def test_store_dtype_scalar_keeps_float_targets_full_precision():
+    """A scalar store_dtype narrows the FIRST (signal) array only — float
+    regression targets must keep full precision (same convention as a
+    scalar scale=)."""
+    X = np.random.RandomState(6).rand(30, 8, 8).astype(np.float32)
+    y = np.random.RandomState(7).rand(30).astype(np.float32)
+    dl = DataLoader(X, y, batch_size=10, store_dtype="bfloat16")
+    assert dl.device_arrays[0].dtype == jnp.bfloat16
+    assert dl.device_arrays[1].dtype == jnp.float32
+    # per-array tuple form still narrows targets when asked explicitly
+    dl2 = DataLoader(X, y, batch_size=10,
+                     store_dtype=("bfloat16", "bfloat16"))
+    assert dl2.device_arrays[1].dtype == jnp.bfloat16
+
+
+def test_store_dtype_scalar_rejects_integer_signal():
+    X = (np.random.RandomState(8).rand(20, 4) * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="signal"):
+        DataLoader(X, batch_size=10, store_dtype="bfloat16")

@@ -273,3 +273,42 @@ def test_pixel_chunks_composes_with_trainer_remat():
     tr = SVItrainer(m, remat=True)
     tr.step(loader)
     assert np.isfinite(tr.loss_history["training_loss"][0])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_shard_pixels_flip_after_compile_retraces():
+    """Enabling (or disabling) pixel sharding AFTER a trainer compiled
+    must retrace its step functions — the pixel mode is a Python
+    attribute the jit cache cannot see, so without a rebuild-gate entry
+    the stale full-grid trace would keep running (and OOM exactly where
+    sharding was meant to prevent it)."""
+    X = np.random.RandomState(5).rand(30, 8, 8).astype(np.float32)
+    m = iVAE((8, 8), 2, ["r"], seed=0)
+    t = SVItrainer(m, seed=1)
+    loader = init_dataloader(X, batch_size=10, seed=1)
+    t.run(loader, 1)
+    full_fn = t._train_epoch_jit
+    assert t._built_gate[1][0] is None
+    shard_pixels(m, _pixel_mesh(4))
+    losses = t.run(loader, 1)
+    assert np.isfinite(losses).all()
+    assert t._train_epoch_jit is not full_fn  # retraced for the flip
+    assert t._built_gate[1][0] == "shard"
+    shard_pixels(m, None)
+    t.run(loader, 1)
+    assert t._built_gate[1][0] is None  # and back off again
+
+
+def test_pixel_chunks_flip_after_compile_retraces():
+    """Same staleness rule for the in-device variant: setting
+    model.pixel_chunks after a compile must rebuild the step."""
+    X = np.random.RandomState(6).rand(30, 8, 8).astype(np.float32)
+    m = iVAE((8, 8), 2, ["r"], seed=0)
+    t = SVItrainer(m, seed=1)
+    loader = init_dataloader(X, batch_size=10, seed=1)
+    t.run(loader, 1)
+    assert t._built_gate[1][0] is None
+    m.pixel_chunks = 4
+    losses = t.run(loader, 1)
+    assert np.isfinite(losses).all()
+    assert t._built_gate[1][0] == "chunk"

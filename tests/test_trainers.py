@@ -353,7 +353,8 @@ def test_fusion_gate_rechecked_on_reshard():
     trainer = SVItrainer(model)
     trainer.train(loader)
     built = trainer._train_epoch_jit
-    assert model._fused is True and trainer._built_gate is True
+    # gate = (fusion_gate, pixel_mode_key) since the shard_pixels-staleness fix
+    assert model._fused is True and trainer._built_gate[0] is True
 
     mesh = Mesh(np.array(jax.devices()).reshape(8), ("model",))
 
