@@ -327,3 +327,37 @@ def test_enum_auto_patience_spans_probe_phases():
     assert t.stopped_early
     assert t.current_epoch < 20
     assert m.enum_topk == 2  # restored after the scheduled run
+
+
+def test_enum_schedule_composes_with_pixel_chunks():
+    """The estimator schedule and the pixel partition are independent
+    levers: a scheduled run with pixel_chunks must reproduce the
+    scheduled full-grid run (the partition is exact) to f32 tolerance."""
+    X = _data(seed=16)
+    m_full = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    m_chunk = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, pixel_chunks=3,
+                    seed=0)
+    t_full = SVItrainer(m_full, seed=3)
+    t_chunk = SVItrainer(m_chunk, seed=3)
+    a = t_full.run(init_dataloader(X, batch_size=20, seed=1), 4,
+                   enum_schedule=2)
+    b = t_chunk.run(init_dataloader(X, batch_size=20, seed=1), 4,
+                    enum_schedule=2)
+    np.testing.assert_allclose(a, b, rtol=2e-4)
+    _params_close(m_full.params, m_chunk.params, atol=2e-3)
+
+
+def test_pixel_flip_between_scheduled_runs_retraces_stashed_variants():
+    """A pixel-mode flip after an enum_schedule run must invalidate the
+    STASHED estimator variants too: restoring a variant compiled under
+    the old pixel mode has to retrace (the rebuild gate catches the
+    stale pixel key on the restored _built_gate)."""
+    X = _data(seed=17)
+    m = jiVAE((6, 6), 2, 4, ["r"], enum_topk=2, seed=0)
+    t = SVItrainer(m, seed=3)
+    loader = init_dataloader(X, batch_size=20, seed=1)
+    t.run(loader, 2, enum_schedule=1)  # builds + stashes both variants
+    m.pixel_chunks = 3
+    losses = t.run(loader, 2, enum_schedule=1)
+    assert np.isfinite(losses).all()
+    assert t._built_gate[1][0] == "chunk"
